@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One registered query: the Spark implementation plus (when the semantics
+  * are SQL-expressible deterministically) an equivalent DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §7.4): money in DECIMAL, doubles rounded
+  * to 4dp, total-order final ORDER BY, explicit NULLS FIRST/LAST on nullable
+  * sort keys, event timestamps truncated to millisecond, survivor rows
+  * tie-broken by a unique key.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Q {
+  /** Shared column helpers enforcing the determinism rules. */
+  val Dec12: DecimalType = DecimalType(12, 2)
+  val Dec18: DecimalType = DecimalType(18, 4)
+
+  /** Exact money value: cast to DECIMAL(12,2) before any arithmetic. */
+  def dec2(c: Column): Column = c.cast(Dec12)
+
+  /** Normalize an aggregated decimal to a fixed output type (scale 4 keeps
+    * every product of two scale-2 decimals exact — no rounding happens). */
+  def dec4(c: Column): Column = c.cast(Dec18)
+
+  /** Emit a floating-point value: round to 4dp, as double, on both engines. */
+  def r4(c: Column): Column = round(c, 4).cast(DoubleType)
+
+  /** lineitem revenue, computed exactly in decimal on both engines. */
+  def revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast(Dec12) - dec2(col("l_discount")))
+
+  /** DuckDB-side spelling of [[revenue]] (kept adjacent so they stay in sync). */
+  val revenueSql: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+}
