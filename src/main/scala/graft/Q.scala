@@ -38,4 +38,16 @@ object Q {
   /** DuckDB-side spelling of [[revenue]] (kept adjacent so they stay in sync). */
   val revenueSql: String =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** TOTAL order over lineitem rows. (l_orderkey, l_linenumber) is NOT
+    * unique in the corpus (11k+ dup pairs at sf0.01); this 7-column chain is
+    * verified unique at sf0.001/0.01/0.1. Every lineitem-granular ORDER BY
+    * and every order-sensitive window (row_number/ntile/lag/lead/running
+    * frames) must use a suffix of it or results are stable-sort luck.
+    */
+  val liKeyCols: Seq[String] = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_shipdate")
+  def liKey: Seq[Column] = liKeyCols.map(col)
+  val liKeySql: String = liKeyCols.mkString(", ")
 }

@@ -13,7 +13,11 @@ object SparkEntry {
   /** All query modules, merged. Keys must be unique across modules. */
   private lazy val all: Map[String, Q] =
     Seq(
-      operators.Flagship.qs
+      operators.Flagship.qs,
+      operators.Relational.qs,
+      operators.Aggregates.qs,
+      operators.Windows.qs,
+      operators.SetSort.qs
     ).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

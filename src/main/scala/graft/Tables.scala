@@ -12,8 +12,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as LongType
+    * nanos; this converts to a microsecond TimestampType (floor division —
+    * same truncation Spark applies to µs-representable nanos elsewhere).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // ns → millisecond-truncated TIMESTAMP_NTZ, via integer `div` (a
+      // double division would lose µs precision at ns-epoch magnitudes).
+      // NTZ matches how the other corpus timestamps load
+      // (inferTimestampNTZ), so outputs round-trip parquet without the
+      // isAdjustedToUTC flag; ms truncation matches SURVEY §7.4 rule 4 —
+      // oracle SQL compares date_trunc('milliseconds', ts).
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_millis(ts div 1000000) AS TIMESTAMP_NTZ)"))
+    else df
+  }
 
   /** Register every corpus table as a temp view (for spark.sql queries —
     * correlated subqueries, GROUPING SETS — which mirror the oracle SQL). */

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.SparkSession
+
+/** Grouped aggregation family (SURVEY.md §2.2). All run as Catalyst hash
+  * aggregates with map-side partials — the shape that scales: one shuffle on
+  * the group keys, partial buffers combined per partition first. Money sums
+  * are DECIMAL (exact, order-independent); emitted floats are round-4.
+  */
+object Aggregates {
+
+  val qs: Map[String, Q] = Map(
+
+    "q_agg_hash" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dec4(sum(dec2(col("l_quantity")))).as("sum_qty"),
+            dec4(sum(dec2(col("l_extendedprice")))).as("sum_price"),
+            dec4(sum(revenue)).as("sum_revenue"),
+            r4(avg(dec2(col("l_quantity")))).as("avg_qty"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_price,
+               CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS sum_revenue,
+               CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_qty,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    "q_agg_distinct" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+               COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Approximate NDV (HLL). No hash-exact oracle by construction — the
+    // ScalaTest spec asserts the estimate lands within rsd bounds vs exact.
+    "q_agg_approx_distinct" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+          .orderBy("l_returnflag")),
+
+    "q_agg_having" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(dec4(sum(dec2(col("l_quantity")))).as("sum_qty"),
+               count(lit(1)).as("n"))
+          .filter(col("sum_qty") > 800)
+          .orderBy("l_partkey"),
+      oracle = Some("""
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 800
+        ORDER BY l_partkey""")),
+
+    "q_agg_stats" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+            r4(var_samp(col("l_quantity"))).as("var_qty"),
+            r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+            r4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(ROUND(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+               CAST(ROUND(var_samp(l_quantity), 4) AS DOUBLE) AS var_qty,
+               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) AS covar_qty_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_agg_collect" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            array_sort(collect_list(col("o_orderstatus"))).as("statuses"),
+            array_sort(collect_set(col("o_orderpriority"))).as("prios"),
+            count(lit(1)).as("n"))
+          .orderBy("o_custkey"),
+      oracle = Some("""
+        SELECT o_custkey,
+               list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
+               list_sort(list(DISTINCT o_orderpriority)) AS prios,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    "q_rollup" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            dec4(sum(dec2(col("o_totalprice")))).as("total"),
+            grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+            grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    "q_cube" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            dec4(sum(dec2(col("o_totalprice")))).as("total"),
+            grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+            grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first,
+            col("g_status").asc, col("g_prio").asc),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+                 g_status ASC, g_prio ASC""")),
+
+    "q_grouping_sets" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")))
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Relational core, part 1 (SURVEY.md §2.2): scans, projection, filters,
+  * null semantics, and the full join family. Everything is declared through
+  * the DataFrame API so Catalyst handles pushdown/pruning/join selection;
+  * the only hints used are `broadcast` on dimension tables (the correct call
+  * at 100 TB too — dims stay small while the fact table scales).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  val qs: Map[String, Q] = Map(
+
+    "q_scan_parquet" -> Q(
+      fn = (s, d) => li(s, d).orderBy(liKey: _*),
+      oracle = Some(s"SELECT * FROM lineitem ORDER BY $liKeySql")),
+
+    "q_project" -> Q(
+      fn = (s, d) =>
+        li(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          dec4(revenue).as("revenue"),
+          (col("l_quantity") * col("l_extendedprice")).as("qty_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("qty_price")),
+      oracle = Some(s"""
+        SELECT l_orderkey, l_linenumber, CAST($revenueSql AS DECIMAL(18,4)) AS revenue,
+               l_quantity * l_extendedprice AS qty_price
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, qty_price""")),
+
+    "q_filter" -> Q(
+      fn = (s, d) =>
+        li(s, d)
+          .filter(
+            col("l_quantity").between(10, 20) &&
+            col("l_returnflag").isin("A", "R") &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            (col("l_discount") > 0.05 || col("l_tax") < 0.03))
+          .join(broadcast(Tables(s, d, "part").filter(col("p_name").like("%red%"))),
+            col("l_partkey") === col("p_partkey"))
+          .select("l_orderkey", "l_linenumber", "p_name", "l_quantity", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber", "p_name", "l_quantity", "l_shipdate"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, p_name, l_quantity, l_shipdate
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_returnflag IN ('A','R')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND (l_discount > 0.05 OR l_tax < 0.03)
+          AND p_name LIKE '%red%'
+        ORDER BY l_orderkey, l_linenumber, p_name, l_quantity, l_shipdate""")),
+
+    "q_filter_null" -> Q(
+      fn = (s, d) =>
+        ord(s, d)
+          .withColumn("st", nullif(col("o_orderstatus"), lit("O")))
+          .select(
+            col("o_orderkey"), col("st"),
+            coalesce(col("st"), lit("none")).as("st_or_none"),
+            col("st").isNull.as("is_open"),
+            (col("st") <=> lit("F")).as("is_f_nullsafe"))
+          .filter(col("st").isNotNull || col("o_totalprice") > 100000)
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey, st, coalesce(st, 'none') AS st_or_none,
+               st IS NULL AS is_open, st IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+        FROM (SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'O') AS st FROM orders)
+        WHERE st IS NOT NULL OR o_totalprice > 100000
+        ORDER BY o_orderkey""")),
+
+    "q_join_inner" -> Q(
+      fn = (s, d) =>
+        li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+          .select("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
+          .orderBy("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity"),
+      oracle = Some("""
+        SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY o_orderkey, l_linenumber, o_orderstatus, l_quantity""")),
+
+    "q_join_left" -> Q(
+      fn = (s, d) =>
+        ord(s, d).join(
+            li(s, d).filter(col("l_quantity") > 45),
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .select("o_orderkey", "l_linenumber", "l_quantity")
+          .orderBy(col("o_orderkey").asc, col("l_linenumber").asc_nulls_first,
+                   col("l_quantity").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderkey, l_linenumber, l_quantity
+        FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+          ON o_orderkey = l_orderkey
+        ORDER BY o_orderkey ASC, l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST""")),
+
+    "q_join_right" -> Q(
+      fn = (s, d) =>
+        li(s, d).filter(col("l_quantity") > 45)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"), "right")
+          .select("o_orderkey", "l_linenumber", "l_quantity")
+          .orderBy(col("o_orderkey").asc, col("l_linenumber").asc_nulls_first,
+                   col("l_quantity").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderkey, l_linenumber, l_quantity
+        FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l RIGHT JOIN orders
+          ON l_orderkey = o_orderkey
+        ORDER BY o_orderkey ASC, l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST""")),
+
+    "q_join_full" -> Q(
+      fn = (s, d) => {
+        val bigOrders = ord(s, d).filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("k"), col("o_orderkey"))
+        val richCust = cust(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("ck"), col("c_name"))
+        bigOrders.join(richCust, col("k") === col("ck"), "full")
+          .select(col("o_orderkey"), col("c_name"))
+          .orderBy(col("o_orderkey").asc_nulls_first, col("c_name").asc_nulls_first)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, c_name
+        FROM (SELECT o_custkey AS k, o_orderkey FROM orders WHERE o_totalprice > 200000) o
+        FULL JOIN (SELECT c_custkey AS ck, c_name FROM customer WHERE c_acctbal > 5000) c
+          ON k = ck
+        ORDER BY o_orderkey ASC NULLS FIRST, c_name ASC NULLS FIRST""")),
+
+    "q_join_semi" -> Q(
+      fn = (s, d) =>
+        ord(s, d).join(
+            li(s, d).filter(col("l_quantity") > 48),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        ORDER BY o_orderkey""")),
+
+    "q_join_anti" -> Q(
+      fn = (s, d) =>
+        cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    "q_join_cross" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+          .select("r_name", "n_name")
+          .orderBy("r_name", "n_name"),
+      oracle = Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    "q_join_broadcast" -> Q(
+      fn = (s, d) => {
+        val dims = broadcast(
+          Tables(s, d, "supplier")
+            .join(Tables(s, d, "nation"), col("s_nationkey") === col("n_nationkey")))
+        li(s, d).join(dims, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("n_name")
+          .agg(dec4(sum(revenue)).as("revenue"), count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      oracle = Some(s"""
+        SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS revenue, COUNT(*) AS n
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    "q_join_range" -> Q(
+      fn = (s, d) =>
+        li(s, d).join(ord(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate").between(
+              col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+          .select("o_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+          .orderBy("o_orderkey", "l_linenumber", "l_shipdate"),
+      oracle = Some("""
+        SELECT o_orderkey, l_linenumber, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+        ORDER BY o_orderkey, l_linenumber, l_shipdate""")),
+
+    "q_join_asof" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events") // ts already ms-truncated NTZ
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+        AsOf.joinBackward(
+            purchases, signups,
+            key = "user_id", leftTime = "ts", rightTime = "signup_ts",
+            rightTieBreak = "signup_id")
+          .select("event_id", "user_id", "ts", "signup_ts", "signup_id")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+             sg AS (SELECT event_id AS signup_id, user_id, date_trunc('milliseconds', ts) AS signup_ts
+                    FROM events WHERE event_type = 'signup'),
+             j AS (SELECT p.event_id, p.user_id, p.ts, sg.signup_ts, sg.signup_id,
+                          row_number() OVER (PARTITION BY p.event_id
+                                             ORDER BY sg.signup_ts DESC, sg.signup_id DESC) AS rn
+                   FROM p JOIN sg ON p.user_id = sg.user_id AND sg.signup_ts <= p.ts)
+        SELECT event_id, user_id, ts, signup_ts, signup_id FROM j WHERE rn = 1
+        UNION ALL
+        SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM sg
+                          WHERE sg.user_id = p.user_id AND sg.signup_ts <= p.ts)
+        ORDER BY event_id""")))
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+
+/** Sorts, limits, set operations, subqueries (SURVEY.md §2.2).
+  * `q_topk` deliberately keeps the ORDER BY + LIMIT shape so Catalyst plans
+  * `TakeOrderedAndProject` (per-partition top-k then merge on the driver —
+  * the only global-sort shape that's O(k) per partition at 100 TB).
+  */
+object SetSort {
+
+  val qs: Map[String, Q] = Map(
+
+    "q_sort_multi" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+          .orderBy(
+            col("l_returnflag").asc_nulls_last,
+            col("l_shipdate").desc_nulls_last,
+            col("l_orderkey").asc,
+            col("l_linenumber").asc),
+      // Remaining ties are rows identical in all four output columns —
+      // interchangeable for the value compare.
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate FROM lineitem
+        ORDER BY l_returnflag ASC NULLS LAST, l_shipdate DESC NULLS LAST,
+                 l_orderkey ASC, l_linenumber ASC""")),
+
+    "q_topk" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    "q_union" -> Q(
+      fn = (s, d) => {
+        val c = Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val su = Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.unionByName(su).groupBy("nationkey").agg(count(lit(1)).as("n"))
+          .orderBy("nationkey")
+      },
+      oracle = Some("""
+        SELECT nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey FROM supplier)
+        GROUP BY nationkey ORDER BY nationkey""")),
+
+    "q_intersect" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    "q_except" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // Correlated scalar subquery (Catalyst decorrelates it into a join with
+    // a per-key aggregate — no per-row re-execution) + IN subquery.
+    // Identical SQL text runs on both engines.
+    "q_subquery" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql(subquerySql)
+      },
+      oracle = Some(subquerySql)))
+
+  private lazy val subquerySql: String = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem l
+    WHERE l_extendedprice < (SELECT max(l2.l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = l.l_partkey)
+      AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
+}
