@@ -17,7 +17,9 @@ object SparkEntry {
       operators.Relational.qs,
       operators.Aggregates.qs,
       operators.Windows.qs,
-      operators.SetSort.qs
+      operators.SetSort.qs,
+      operators.EventTime.qs,
+      functions.Scalars.qs
     ).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

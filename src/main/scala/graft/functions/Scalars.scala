@@ -1,0 +1,248 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function surface (SURVEY.md §2.3) — one bundled query per family,
+  * every function a codegen'd built-in (`org.apache.spark.sql.functions`),
+  * no UDFs. Cross-engine parity notes are inline where DuckDB semantics
+  * diverge (dayofweek origin, global regexp_replace, floor result type…).
+  */
+object Scalars {
+
+  val qs: Map[String, Q] = Map(
+
+    "q_str_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_type")).as("lo"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          ltrim(concat(lit("  "), col("p_name"))).as("ltrimmed"),
+          rtrim(concat(col("p_name"), lit("  "))).as("rtrimmed"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          concat_ws("|", col("p_brand"), col("p_type"), col("p_name")).as("catws"),
+          lpad(col("p_size").cast(StringType), 4, "0").as("padded"),
+          rpad(col("p_brand"), 12, "*").as("rpadded"),
+          regexp_replace(col("p_name"), " ", "_").as("replaced"),
+          split(col("p_name"), " ").as("tokens"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "#").as("devoweled"),
+          instr(col("p_name"), "a").as("a_pos"),
+          reverse(col("p_name")).as("rev"))
+          .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey,
+               upper(p_name) AS up, lower(p_type) AS lo, length(p_name) AS len,
+               substr(p_name, 1, 5) AS sub,
+               trim('  ' || p_name || '  ') AS trimmed,
+               ltrim('  ' || p_name) AS ltrimmed,
+               rtrim(p_name || '  ') AS rtrimmed,
+               p_brand || '-' || p_type AS cat,
+               concat_ws('|', p_brand, p_type, p_name) AS catws,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+               rpad(p_brand, 12, '*') AS rpadded,
+               replace(p_name, ' ', '_') AS replaced,
+               string_split(p_name, ' ') AS tokens,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+               regexp_replace(p_type, '[AEIOU]', '#', 'g') AS devoweled,
+               instr(p_name, 'a') AS a_pos,
+               reverse(p_name) AS rev
+        FROM part ORDER BY p_partkey""")),
+
+    "q_date_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"), // 1 = Sunday
+          // date_trunc coerces NTZ→LTZ; cast back (UTC session ⇒ same wall time)
+          date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("days_since"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("eom"),
+          to_date(col("o_orderdate")).as("as_date"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made"))
+          .orderBy("o_orderkey"),
+      // DuckDB: dayofweek is 0=Sunday (Spark: 1=Sunday) → +1;
+      // date_trunc('month') yields DATE → cast back to TIMESTAMP;
+      // epoch() yields DOUBLE → cast BIGINT; date_add yields DATE in Spark.
+      oracle = Some("""
+        SELECT o_orderkey,
+               year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m, dayofmonth(o_orderdate) AS dom,
+               dayofweek(o_orderdate) + 1 AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+               last_day(o_orderdate) AS eom,
+               CAST(o_orderdate AS DATE) AS as_date,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS made
+        FROM orders ORDER BY o_orderkey""")),
+
+    "q_math_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          r4(col("l_extendedprice") / 7).as("div7"),
+          floor(col("l_extendedprice")).as("flr"),
+          ceil(col("l_extendedprice")).as("cl"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          r4(pow(col("l_quantity"), 2)).as("qty_sq"),
+          r4(sqrt(col("l_quantity"))).as("qty_sqrt"),
+          r4(exp(col("l_discount"))).as("e_disc"),
+          r4(log(col("l_quantity"))).as("ln_qty"),
+          r4(log10(col("l_quantity"))).as("log10_qty"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"),
+          signum(col("l_discount") - 0.05).as("sgn"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
+          least(col("l_quantity"), col("l_discount") * 100).as("ls"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "div7", "qty_sq"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(ROUND(l_extendedprice / 7, 4) AS DOUBLE) AS div7,
+               CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+               abs(l_discount - 0.05) AS absd,
+               CAST(ROUND(pow(l_quantity, 2), 4) AS DOUBLE) AS qty_sq,
+               CAST(ROUND(sqrt(l_quantity), 4) AS DOUBLE) AS qty_sqrt,
+               CAST(ROUND(exp(l_discount), 4) AS DOUBLE) AS e_disc,
+               CAST(ROUND(ln(l_quantity), 4) AS DOUBLE) AS ln_qty,
+               CAST(ROUND(log10(l_quantity), 4) AS DOUBLE) AS log10_qty,
+               ((l_orderkey % 7) + 7) % 7 AS pm,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+               greatest(l_quantity, l_tax * 100) AS gr,
+               least(l_quantity, l_discount * 100) AS ls
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, div7, qty_sq""")),
+
+    "q_cond_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("size_class"),
+          when(col("o_orderstatus") === "F", "done").otherwise("pending").as("st"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("X")).as("closed_or_x"),
+          nvl(nullif(col("o_orderpriority"), lit("5-LOW")), lit("not-low")).as("prio"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS size_class,
+               CASE WHEN o_orderstatus = 'F' THEN 'done' ELSE 'pending' END AS st,
+               coalesce(nullif(o_orderstatus, 'O'), 'X') AS closed_or_x,
+               coalesce(nullif(o_orderpriority, '5-LOW'), 'not-low') AS prio
+        FROM orders ORDER BY o_orderkey""")),
+
+    "q_cast_decimal" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast(IntegerType).as("qty_int"),
+          dec2(col("l_extendedprice")).as("price_dec"),
+          dec2(col("l_extendedprice")).cast(StringType).as("price_str"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          col("l_orderkey").cast(DoubleType).as("key_dbl"),
+          (dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast(DecimalType(20, 4)).as("amount"),
+          (dec2(col("l_extendedprice")) + dec2(col("l_tax"))).cast(DecimalType(14, 2)).as("price_plus_tax"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "price_dec"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(l_quantity AS INT) AS qty_int,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(l_orderkey AS DOUBLE) AS key_dbl,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(20,4)) AS amount,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2)) AS price_plus_tax
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, price_dec""")),
+
+    "q_array_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          r4(element_at(col("embedding"), 1).cast(DoubleType)).as("first_val"),
+          transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast(DoubleType) * 2, 4)).as("head3_x2"),
+          sort_array(transform(slice(col("embedding"), 1, 4),
+            x => round(x.cast(DoubleType), 4))).as("head4_sorted"),
+          r4(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType))).as("sum_all"))
+          .orderBy("vec_id"),
+      // list_reduce seeds with the first element; Spark's aggregate seeds
+      // 0.0 — identical left-fold sequence since 0.0 + x == x exactly.
+      oracle = Some("""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_val,
+               list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 3),
+                              x -> round(x * 2, 4)) AS head3_x2,
+               list_sort(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                                        x -> round(x, 4))) AS head4_sorted,
+               CAST(ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS DOUBLE) AS sum_all
+        FROM embeddings ORDER BY vec_id""")),
+
+    "q_explode" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+          .select(col("vec_id"), col("pos"), r4(col("val").cast(DoubleType)).as("val"))
+          .orderBy("vec_id", "pos"),
+      oracle = Some("""
+        SELECT vec_id, u.pos - 1 AS pos,
+               CAST(ROUND(CAST(u.val AS DOUBLE), 4) AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding) AS val) u
+        ORDER BY vec_id, pos""")),
+
+    "q_json_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_int"),
+          to_json(struct(col("event_type"))).as("as_json"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               to_json(struct_pack(event_type)) AS as_json
+        FROM events ORDER BY event_id""")),
+
+    // Map functions: DuckDB's MAP literal/arrow representation diverges from
+    // Spark's — verified by MapFuncsSpec unit tests instead (rows-only here).
+    "q_map_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events").select(
+          col("event_id"),
+          map_from_arrays(
+            array(lit("v"), lit("v2")),
+            array(col("value"), col("value") * 2)).as("m"))
+          .select(
+            col("event_id"),
+            map_keys(col("m")).as("ks"),
+            map_values(col("m")).as("vs"),
+            element_at(col("m"), "v").as("v"))
+          .orderBy("event_id")))
+}

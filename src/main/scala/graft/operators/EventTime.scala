@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing in batch mode (SURVEY.md §2.4). The exact same
+  * `window()` / `session_window()` expressions run unchanged under
+  * Structured Streaming (see graft.streaming) — batch execution here is what
+  * makes them oracle-checkable. `events.ts` arrives ms-truncated NTZ from
+  * Tables (ns parquet; SURVEY §7.4 rule 4).
+  *
+  * Scale: tumbling/sliding aggregation is a hash agg keyed on
+  * (bucket, type) — partial aggregation means the pre-shuffle volume is
+  * bounded by |buckets × types| per task, not by event count. Session
+  * windows shuffle once by user_id; state per key is bounded by session
+  * count, and in streaming mode the watermark bounds it in time.
+  */
+object EventTime {
+
+  val qs: Map[String, Q] = Map(
+
+    "q_window_tumbling" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dec4(sum(dec2(col("value")))).as("total"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("w_start", "event_type"),
+      oracle = Some("""
+        SELECT time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS w_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+        FROM events GROUP BY w_start, event_type
+        ORDER BY w_start, event_type""")),
+
+    "q_window_sliding" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dec4(sum(dec2(col("value")))).as("total"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("w_start", "event_type"),
+      // Each event belongs to the 4 slide-aligned windows covering it:
+      // starts trunc15(ts) - k*15min, k = 0..3.
+      oracle = Some("""
+        SELECT w_start, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+        FROM (SELECT time_bucket(INTERVAL '15 minutes', date_trunc('milliseconds', ts))
+                       - (k * INTERVAL '15 minutes') AS w_start,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        GROUP BY w_start, event_type
+        ORDER BY w_start, event_type""")),
+
+    "q_session_window" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), dec4(sum(dec2(col("value")))).as("total"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n"), col("total"))
+          .orderBy("user_id", "session_start"),
+      // Gaps-and-islands equivalent: a gap >= 30min (or first event) starts
+      // a new session; Spark's session end is last event + gap.
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts, value FROM events),
+        flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")))
+}
