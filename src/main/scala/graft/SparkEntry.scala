@@ -19,7 +19,11 @@ object SparkEntry {
       operators.Windows.qs,
       operators.SetSort.qs,
       operators.EventTime.qs,
-      functions.Scalars.qs
+      functions.Scalars.qs,
+      llm.TextAnalysis.qs,
+      llm.Dedup.qs,
+      llm.Similarity.qs,
+      llm.Multimodal.qs
     ).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,188 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for training-data pipelines (SURVEY.md §2.5):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * 100 TB design: none of these cross-join the corpus. Candidate pairs come
+  * from key-partitioned self-joins on *blocking keys* (shingle, LSH band
+  * signature, simhash prefix, label block) — shuffle volume is
+  * O(docs × keys-per-doc), pairs are generated per-bucket, and skewed
+  * buckets (stop-shingles) are handled by AQE skew splitting. The exact
+  * Jaccard / Hamming / cosine re-check runs only on candidates.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .withColumn("nxt1", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .withColumn("nxt2", lead(col("w"), 2).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(col("nxt2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt1"), col("nxt2")).as("s"))
+      .distinct()
+
+  val qs: Map[String, Q] = Map(
+
+    // Exact dedup: survivor = min doc_id per identical text. Deliberately a
+    // rank window, NOT dropDuplicates (whose survivor is partition-order
+    // nondeterministic) — SURVEY §7.4 rule 5.
+    "q_dedup_exact" -> Q(
+      fn = (s, d) =>
+        docs(s, d)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs, exact: candidates share at
+    // least one shingle (blocking join), then J = |∩| / (|A|+|B|-|∩|) ≥ 0.05.
+    "q_dedup_ngram" -> Q(
+      fn = (s, d) => {
+        val sh = shingles(s, d).cache()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("da"), col("s"))
+        val b = sh.select(col("doc_id").as("db"), col("s"))
+        val shared = a.join(b, Seq("s")).filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+        shared
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .withColumn("jac", r4(col("c").cast(DoubleType) /
+            (col("na") + col("nb") - col("c"))))
+          .filter(col("jac") >= 0.05)
+          .select("da", "db", "jac")
+          .orderBy("da", "db")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da, db,
+               CAST(ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS DOUBLE) AS jac
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.05
+        ORDER BY da, db""")),
+
+    // MinHash (32 perms) + LSH (8 bands × 4 rows) candidate generation over
+    // 3-gram shingle sets (token sets don't discriminate in a small-vocab
+    // corpus), then exact shingle-set Jaccard re-check ≥ 0.3. Fixed hash
+    // family (xxhash64 of perm-index ++ shingle) — deterministic, but no SQL
+    // oracle (hash functions differ across engines): rows-only here,
+    // verified against brute-force Jaccard in DedupSpec.
+    "q_dedup_fuzzy" -> Q(
+      fn = (s, d) => {
+        val sets = shingles(s, d).groupBy("doc_id")
+          .agg(collect_set(col("s")).as("tokens"))
+        minHashDedup(sets, numHashes = 32, bands = 8, tau = 0.3)
+          .orderBy("da", "db")
+      }),
+
+    // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
+    // block on the top-16-bit prefix, pair within block when Hamming ≤ 12.
+    "q_dedup_simhash" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val sh = docs(s, d)
+          .select(col("doc_id"), VectorFunctions.simhash(toks).as("sh"))
+          .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+        val a = sh.select(col("bucket"), col("doc_id").as("da"), col("sh").as("ha"))
+        val b = sh.select(col("bucket"), col("doc_id").as("db"), col("sh").as("hb"))
+        a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("hamming") <= 12)
+          .select("da", "db", "hamming")
+          .orderBy("da", "db")
+      }),
+
+    // Embedding-cosine near-dup pairs, blocked by label (the corpus's
+    // cluster attribute): exact cosine ≥ 0.3 within block. At 100 TB the
+    // block key becomes an LSH signature (see Similarity.annTopK).
+    "q_dedup_embed" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("label"), col("vec_id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val a = e.select(col("label"), col("vec_id").as("va"), col("v").as("xa"))
+        val b = e.select(col("label"), col("vec_id").as("vb"), col("v").as("xb"))
+        a.join(b, Seq("label")).filter(col("va") < col("vb"))
+          .withColumn("cos", r4(VectorFunctions.cosineSim(col("xa"), col("xb"))))
+          .filter(col("cos") >= 0.3)
+          .select("label", "va", "vb", "cos")
+          .orderBy("label", "va", "vb")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+               CAST(ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+                 AS DOUBLE) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        ORDER BY a.label, va, vb""")))
+
+  /** MinHash+LSH near-dup detection, reusable operator.
+    *
+    * Input: (doc_id, tokens: array<string>) set rows. Signature:
+    * sig[i] = min over set elements of xxhash64(i, element),
+    * i < numHashes. Banding: `bands` bands of numHashes/bands rows; docs
+    * sharing any band signature become candidates (one shuffle keyed by
+    * (band, bandSig) — never a cross join). Candidates are re-checked with
+    * exact token-set Jaccard ≥ tau.
+    */
+  def minHashDedup(docSets: DataFrame, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docSets.select(col("doc_id"), col("tokens")).withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("tokens"), t => xxhash64(i, t)))))
+    val banded = withSig.select(
+      col("doc_id"), col("tokens"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))).as(Seq("band", "bsig")))
+    val a = banded.select(col("band"), col("bsig"),
+      col("doc_id").as("da"), col("tokens").as("ta"))
+    val b = banded.select(col("band"), col("bsig"),
+      col("doc_id").as("db"), col("tokens").as("tb"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "ta", "tb").distinct()
+      .withColumn("jac",
+        r4(size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
+           size(array_union(col("ta"), col("tb")))))
+      .filter(col("jac") >= tau)
+      .select("da", "db", "jac")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity search (SURVEY.md §2.5): brute-force cosine top-k as
+  * the exact baseline, and an LSH-bucketed (random-hyperplane) approximate
+  * variant as the scale path.
+  *
+  * 100 TB design: brute force broadcasts the (small) query set against the
+  * partitioned corpus — a map-side nested loop with no shuffle until the
+  * final per-query top-k (WindowGroupLimit keeps k rows per partition before
+  * the exchange). The ANN variant buckets both sides by a deterministic
+  * 8-bit hyperplane signature so each query only scans its bucket
+  * (~1/256th of the corpus per probe).
+  */
+object Similarity {
+
+  val qs: Map[String, Q] = Map(
+
+    // Exact top-5 cosine neighbors for query vectors (vec_id < 10), via the
+    // codegen'd CosineSimilarity expression; tie-break by vec_id.
+    "q_similarity_topk" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+          .withColumn("rnk", rank().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "cos", "rnk")
+          .orderBy("q_id", "rnk", "vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 CAST(ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4)
+                   AS DOUBLE) AS cos
+          FROM q JOIN e ON e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY q_id, rnk, vec_id""")),
+
+    // ANN: random-hyperplane LSH. Deterministic pseudo-planes — component j
+    // of plane p is a hash-derived value in [-1, 1] — give every vector an
+    // 8-bit signature; top-3 neighbors are searched within the same bucket
+    // only. Approximate by construction → rows-only (recall asserted vs
+    // brute force in SimilaritySpec).
+    "q_similarity_ann" -> Q(
+      fn = (s, d) => annTopK(s, Tables(s, d, "embeddings"), k = 3)
+        .orderBy("q_id", "rnk", "vec_id")))
+
+  /** 8-bit hyperplane signature + within-bucket exact cosine top-k. */
+  def annTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val planes = 8
+    // sign of Σ_j v[j] * plane(p, j), plane(p, j) ∈ [-1, 1] derived from
+    // xxhash64(p, j) — fixed across runs and engines.
+    def planeVal(p: Int) = transform(sequence(lit(0), lit(63)),
+      j => (xxhash64(lit(p), j) % 1000L).cast(DoubleType) / 1000.0)
+    val sigBits = (0 until planes).map { p =>
+      when(aggregate(zip_with(col("v"), planeVal(p), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .withColumn("bucket", sigBits)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos", "rnk")
+  }
+}

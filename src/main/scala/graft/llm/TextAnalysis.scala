@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.5 +
+  * north-star): token statistics, corpus stats, quality scoring, language
+  * ID heuristic, document fingerprinting. All pure column expressions —
+  * whole-stage codegen, no UDFs, embarrassingly parallel at 100 TB (the only
+  * shuffles are the final group-bys on low-cardinality keys).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("a", "key", "value", "row", "data")
+
+  /** Marker-token sets per language for the langid heuristic. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("table", "join", "query"),
+    "de" -> Seq("spark", "hash", "merge"),
+    "es" -> Seq("scan", "fast", "slow"),
+    "fr" -> Seq("agg", "window", "batch"),
+    "zh" -> Seq("line", "order", "part"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def markerScore(words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Deterministic argmax over marker scores, ties broken by declaration
+    * order (en > de > es > fr > zh) — identical CASE chain in the oracle. */
+  private def predictedLang: Column = {
+    val scored = markers.map { case (lang, words) => (lang, markerScore(words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best, lang).otherwise(acc)
+    }
+  }
+
+  private def langCaseSql: String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(string_split(text,' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val scores = markers.map { case (l, ws) => l -> score(ws) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scores.reverse.foldLeft("'und'") { case (acc, (lang, sc)) =>
+      s"CASE WHEN $sc = best THEN '$lang' ELSE $acc END"
+    }.replace("best", best)
+  }
+
+  val qs: Map[String, Q] = Map(
+
+    "q_text_tokens" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+          .orderBy(col("df").desc, col("tf").desc, col("token").asc)
+          .limit(100),
+      oracle = Some("""
+        SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY df DESC, tf DESC, token ASC LIMIT 100""")),
+
+    "q_text_stats" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            r4(avg(col("n_chars"))).as("avg_chars"),
+            r4(avg(size(toks))).as("avg_tokens"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang"),
+      oracle = Some("""
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+               CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
+               CAST(ROUND(AVG(len(string_split(text, ' '))), 4) AS DOUBLE) AS avg_tokens,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    "q_text_quality" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("text_len"),
+          r4(length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
+             greatest(length(col("text")), lit(1))).as("space_ratio"),
+          r4(size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) /
+             greatest(size(toks), lit(1))).as("stopword_ratio"),
+          r4((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+            .cast(DoubleType) / greatest(length(col("text")), lit(1))).as("vowel_ratio"),
+          r4(size(array_distinct(toks)).cast(DoubleType) /
+             greatest(size(toks), lit(1))).as("distinct_ratio"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS text_len,
+               CAST(ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1), 4) AS DOUBLE) AS space_ratio,
+               CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1), 4) AS DOUBLE) AS stopword_ratio,
+               CAST(ROUND(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1), 4) AS DOUBLE) AS vowel_ratio,
+               CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1), 4) AS DOUBLE) AS distinct_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    "q_text_langid" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), predictedLang.as("predicted"))
+          .withColumn("hit", (col("predicted") === col("lang")).cast(IntegerType))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, lang, predicted,
+               CAST(predicted = lang AS INT) AS hit
+        FROM (SELECT doc_id, lang, $langCaseSql AS predicted FROM documents)
+        ORDER BY doc_id""")),
+
+    "q_text_fingerprint" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          md5(to_binary(
+            regexp_replace(lower(col("text")), " +", " "), lit("utf-8"))).as("fp"),
+          substring(md5(to_binary(col("text"), lit("utf-8"))), 1, 8).as("fp_short"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+               substr(md5(text), 1, 8) AS fp_short
+        FROM documents ORDER BY doc_id""")))
+}
