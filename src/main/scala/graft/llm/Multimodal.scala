@@ -50,7 +50,7 @@ object Multimodal {
       .withColumn("chunk_idx",
         filter(sequence(lit(0), col("n_chunks") - 1), i => i % stride === 0))
       .select(col("id"), posexplode(col("chunk_idx")).as(Seq("pos", "idx")))
-      .select(col("id"), col("idx"))
+      .select(col("id"), col("idx").cast(LongType).as("idx"))
 
   val qs: Map[String, Q] = Map(
     // Binary-column round trip over a payload synthesized from documents

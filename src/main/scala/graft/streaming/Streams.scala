@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators (SURVEY.md §2.4 ◻ rows). Each transform
+  * takes a DataFrame so the SAME code runs over `spark.readStream` sources
+  * and over `MemoryStream` in tests; the batch twins in
+  * `graft.operators.EventTime` are the oracle-checkable versions of the
+  * windowed aggregations.
+  *
+  * Scale: state stores are keyed by (window/event_id/user) and bounded by
+  * the watermark — late state is evicted, so executor memory is
+  * O(active keys), not O(stream history).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Tumbling-window counts with a watermark: events later than 10 minutes
+    * behind the max seen ts are dropped (append output emits only closed
+    * windows). */
+  def tumblingWithWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Stateful dedup on event_id, bounded in time by the watermark
+    * (built-in `dropDuplicatesWithinWatermark`, Spark ≥3.5). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful processing: per-user running (count, sum) emitted on
+    * every update — the `flatMapGroupsWithState` shape used for custom
+    * session enrichment. */
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

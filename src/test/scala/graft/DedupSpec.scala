@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash+LSH vs brute-force shingle-set Jaccard on sf0.001:
+  * every reported pair must truly have J ≥ τ (precision 100% — the exact
+  * re-check guarantees it) and high-similarity pairs (J ≥ 0.8) must be
+  * recalled (8 bands × 4 rows ⇒ P[detect J=0.8] ≈ 1 - (1-0.8^4)^8 ≈ 0.99). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def shingleSets = {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .withColumn("n1", lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("n2", lead(col("w"), 2).over(Window.partitionBy("doc_id").orderBy("i")))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("n1"), col("n2")).as("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("tokens"))
+  }
+
+  private lazy val bruteForce: Map[(Long, Long), Double] = {
+    val sets = shingleSets.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (for {
+      (a, sa) <- sets.toSeq
+      (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      if inter > 0
+      j = inter.toDouble / (sa | sb).size
+    } yield (a, b) -> j).toMap
+  }
+
+  private lazy val lsh: Map[(Long, Long), Double] =
+    Dedup.minHashDedup(shingleSets, numHashes = 32, bands = 8, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("precision: every reported pair truly has J >= 0.3") {
+    lsh.foreach { case (pair, j) =>
+      val truth = bruteForce.getOrElse(pair, 0.0)
+      assert(truth >= 0.3, s"pair $pair reported j=$j but true j=$truth")
+      assert(math.abs(truth - j) < 1e-3)
+    }
+  }
+
+  test("recall: all J >= 0.8 pairs are found") {
+    val strong = bruteForce.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "corpus should contain planted near-dups")
+    val missed = strong -- lsh.keySet
+    assert(missed.isEmpty, s"missed strong pairs: $missed")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("q_dedup_exact")(spark, TestSpark.sf)
+    assert(once.count() == once.distinct().count())
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Flagship
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Top-N-per-group invariants (SURVEY.md §5.3): ≤ n rows per group, ranks
+  * contiguous from 1, kept metric ≥ dropped metric per group under the
+  * tie-broken order. */
+class FlagshipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val out =
+    SparkEntry.queries("q_topn_flagship")(spark, TestSpark.sf).collect()
+
+  test("at most 3 per region, ranks start at 1 and are contiguous") {
+    val perGroup = out.groupBy(_.getString(0))
+    perGroup.foreach { case (region, rows) =>
+      assert(rows.length <= 3, s"region $region has ${rows.length} rows")
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.head == 1L)
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
+  test("metric is non-increasing with rank within each group") {
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDecimal(2))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.compareTo(b) >= 0)
+        case _ =>
+      }
+    }
+  }
+
+  test("topNPerGroup honors the configured n") {
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+    val top1 = Flagship.topNPerGroup(li, Seq("l_returnflag"), Seq("l_partkey"),
+      Q.dec2(col("l_quantity")), 1)
+    val counts = top1.groupBy("l_returnflag").count().collect()
+    assert(counts.forall(_.getLong(1) == 1L))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming semantics with MemoryStream (SURVEY.md §2.4 ◻ rows):
+  * watermark late-data drop, stateful dedup, arbitrary state. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String)(feed: => Unit): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+  }
+
+  test("watermark drops late rows from appended windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.tumblingWithWatermark(mem.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wmk")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in hour 0 and hour 1; watermark advances past hour 0
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(130), 1, "click", 1.0)) // advances watermark to 2:10-10m = 2:00
+      q.processAllAvailable()
+      // hour-0 window [0:00,1:00) closed (watermark 2:00 > 1:00) → emitted
+      mem.addData(Event(4, ts(20), 1, "click", 100.0)) // LATE: inside closed hour-0
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(200), 1, "click", 1.0)) // close hour-2 window too
+      q.processAllAvailable()
+      val rows = spark.table("wmk").collect()
+      val hour0 = rows.filter(_.getAs[Timestamp]("w_start") == ts(0))
+      assert(hour0.length == 1)
+      assert(hour0.head.getAs[Long]("n") == 2L) // late event 4 NOT counted
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.dedupWithinWatermark(mem.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // dup id within watermark
+        Event(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").distinct().count() == 2)
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.runningPerUser(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 2.0), Event(2, ts(1), 7, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 7, "click", 5.0))
+      q.processAllAvailable()
+      val states = spark.table("running").as[Streams.UserRunning]
+        .collect().sortBy(_.n_events)
+      assert(states.last.n_events == 3L)
+      assert(math.abs(states.last.total - 10.0) < 1e-9)
+    } finally q.stop()
+  }
+}

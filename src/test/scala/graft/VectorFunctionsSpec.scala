@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_similarity matches a hand-computed value and handles zero vectors") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 2.0), Array(2.0, 4.0), 1.0),
+      (Array(1.0, 1.0), Array(1.0, -1.0), 0.0),
+      (Array(0.0, 0.0), Array(1.0, 1.0), 0.0) // zero vector → defined 0
+    ).toDF("a", "b", "expected")
+    val got = df.select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("cos"), col("expected"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine approx_count agreement between codegen and interpreted paths") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (Array.tabulate(16)(j => (i * 31 + j * 7 % 13).toDouble),
+       Array.tabulate(16)(j => (i * 17 + j * 3 % 11).toDouble))).toDF("a", "b")
+    // wholestage on vs off must agree bit-for-bit
+    val on = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.sameElements(off))
+  }
+
+  test("simhash: near-duplicate token lists have smaller hamming distance than unrelated") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val a = Seq.tabulate(40)(i => s"tok$i")
+    val near = a.updated(3, "changed")
+    val far = Seq.tabulate(40)(i => s"other$i")
+    val df = Seq((a, near, far)).toDF("a", "near", "far")
+    val r = df.select(
+      bit_count(VectorFunctions.simhash(col("a"))
+        .bitwiseXOR(VectorFunctions.simhash(col("near")))).as("d_near"),
+      bit_count(VectorFunctions.simhash(col("a"))
+        .bitwiseXOR(VectorFunctions.simhash(col("far")))).as("d_far"))
+      .head()
+    assert(r.getInt(0) < r.getInt(1))
+    assert(r.getInt(0) <= 12)
+  }
+
+  test("approx_count_distinct within rsd bound of exact") {
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
