@@ -102,6 +102,75 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** MinHash signature of a string array: sig[i] = min over elements of
+    * XXH64(element bytes, seed = i), i < numHashes. One tight JVM loop per
+    * row — the equivalent nested higher-order-function formulation
+    * (`transform(sequence(...), i -> array_min(transform(tokens, t ->
+    * xxhash64(i, t))))`) is interpreted per element and measures ~20×
+    * slower at sf0.1.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          var k = 0
+          while (k < numHashes) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, k.toLong)
+            if (h < sig(k)) sig(k) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct n-gram shingle set of a token array, one tight loop per row.
+    * The higher-order-function equivalent (`array_distinct(transform(
+    * sequence(...), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))`) is
+    * interpreted per element and measures ~1ms/document at 50 tokens.
+    */
+  case class ShingleSet(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_set"
+
+    private val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + n <= len) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   object SimHash64 {
     def fnv1a64(s: UTF8String): Long = {
       val bytes = s.getBytes
@@ -123,8 +192,20 @@ object VectorFunctions {
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_set",
+      exprs => ShingleSet(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
   def simhash(tokens: Column): Column = call_function("simhash64", tokens)
+  def minhashSig(tokens: Column, numHashes: Int): Column =
+    call_function("minhash_signature", tokens, org.apache.spark.sql.functions.lit(numHashes))
+  def shingleSet(tokens: Column, n: Int): Column =
+    call_function("shingle_set", tokens, org.apache.spark.sql.functions.lit(n))
 }

@@ -23,17 +23,33 @@ object Dedup {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct 3-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct 3-gram shingle ARRAY per doc, built in-row with a transform
+    * over token indices — no window, no shuffle (the windowed-lead
+    * formulation costs a doc_id shuffle + sort before any dedup work
+    * starts; this is pure map-side).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleSet(toks, 3).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+  }
+
+  /** Exploded distinct (doc_id, shingle) rows for the blocking join.
+    * Explodes a cheap integer index sequence and builds each shingle on the
+    * generated row — exploding the prebuilt shingle array re-evaluates the
+    * array expression per output row (measured ~16× slower).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
-      .withColumn("nxt1", lead(col("w"), 1).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
-      .withColumn("nxt2", lead(col("w"), 2).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
-      .filter(col("nxt2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt1"), col("nxt2")).as("s"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2)).as("s"))
       .distinct()
 
   val qs: Map[String, Q] = Map(
@@ -60,7 +76,8 @@ object Dedup {
     // least one shingle (blocking join), then J = |∩| / (|A|+|B|-|∩|) ≥ 0.05.
     "q_dedup_ngram" -> Q(
       fn = (s, d) => {
-        val sh = shingles(s, d).cache()
+        // Barrier: three consumers (two join branches + sizes agg).
+        val sh = shingles(s, d).localCheckpoint()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val a = sh.select(col("doc_id").as("da"), col("s"))
         val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -102,12 +119,9 @@ object Dedup {
     // oracle (hash functions differ across engines): rows-only here,
     // verified against brute-force Jaccard in DedupSpec.
     "q_dedup_fuzzy" -> Q(
-      fn = (s, d) => {
-        val sets = shingles(s, d).groupBy("doc_id")
-          .agg(collect_set(col("s")).as("tokens"))
-        minHashDedup(sets, numHashes = 32, bands = 8, tau = 0.3)
-          .orderBy("da", "db")
-      }),
+      fn = (s, d) =>
+        minHashDedup(shingleSets(s, d), numHashes = 32, bands = 8, tau = 0.3)
+          .orderBy("da", "db")),
 
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // block on the top-16-bit prefix, pair within block when Hamming ≤ 12.
@@ -157,32 +171,51 @@ object Dedup {
   /** MinHash+LSH near-dup detection, reusable operator.
     *
     * Input: (doc_id, tokens: array<string>) set rows. Signature:
-    * sig[i] = min over set elements of xxhash64(i, element),
+    * sig[i] = min over set elements of XXH64(element, seed=i),
     * i < numHashes. Banding: `bands` bands of numHashes/bands rows; docs
     * sharing any band signature become candidates (one shuffle keyed by
     * (band, bandSig) — never a cross join). Candidates are re-checked with
     * exact token-set Jaccard ≥ tau.
     */
   def minHashDedup(docSets: DataFrame, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(docSets.sparkSession)
     val rowsPerBand = numHashes / bands
+    // Materialization barrier directly after signature construction: the
+    // band Generate and both self-join branches would otherwise re-evaluate
+    // it per consumer (and per generated row). 5000 narrow rows here vs 8×
+    // that post-explode. (Cluster scale: persist(DISK_ONLY).)
     val withSig = docSets.select(col("doc_id"), col("tokens")).withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("tokens"), t => xxhash64(i, t)))))
+      graft.functions.VectorFunctions.minhashSig(col("tokens"), numHashes))
+      .localCheckpoint()
+    // One explicit shuffle on the band key: both self-join branches reuse
+    // this exchange (signature computation runs once, and the join needs no
+    // further exchange).
     val banded = withSig.select(
       col("doc_id"), col("tokens"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))).as(Seq("band", "bsig")))
-    val a = banded.select(col("band"), col("bsig"),
-      col("doc_id").as("da"), col("tokens").as("ta"))
-    val b = banded.select(col("band"), col("bsig"),
-      col("doc_id").as("db"), col("tokens").as("tb"))
-    a.join(b, Seq("band", "bsig"))
-      .filter(col("da") < col("db"))
-      .select("da", "db", "ta", "tb").distinct()
+
+    // ONE exchange keyed by (band, bandSig); in-bucket pair expansion via an
+    // indexed-lambda combination explode (no self-join, no second shuffle of
+    // the token arrays). Buckets of size 1 — the overwhelming majority —
+    // are dropped before any pair work; least/greatest orient each pair as
+    // (da < db) deterministically.
+    val buckets = banded
+      .groupBy("band", "bsig")
+      .agg(collect_list(struct(col("doc_id"), col("tokens"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("da"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("db"),
+        col("p.a.tokens").as("ta"), col("p.b.tokens").as("tb"))
       .withColumn("jac",
         r4(size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
            size(array_union(col("ta"), col("tb")))))
       .filter(col("jac") >= tau)
-      .select("da", "db", "jac")
+      .select("da", "db", "jac").distinct()
   }
 }
