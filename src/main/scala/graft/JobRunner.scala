@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Flagship
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's batch entry mode, completed (its body is an empty slot:
+  * reference `src/main/job_runner.py:1-7` holds only the config loader, and
+  * the transform module `src/transform/top3_logic.py` is 0 bytes).
+  *
+  * Lifecycle (reference E1): load `config_{env}.yaml` → build session →
+  * read `input.path` → top-N-per-group on the configured
+  * (group_by_column, target_metric, top_n) → write `output.path`.
+  * Environment detection (reference `spark_helper.py:52-56`) reduces to an
+  * env-var check; the AWS Glue wrapper is out of scope (proprietary).
+  */
+object JobRunner {
+
+  def detectEnvironment(): String =
+    if (sys.env.getOrElse("AWS_EXECUTION_ENV", "").toLowerCase.contains("glue")) "glue"
+    else "local"
+
+  /** Run the configured top-N job on an already-loaded input: group by
+    * `groupByColumn`, rank entities (every non-group, non-metric column) by
+    * sum(`targetMetric`), keep `topN`. */
+  def run(input: DataFrame, cfg: Engine.JobConfig): DataFrame = {
+    val entityCols = input.columns.toSeq
+      .filterNot(c => c == cfg.groupByColumn || c == cfg.targetMetric)
+    Flagship.topNPerGroup(
+      input,
+      groupCols = Seq(cfg.groupByColumn),
+      entityCols = entityCols,
+      metric = Q.dec2(col(cfg.targetMetric)),
+      n = cfg.topN)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val env = args.headOption.getOrElse("dev")
+    val configPath = args.lift(1).getOrElse(s"config/config_$env.yaml")
+    val cfg = Engine.parseConfig(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(configPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val spark = Engine.session(appName = s"graft-job-$env")
+    try {
+      val input = spark.read.parquet(cfg.inputPath)
+      run(input, cfg).write.mode("overwrite").parquet(cfg.outputPath)
+    } finally spark.stop()
+  }
+}
