@@ -64,7 +64,59 @@ object Similarity {
     // brute force in SimilaritySpec).
     "q_similarity_ann" -> Q(
       fn = (s, d) => annTopK(s, Tables(s, d, "embeddings"), k = 3)
+        .orderBy("q_id", "rnk", "vec_id")),
+
+    // IVF: coarse-quantize every vector to its nearest centroid cell; each
+    // query probes only its `nprobe` closest cells. Approximate → rows-only
+    // (SimilaritySpec asserts the probed-cell scan is exact and reports
+    // recall vs brute force).
+    "q_similarity_ivf" -> Q(
+      fn = (s, d) => ivfTopK(s, Tables(s, d, "embeddings"), k = 3,
+          nlist = 16, nprobe = 4)
         .orderBy("q_id", "rnk", "vec_id")))
+
+  /** IVF-style ANN: a deterministic coarse quantizer (here: the first
+    * `nlist` vectors as the codebook; on a real corpus a KMeans-trained
+    * codebook, still tiny and broadcast) assigns every vector to its
+    * highest-cosine cell. A query probes its `nprobe` closest cells and
+    * runs exact cosine top-k inside them — scanning ~nprobe/nlist of the
+    * corpus. Centroid assignment is a broadcast nested-loop against the
+    * codebook (no shuffle of the corpus); the probe join shuffles only by
+    * cell id.
+    */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val codebook = broadcast(e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+
+    def nearestCells(points: DataFrame, idCol: String, vecCol: String, n: Int) =
+      points.crossJoin(codebook)
+        .withColumn("__ccos", VectorFunctions.cosineSim(col(vecCol), col("cv")))
+        .withColumn("__crnk", rank().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("__ccos").desc, col("cent_id").asc)))
+        .filter(col("__crnk") <= n)
+        .drop("cv", "__ccos", "__crnk")
+
+    val assigned = nearestCells(e, "vec_id", "v", 1)
+    val queries = nearestCells(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      "q_id", "qv", nprobe)
+      .select(col("cent_id"), col("q_id"), col("qv"))
+
+    assigned.join(queries, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos", "rnk")
+  }
 
   /** 8-bit hyperplane signature + within-bucket exact cosine top-k. */
   def annTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {

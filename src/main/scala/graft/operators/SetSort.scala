@@ -75,6 +75,45 @@ object SetSort {
         SELECT s_nationkey AS nationkey FROM supplier
         ORDER BY nationkey""")),
 
+    "q_intersect_all" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersectAll(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    "q_except_all" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .exceptAll(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // Pivot: per-priority totals spread over the (fixed) status domain.
+    // The explicit value list keeps the plan a single pass (no distinct-
+    // collect on the driver) — the right call at scale too.
+    "q_pivot" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(dec4(sum(dec2(col("o_totalprice")))))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Correlated scalar subquery (Catalyst decorrelates it into a join with
     // a per-key aggregate — no per-row re-execution) + IN subquery.
     // Identical SQL text runs on both engines.

@@ -36,4 +36,16 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed + sorted table write: both sides of a co-located join
+    * bucketed by the join key read shuffle-free (no Exchange in the plan) —
+    * the pre-partitioning answer for repeated fact-fact joins at 100 TB.
+    * Bucketing requires the table catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, bucketBy: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketBy)
+      .sortBy(bucketBy)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN variants vs exact brute force: the probed subset must be scanned
+  * exactly, and recall is reported against the exact top-k. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val exact: Map[Long, Seq[Long]] =
+    SparkEntry.queries("q_similarity_topk")(spark, TestSpark.sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq.take(3) }
+
+  test("ivf: reported neighbors are exact within the probed cells") {
+    val e = Tables(spark, TestSpark.sf, "embeddings")
+    val ivf = Similarity.ivfTopK(spark, e, k = 3, nlist = 16, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+
+    // cosine within each query's result must be non-increasing, ranks 1..k
+    ivf.foreach { case (q, rows) =>
+      assert(rows.size <= 3)
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 >= b._2, s"query $q not sorted")
+        case _ =>
+      }
+    }
+  }
+
+  test("ivf and lsh recall vs exact top-3") {
+    val e = Tables(spark, TestSpark.sf, "embeddings")
+    def recall(got: Map[Long, Seq[Long]]): Double = {
+      val hits = exact.map { case (q, top) =>
+        (top.toSet intersect got.getOrElse(q, Nil).toSet).size.toDouble / top.size
+      }
+      hits.sum / hits.size
+    }
+    val ivf = Similarity.ivfTopK(spark, e, 3, 16, 4).collect()
+      .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSeq }
+    val lsh = Similarity.annTopK(spark, e, 3).collect()
+      .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSeq }
+    val (rIvf, rLsh) = (recall(ivf), recall(lsh))
+    info(f"IVF recall@3 = $rIvf%.2f, LSH recall@3 = $rLsh%.2f")
+    assert(rIvf > 0.0)
+    // both must return ≤ k results per present query
+    assert(ivf.values.forall(_.size <= 3) && lsh.values.forall(_.size <= 3))
+  }
+
+  test("brute-force top-k matches a driver-side computation") {
+    VectorFunctions.register(spark)
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q0, v) }
+      .sortBy { case (id, c) => (-math.rint(c * 10000) / 10000, id) }
+      .take(5).map(_._1)
+    val got = exact // from q_similarity_topk (top 3 of query 0)
+    assert(got(0L) == expected.take(3))
+  }
+}
