@@ -171,6 +171,32 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 64-bit polynomial rolling hash over a token array: h = Σ fnv(tok_i) ·
+    * B^(n-1-i) mod 2^64 (B = 1000003). Order-sensitive (unlike simhash) —
+    * a document fingerprint for exact-sequence dedup that streams in one
+    * pass and composes incrementally at 100 TB (hash of concat =
+    * combine(hash, hash, len)).
+    */
+  case class RollingHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash64"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      var h = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        val t = if (arr.isNullAt(i)) 0L else SimHash64.fnv1a64(arr.getUTF8String(i))
+        h = h * 1000003L + t
+        i += 1
+      }
+      h
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   object SimHash64 {
     def fnv1a64(s: UTF8String): Long = {
       val bytes = s.getBytes
@@ -200,6 +226,8 @@ object VectorFunctions {
       "shingle_set",
       exprs => ShingleSet(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash64", exprs => RollingHash64(exprs.head), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
@@ -208,4 +236,5 @@ object VectorFunctions {
     call_function("minhash_signature", tokens, org.apache.spark.sql.functions.lit(numHashes))
   def shingleSet(tokens: Column, n: Int): Column =
     call_function("shingle_set", tokens, org.apache.spark.sql.functions.lit(n))
+  def rollingHash(tokens: Column): Column = call_function("rolling_hash64", tokens)
 }

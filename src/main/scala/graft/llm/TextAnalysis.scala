@@ -126,6 +126,23 @@ object TextAnalysis {
         FROM (SELECT doc_id, lang, $langCaseSql AS predicted FROM documents)
         ORDER BY doc_id""")),
 
+    // Token counting two ways: whitespace tokens and a BPE-ish regex
+    // lexer (word / number / punctuation runs — no lookarounds, so the
+    // same pattern behaves identically under Java regex and RE2).
+    "q_text_token_count" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
     "q_text_fingerprint" -> Q(
       fn = (s, d) =>
         Tables(s, d, "documents").select(
