@@ -197,6 +197,38 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 8-bit random-hyperplane LSH signature of a double vector: bit p is the
+    * sign of the dot product with pseudo-plane p, whose component j is a
+    * hash-derived value in [-1, 1] (deterministic across runs — no stored
+    * codebook needed). One loop per row; the higher-order-function
+    * formulation (zip_with + aggregate per plane) is interpreted. */
+  case class HyperplaneSig(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_sig"
+
+    private def planeVal(p: Int, j: Int): Double =
+      (org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(p.toLong * 131L + j, 42L) % 1000L) / 1000.0
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += arr.getDouble(j) * planeVal(p, j); j += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   object SimHash64 {
     def fnv1a64(s: UTF8String): Long = {
       val bytes = s.getBytes
@@ -228,6 +260,10 @@ object VectorFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig",
+      exprs => HyperplaneSig(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
@@ -237,4 +273,6 @@ object VectorFunctions {
   def shingleSet(tokens: Column, n: Int): Column =
     call_function("shingle_set", tokens, org.apache.spark.sql.functions.lit(n))
   def rollingHash(tokens: Column): Column = call_function("rolling_hash64", tokens)
+  def hyperplaneSig(v: Column, planes: Int): Column =
+    call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))
 }

@@ -118,22 +118,13 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rnk")
   }
 
-  /** 8-bit hyperplane signature + within-bucket exact cosine top-k. */
+  /** 8-bit hyperplane signature (native expression — the HOF formulation
+    * is interpreted per element) + within-bucket exact cosine top-k. */
   def annTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     VectorFunctions.register(spark)
-    val planes = 8
-    // sign of Σ_j v[j] * plane(p, j), plane(p, j) ∈ [-1, 1] derived from
-    // xxhash64(p, j) — fixed across runs and engines.
-    def planeVal(p: Int) = transform(sequence(lit(0), lit(63)),
-      j => (xxhash64(lit(p), j) % 1000L).cast(DoubleType) / 1000.0)
-    val sigBits = (0 until planes).map { p =>
-      when(aggregate(zip_with(col("v"), planeVal(p), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
     val e = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
-      .withColumn("bucket", sigBits)
+      .withColumn("bucket", VectorFunctions.hyperplaneSig(col("v"), 8))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
     e.join(queries, Seq("bucket"))
