@@ -112,6 +112,38 @@ object Aggregates {
                COUNT(*) AS n
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Interpolated percentiles (Spark `percentile` == DuckDB quantile_cont
+    // linear interpolation) + exact median.
+    "q_agg_percentile" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+            r4(expr("percentile(l_quantity, 0.25)")).as("p25"),
+            r4(expr("percentile(l_quantity, 0.75)")).as("p75"),
+            r4(expr("median(l_quantity)")).as("med"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50,
+               CAST(ROUND(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS p25,
+               CAST(ROUND(quantile_cont(l_quantity, 0.75), 4) AS DOUBLE) AS p75,
+               CAST(ROUND(median(l_quantity), 4) AS DOUBLE) AS med
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // String aggregation with deterministic element order.
+    "q_agg_stringagg" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(concat_ws(",",
+            array_sort(collect_list(col("o_orderstatus")))).as("statuses"))
+          .orderBy("o_custkey"),
+      oracle = Some("""
+        SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
     "q_rollup" -> Q(
       fn = (s, d) =>
         Tables(s, d, "orders")

@@ -114,6 +114,27 @@ object SetSort {
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
+    // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.
+    "q_unpivot" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "part")
+          .select(col("p_partkey"),
+            col("p_size").cast(org.apache.spark.sql.types.DoubleType).as("p_size"),
+            col("p_retailprice"))
+          .unpivot(
+            ids = Array(col("p_partkey")),
+            values = Array(col("p_size"), col("p_retailprice")),
+            variableColumnName = "attr",
+            valueColumnName = "val")
+          .orderBy("p_partkey", "attr"),
+      oracle = Some("""
+        SELECT p_partkey, attr, val FROM (
+          SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+          UNION ALL
+          SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+        ORDER BY p_partkey, attr""")),
+
     // Correlated scalar subquery (Catalyst decorrelates it into a join with
     // a per-key aggregate — no per-row re-execution) + IN subquery.
     // Identical SQL text runs on both engines.
