@@ -67,6 +67,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window works unchanged under streaming (same expr as batch q_session_window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[Event]
+    val out = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"), col("n"))
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(50), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(300), 1, "click", 1.0)) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2))).sortBy(_._1.getTime)
+      assert(rows.length >= 2)
+      assert(rows.head == ((ts(0), 2L)))  // merged session of events 1+2
+      assert(rows(1) == ((ts(50), 1L)))   // gap >= 30min → new session
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
