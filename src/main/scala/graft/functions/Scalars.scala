@@ -20,7 +20,7 @@ object Scalars {
           col("p_partkey"),
           upper(col("p_name")).as("up"),
           lower(col("p_type")).as("lo"),
-          length(col("p_name")).as("len"),
+          length(col("p_name")).cast(LongType).as("len"),
           substring(col("p_name"), 1, 5).as("sub"),
           trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
           ltrim(concat(lit("  "), col("p_name"))).as("ltrimmed"),
@@ -33,7 +33,7 @@ object Scalars {
           split(col("p_name"), " ").as("tokens"),
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
           regexp_replace(col("p_type"), "[AEIOU]", "#").as("devoweled"),
-          instr(col("p_name"), "a").as("a_pos"),
+          instr(col("p_name"), "a").cast(LongType).as("a_pos"),
           reverse(col("p_name")).as("rev"))
           .orderBy("p_partkey"),
       oracle = Some("""
@@ -59,14 +59,14 @@ object Scalars {
       fn = (s, d) =>
         Tables(s, d, "orders").select(
           col("o_orderkey"),
-          year(col("o_orderdate")).as("y"),
-          quarter(col("o_orderdate")).as("q"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("dom"),
-          dayofweek(col("o_orderdate")).as("dow"), // 1 = Sunday
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow"), // 1 = Sunday
           // date_trunc coerces NTZ→LTZ; cast back (UTC session ⇒ same wall time)
           date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
-          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("days_since"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since"),
           date_add(col("o_orderdate"), 30).as("plus30"),
           add_months(col("o_orderdate"), 2).as("plus2m"),
           last_day(col("o_orderdate")).as("eom"),
@@ -178,7 +178,7 @@ object Scalars {
       fn = (s, d) =>
         Tables(s, d, "embeddings").select(
           col("vec_id"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast(LongType).as("dim"),
           r4(element_at(col("embedding"), 1).cast(DoubleType)).as("first_val"),
           transform(slice(col("embedding"), 1, 3),
             x => round(x.cast(DoubleType) * 2, 4)).as("head3_x2"),
@@ -204,7 +204,7 @@ object Scalars {
       fn = (s, d) =>
         Tables(s, d, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
-          .select(col("vec_id"), col("pos"), r4(col("val").cast(DoubleType)).as("val"))
+          .select(col("vec_id"), col("pos").cast(LongType).as("pos"), r4(col("val").cast(DoubleType)).as("val"))
           .orderBy("vec_id", "pos"),
       oracle = Some("""
         SELECT vec_id, u.pos - 1 AS pos,

@@ -64,7 +64,7 @@ object Multimodal {
             struct(lit("text/plain").as("mime"), col("n_chars").as("n")).as("meta"))
           .select(
             col("doc_id"),
-            octet_length(col("payload")).as("n_bytes"),
+            octet_length(col("payload")).cast(LongType).as("n_bytes"),
             md5(col("payload")).as("digest"),
             col("meta.mime").as("mime"))
           .orderBy("doc_id"),

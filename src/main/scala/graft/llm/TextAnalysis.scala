@@ -88,8 +88,8 @@ object TextAnalysis {
       fn = (s, d) =>
         Tables(s, d, "documents").select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          length(col("text")).as("text_len"),
+          size(toks).cast(LongType).as("n_tokens"),
+          length(col("text")).cast(LongType).as("text_len"),
           r4(length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
              greatest(length(col("text")), lit(1))).as("space_ratio"),
           r4(size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) /
@@ -118,11 +118,11 @@ object TextAnalysis {
       fn = (s, d) =>
         Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), predictedLang.as("predicted"))
-          .withColumn("hit", (col("predicted") === col("lang")).cast(IntegerType))
+          .withColumn("hit", (col("predicted") === col("lang")).cast(LongType))
           .orderBy("doc_id"),
       oracle = Some(s"""
         SELECT doc_id, lang, predicted,
-               CAST(predicted = lang AS INT) AS hit
+               CAST(predicted = lang AS BIGINT) AS hit
         FROM (SELECT doc_id, lang, $langCaseSql AS predicted FROM documents)
         ORDER BY doc_id""")),
 
@@ -133,9 +133,9 @@ object TextAnalysis {
       fn = (s, d) =>
         Tables(s, d, "documents").select(
           col("doc_id"),
-          size(toks).as("ws_tokens"),
+          size(toks).cast(LongType).as("ws_tokens"),
           size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"))
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType).as("bpe_tokens"))
           .orderBy("doc_id"),
       oracle = Some("""
         SELECT doc_id,
