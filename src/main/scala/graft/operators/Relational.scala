@@ -194,6 +194,26 @@ object Relational {
          AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
         ORDER BY o_orderkey, l_linenumber, l_shipdate""")),
 
+    // Null-safe equi join: <=> matches null keys to each other (standard
+    // equi join drops them). Nulls derived via nullif on a low-cardinality
+    // column; aggregated so the output is compact.
+    "q_join_nullsafe" -> Q(
+      fn = (s, d) => {
+        val o1 = ord(s, d).select(nullif(col("o_orderstatus"), lit("P")).as("k"))
+        val o2 = ord(s, d).select(nullif(col("o_orderstatus"), lit("P")).as("k2"))
+          .groupBy("k2").agg(count(lit(1)).as("n2"))
+        o1.join(o2, col("k") <=> col("k2"))
+          .groupBy("k").agg(count(lit(1)).as("n"), max(col("n2")).as("n2"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH o1 AS (SELECT nullif(o_orderstatus, 'P') AS k FROM orders),
+             o2 AS (SELECT nullif(o_orderstatus, 'P') AS k2, COUNT(*) AS n2
+                    FROM orders GROUP BY 1)
+        SELECT k, COUNT(*) AS n, MAX(n2) AS n2
+        FROM o1 JOIN o2 ON k IS NOT DISTINCT FROM k2
+        GROUP BY k ORDER BY k ASC NULLS FIRST""")),
+
     "q_join_asof" -> Q(
       fn = (s, d) => {
         val ev = Tables(s, d, "events") // ts already ms-truncated NTZ

@@ -56,6 +56,30 @@ object Windows {
                total AS (PARTITION BY l_returnflag ORDER BY ${sqlOf(qtyChain)})
         ORDER BY l_returnflag, ${sqlOf(qtyChain)}""")),
 
+    // Distribution windows: cume_dist (deterministic under ties) and
+    // nth_value over a total order.
+    "q_window_dist" -> Q(
+      fn = (s, d) => {
+        val tied = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").asc)
+        val total = Window.partitionBy(col("l_returnflag")).orderBy(cols(qtyChain): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "lineitem")
+          .withColumn("cd", r4(cume_dist().over(tied)))
+          .withColumn("third", nth_value(col("l_quantity"), 3).over(total))
+          .orderBy(col("l_returnflag") +: cols(qtyChain): _*)
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+            "cd", "third")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               CAST(ROUND(cume_dist() OVER tied, 4) AS DOUBLE) AS cd,
+               nth_value(l_quantity, 3) OVER total AS third
+        FROM lineitem
+        WINDOW tied AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC),
+               total AS (PARTITION BY l_returnflag ORDER BY ${sqlOf(qtyChain)}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY l_returnflag, ${sqlOf(qtyChain)}""")),
+
     "q_window_analytic" -> Q(
       fn = (s, d) => {
         val w = Window.partitionBy(col("l_suppkey")).orderBy(cols(dateChain): _*)
