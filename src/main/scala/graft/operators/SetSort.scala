@@ -114,6 +114,28 @@ object SetSort {
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Seeded sampling (training-data staple). Bernoulli sampling is
+    // deterministic for a fixed seed + stable input partitioning, but the
+    // RNG is engine-specific → rows-only (SmokeSpec runs it; the repeated-
+    // Verify determinism sweep covers run-to-run stability).
+    "q_sample" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy(liKey.take(4): _*)),
+
+    // Stratified sampling by key (per-language quotas when balancing a
+    // training corpus).
+    "q_sample_stratified" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .stat.sampleBy("lang",
+            Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.1),
+            seed = 42L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")),
+
     // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
     // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.
     "q_unpivot" -> Q(
