@@ -214,6 +214,81 @@ object Relational {
         FROM o1 JOIN o2 ON k IS NOT DISTINCT FROM k2
         GROUP BY k ORDER BY k ASC NULLS FIRST""")),
 
+    // Forward as-of: for each signup, the earliest purchase at or after it
+    // (conversion-lag shape; min-id tie-break mirrors AsOf.joinForward).
+    "q_join_asof_fwd" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        AsOf.joinForward(
+            signups, purchases,
+            key = "user_id", leftTime = "ts", rightTime = "purchase_ts",
+            rightTieBreak = "purchase_id")
+          .select("event_id", "user_id", "ts", "purchase_ts", "purchase_id")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH sg AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+                    FROM events WHERE event_type = 'signup'),
+             p AS (SELECT event_id AS purchase_id, user_id,
+                          date_trunc('milliseconds', ts) AS purchase_ts
+                   FROM events WHERE event_type = 'purchase'),
+             j AS (SELECT sg.event_id, sg.user_id, sg.ts, p.purchase_ts, p.purchase_id,
+                          row_number() OVER (PARTITION BY sg.event_id
+                                             ORDER BY p.purchase_ts ASC, p.purchase_id ASC) AS rn
+                   FROM sg JOIN p ON sg.user_id = p.user_id AND p.purchase_ts >= sg.ts)
+        SELECT event_id, user_id, ts, purchase_ts, purchase_id FROM j WHERE rn = 1
+        UNION ALL
+        SELECT sg.event_id, sg.user_id, sg.ts, NULL, NULL FROM sg
+        WHERE NOT EXISTS (SELECT 1 FROM p
+                          WHERE p.user_id = sg.user_id AND p.purchase_ts >= sg.ts)
+        ORDER BY event_id""")),
+
+    // Upsert/MERGE semantics via full outer join + coalesce (the Delta-less
+    // formulation): updates overwrite, inserts append, unmatched targets
+    // persist. One shuffle on the key; at scale the target side would be
+    // bucketed on the key to make repeated merges exchange-free.
+    "q_upsert" -> Q(
+      fn = (s, d) => {
+        val target = cust(s, d).select(col("c_custkey").as("k"),
+          col("c_name"), col("c_acctbal"))
+        val source = cust(s, d).filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("sk"),
+            (col("c_acctbal") + 1000).as("new_bal"))
+          .unionByName(
+            cust(s, d).filter(col("c_custkey") % 11 === 0)
+              .select((col("c_custkey") + 100000).as("sk"), lit(42.0).as("new_bal")))
+        target.join(source, col("k") === col("sk"), "full")
+          .select(
+            coalesce(col("k"), col("sk")).as("key"),
+            coalesce(col("c_name"), lit("<new>")).as("name"),
+            coalesce(col("new_bal"), col("c_acctbal")).as("balance"),
+            when(col("k").isNull, "insert")
+              .when(col("sk").isNull, "unchanged")
+              .otherwise("update").as("action"))
+          .orderBy("key")
+      },
+      oracle = Some("""
+        WITH target AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer),
+             source AS (
+               SELECT c_custkey AS sk, c_acctbal + 1000 AS new_bal
+               FROM customer WHERE c_custkey % 7 = 0
+               UNION ALL
+               SELECT c_custkey + 100000 AS sk, 42.0 AS new_bal
+               FROM customer WHERE c_custkey % 11 = 0)
+        SELECT coalesce(k, sk) AS key,
+               coalesce(c_name, '<new>') AS name,
+               coalesce(new_bal, c_acctbal) AS balance,
+               CASE WHEN k IS NULL THEN 'insert'
+                    WHEN sk IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS action
+        FROM target FULL JOIN source ON k = sk
+        ORDER BY key""")),
+
     "q_join_asof" -> Q(
       fn = (s, d) => {
         val ev = Tables(s, d, "events") // ts already ms-truncated NTZ

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming operators (SURVEY.md §2.4 ◻ rows). Each transform
@@ -39,6 +40,34 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Spark 4 `transformWithState` (state API v2, RocksDB-backed): per-user
+    * running max value with typed ValueState. The modern replacement for
+    * flatMapGroupsWithState — composable named state, timers, TTL. */
+  class RunningMaxProcessor extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var maxSeen: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxSeen = getHandle.getValueState[Double](
+        "maxSeen", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      var mx = if (maxSeen.exists()) maxSeen.get() else Double.MinValue
+      var n = 0L
+      rows.foreach { e => n += 1; if (e.value > mx) mx = e.value }
+      maxSeen.update(mx)
+      Iterator(UserRunning(key, n, mx))
+    }
+  }
+
+  def runningMaxPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Arbitrary stateful processing: per-user running (count, sum) emitted on
     * every update — the `flatMapGroupsWithState` shape used for custom

@@ -95,6 +95,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (state API v2) keeps RocksDB-backed state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val out = Streams.runningMaxPerUser(mem.toDS())
+      val q = out.writeStream.format("memory").queryName("twsmax")
+        .outputMode("append").start()
+      try {
+        mem.addData(Event(1, ts(0), 7, "click", 2.0), Event(2, ts(1), 7, "click", 9.0))
+        q.processAllAvailable()
+        mem.addData(Event(3, ts(2), 7, "click", 5.0)) // lower than running max
+        q.processAllAvailable()
+        val states = spark.table("twsmax").as[Streams.UserRunning].collect()
+        assert(states.map(_.total).max == 9.0)
+        // second batch must still report max 9.0 from state, not 5.0
+        assert(states.count(_.total == 9.0) == 2)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
