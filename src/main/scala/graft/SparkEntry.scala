@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Windows.qs,
       operators.SetSort.qs,
       operators.EventTime.qs,
+      operators.Analytics.qs,
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,

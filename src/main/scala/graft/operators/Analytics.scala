@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Composite analytics shapes: time-series gap-fill, histogram binning, and
+  * two classic TPC-H query patterns adapted to the corpus schema — the
+  * "every query a reference user runs today" evidence, oracle-checked.
+  */
+object Analytics {
+
+  val qs: Map[String, Q] = Map(
+
+    // Resample to an hourly grid per event_type: missing buckets appear
+    // with n=0, plus a forward-filled "last seen total". The grid is
+    // sequence(min,max) exploded — O(|buckets|), no driver loop; the fill
+    // is one keyed window.
+    "q_resample_gapfill" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+          .withColumn("bucket", window(col("ts"), "1 hour").getField("start"))
+        val actual = ev.groupBy("bucket", "event_type")
+          .agg(count(lit(1)).as("n"), dec4(sum(dec2(col("value")))).as("total"))
+        val bounds = ev.agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        val grid = bounds
+          .select(explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("bucket"))
+          .crossJoin(ev.select("event_type").distinct())
+        val filled = grid.join(actual, Seq("bucket", "event_type"), "left")
+          .select(col("bucket"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0).cast(Dec18)).as("total"))
+        filled.withColumn("ffill_total",
+            coalesce(last(when(col("n") > 0, col("total")), ignoreNulls = true)
+              .over(Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+              lit(0).cast(Dec18)))
+          .orderBy("bucket", "event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS bucket,
+                           event_type, value FROM events),
+        actual AS (SELECT bucket, event_type, COUNT(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+                   FROM ev GROUP BY bucket, event_type),
+        grid AS (SELECT g.bucket, t.event_type
+                 FROM (SELECT unnest(generate_series((SELECT MIN(bucket) FROM ev),
+                                                     (SELECT MAX(bucket) FROM ev),
+                                                     INTERVAL 1 HOUR)) AS bucket) g
+                 CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+        filled AS (SELECT grid.bucket, grid.event_type,
+                          coalesce(actual.n, 0) AS n,
+                          coalesce(actual.total, CAST(0 AS DECIMAL(18,4))) AS total
+                   FROM grid LEFT JOIN actual USING (bucket, event_type))
+        SELECT bucket, event_type, n, total,
+               coalesce(last_value(CASE WHEN n > 0 THEN total END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(0 AS DECIMAL(18,4))) AS ffill_total
+        FROM filled ORDER BY bucket, event_type""")),
+
+    // Fixed-width histogram of extended price: floor-divide binning with a
+    // top cap (identical IEEE arithmetic on both engines).
+    "q_histogram" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .withColumn("bin",
+            least(floor(col("l_extendedprice") / 10000).cast(LongType), lit(9L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("bin"),
+      oracle = Some("""
+        SELECT least(CAST(floor(l_extendedprice / 10000) AS BIGINT), 9) AS bin,
+               COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem GROUP BY bin ORDER BY bin""")),
+
+    // TPC-H Q3 (shipping priority), adapted: o_orderpriority stands in for
+    // the missing o_shippriority column.
+    "q_tpch_q3" -> Q(
+      fn = (s, d) => {
+        val cutoff = lit("1998-06-15").cast(TimestampType)
+        Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cutoff)
+          .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > cutoff)
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dec4(sum(revenue)).as("rev"))
+          .orderBy(col("rev").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      oracle = Some(s"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10""")),
+
+    // TPC-H Q5 (local supplier volume): revenue per nation where the
+    // supplier and customer share a nation, one region, one year.
+    "q_tpch_q5" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer")
+          .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+                  col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+          .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(dec4(sum(revenue)).as("rev"))
+          .orderBy(col("rev").desc, col("n_name").asc),
+      oracle = Some(s"""
+        SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY rev DESC, n_name ASC""")))
+}
