@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: registers the graft expression library at
+  * session build time, so a cluster deployment gets `cosine_similarity`,
+  * `simhash64`, `minhash_signature`, `shingle_set`, `rolling_hash64`,
+  * `hyperplane_sig` in plain SQL via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no code changes.
+  * (Per-session `VectorFunctions.register` remains for already-built
+  * sessions, e.g. the driver-owned ones in Verify/Bench.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("rolling_hash64"), info("rolling_hash64"),
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("hyperplane_sig"), info("hyperplane_sig"),
+      (exprs: Seq[Expression]) => HyperplaneSig(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+  }
+}

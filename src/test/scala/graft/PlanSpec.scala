@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale-critical properties the
+  * operators rely on must not silently regress: predicate pushdown,
+  * column pruning, broadcast dimension joins, rank pushdown
+  * (WindowGroupLimit), top-k (TakeOrderedAndProject), join hints. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_filter pushes every predicate into the parquet scan") {
+    val p = planOf("q_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"))
+    assert(p.contains("In(l_returnflag, [A,R])"))
+    assert(p.contains("Or(GreaterThan(l_discount,0.05),LessThan(l_tax,0.03))"))
+    assert(p.contains("StringContains(p_name,red)"))
+  }
+
+  test("q_project prunes the scan to referenced columns") {
+    val p = planOf("q_project")
+    assert(!p.contains("l_returnflag"), "unreferenced column read")
+    assert(!p.contains("l_shipdate"), "unreferenced column read")
+  }
+
+  test("flagship plan broadcasts dims and pushes the rank limit") {
+    val p = planOf("q_topn_flagship")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+    assert(p.contains("WindowGroupLimit"), "rank<=n not pushed into the window")
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("as-of join is one exchange + window — no join node at all") {
+    val p = planOf("q_join_asof")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("NestedLoop"), s"unexpected join in as-of plan")
+  }
+
+  test("join hints are honored (shuffle_hash / merge)") {
+    val li = Tables(spark, TestSpark.sf, "lineitem").select("l_orderkey")
+    val ord = Tables(spark, TestSpark.sf, "orders").select("o_orderkey")
+    val sh = li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"))
+    val mj = li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(mj.contains("SortMergeJoin"))
+  }
+
+  test("registered functions are usable from plain SQL text") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+                simhash64(array('a','b')) AS s,
+                rolling_hash64(array('a','b')) AS rh""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) != 0L && r.getLong(2) != 0L)
+  }
+}
