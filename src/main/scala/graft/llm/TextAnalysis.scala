@@ -143,6 +143,29 @@ object TextAnalysis {
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // Token co-occurrence: document frequency of token PAIRS via a
+    // distinct (doc, token) self-join — the blocking-join shape again
+    // (shuffle keyed by doc_id, pairs generated per doc, never |V|²
+    // against the corpus).
+    "q_text_cooccur" -> Q(
+      fn = (s, d) => {
+        val dt = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+        val a = dt.select(col("doc_id"), col("token").as("ta"))
+        val b = dt.select(col("doc_id"), col("token").as("tb"))
+        a.join(b, Seq("doc_id")).filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
+          .orderBy(col("ndocs").desc, col("ta").asc, col("tb").asc)
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+        SELECT a.token AS ta, b.token AS tb, COUNT(*) AS ndocs
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY ta, tb
+        ORDER BY ndocs DESC, ta ASC, tb ASC LIMIT 50""")),
+
     "q_text_fingerprint" -> Q(
       fn = (s, d) =>
         Tables(s, d, "documents").select(

@@ -78,6 +78,30 @@ object Analytics {
                COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         FROM lineitem GROUP BY bin ORDER BY bin""")),
 
+    // Equi-depth histogram: decile boundaries via ntile over a TOTAL order
+    // (ntile is order-dependent — ties must be broken, SURVEY §7.4).
+    // NOTE the unpartitioned window is a single-task sort: exact and fine
+    // at oracle scale, but the 100 TB formulation derives the boundaries
+    // with approx_percentile (fixed-size sketch) and bins map-side.
+    "q_histogram_equidepth" -> Q(
+      fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_extendedprice").asc +: liKey: _*)
+        Tables(s, d, "lineitem")
+          .withColumn("decile", ntile(10).over(w).cast(LongType))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("decile")
+      },
+      oracle = Some(s"""
+        SELECT decile, COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM (SELECT l_extendedprice,
+                     ntile(10) OVER (ORDER BY l_extendedprice ASC, $liKeySql) AS decile
+              FROM lineitem)
+        GROUP BY decile ORDER BY decile""")),
+
     // TPC-H Q3 (shipping priority), adapted: o_orderpriority stands in for
     // the missing o_shippriority column.
     "q_tpch_q3" -> Q(
