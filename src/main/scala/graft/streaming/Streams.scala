@@ -69,6 +69,38 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Stream-stream inner join with event-time bounds: each signup joins
+    * purchases of the same user within `within` AFTER the signup. Both
+    * sides carry watermarks so the join state is evicted once the bound
+    * passes — state is O(in-flight interval), not O(stream). */
+  def signupToPurchase(signups: DataFrame, purchases: DataFrame,
+      within: String = "1 hour"): DataFrame = {
+    val sg = signups.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+    val pu = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    sg.join(pu,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("signup_ts") &&
+      col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $within"))
+      .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
+  }
+
+  /** Stream-static enrichment: the static side is a broadcast dimension —
+    * re-read per micro-batch, never shuffled against the stream. */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), Seq("user_id"), "left")
+
+  /** The production sink pattern: `foreachBatch` gives each micro-batch a
+    * batch DataFrame + id, enabling arbitrary batch sinks (upsert targets,
+    * multi-table writes) with exactly-once via idempotent batch ids. */
+  def writeBatches(df: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+
   /** Arbitrary stateful processing: per-user running (count, sum) emitted on
     * every update — the `flatMapGroupsWithState` shape used for custom
     * session enrichment. */

@@ -95,6 +95,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join emits signup→purchase pairs within the bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sg = MemoryStream[Event]
+    val pu = MemoryStream[Event]
+    val out = Streams.signupToPurchase(sg.toDF(), pu.toDF(), "1 hour")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      sg.addData(Event(1, ts(0), 7, "signup", 0.0))
+      pu.addData(
+        Event(10, ts(30), 7, "purchase", 5.0),   // within 1h → match
+        Event(11, ts(90), 7, "purchase", 5.0),   // beyond 1h → no match
+        Event(12, ts(30), 8, "purchase", 5.0))   // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment joins without shuffling the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val users = Seq((7L, "alice"), (8L, "bob")).toDF("user_id", "name")
+    val out = Streams.enrichWithUsers(mem.toDF(), users)
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 9, "click", 1.0))
+      q.processAllAvailable()
+      val byId = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("name")).getOrElse("<none>")).toMap
+      assert(byId(1L) == "alice")
+      assert(byId(2L) == "<none>") // unmatched user null-extended
+    } finally q.stop()
+  }
+
+  test("foreachBatch writes each micro-batch to its own parquet dir") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_batches").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.writeBatches(mem.toDF(), dir).start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1), 7, "click", 1.0))
+      q.processAllAvailable()
+      val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("batch_"))
+      assert(dirs.length >= 2)
+      assert(spark.read.parquet(s"$dir/batch_0").count() == 1)
+    } finally q.stop()
+  }
+
   test("transformWithState (state API v2) keeps RocksDB-backed state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
