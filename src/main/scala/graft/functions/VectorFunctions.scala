@@ -3,17 +3,18 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/text hot paths (SURVEY.md
-  * §7.2): a codegen'd cosine similarity (beats the `zip_with`+`aggregate`
-  * HOF — no per-element lambda closures, one tight loop over ArrayData) and
-  * a per-document 64-bit SimHash. Registered as SQL functions so call sites
-  * use `call_function` (stable across Spark 4 Column internals).
+  * §7.2). ALL participate in whole-stage codegen: cosine inlines its loop;
+  * the rest generate calls into the static [[VectorKernels]] (no
+  * CodegenFallback interpretation break anywhere). Registered as SQL
+  * functions so call sites use `call_function` (stable across Spark 4
+  * Column internals) and injectable cluster-wide via
+  * [[graft.GraftExtensions]].
   */
 object VectorFunctions {
 
@@ -73,31 +74,15 @@ object VectorFunctions {
     * documents land within small Hamming distance. Token hash is a fixed
     * FNV-1a 64 (deterministic across runs/engines, no seed material).
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = SimHash64.fnv1a64(arr.getUTF8String(i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.simhash64(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.simhash64($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -110,29 +95,16 @@ object VectorFunctions {
     * slower at sf0.1.
     */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          var k = 0
-          while (k < numHashes) {
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, k.toLong)
-            if (h < sig(k)) sig(k) = h
-            k += 1
-          }
-        }
-        i += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
-    }
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.minhashSignature(v.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorKernels.minhashSignature($c, $numHashes)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -142,31 +114,15 @@ object VectorFunctions {
     * sequence(...), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))`) is
     * interpreted per element and measures ~1ms/document at 50 tokens.
     */
-  case class ShingleSet(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "shingle_set"
 
-    private val space = UTF8String.fromString(" ")
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.shingleSet(v.asInstanceOf[ArrayData], n)
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val len = arr.numElements()
-      val seen = new java.util.LinkedHashSet[UTF8String]()
-      var i = 0
-      while (i + n <= len) {
-        val parts = new Array[UTF8String](n)
-        var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        seen.add(UTF8String.concatWs(space, parts: _*))
-        i += 1
-      }
-      val out = new Array[AnyRef](seen.size)
-      val it = seen.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.shingleSet($c, $n)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -177,22 +133,15 @@ object VectorFunctions {
     * pass and composes incrementally at 100 TB (hash of concat =
     * combine(hash, hash, len)).
     */
-  case class RollingHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class RollingHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "rolling_hash64"
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      var h = 0L
-      var i = 0
-      while (i < arr.numElements()) {
-        val t = if (arr.isNullAt(i)) 0L else SimHash64.fnv1a64(arr.getUTF8String(i))
-        h = h * 1000003L + t
-        i += 1
-      }
-      h
-    }
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.rollingHash64(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.rollingHash64($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -202,45 +151,33 @@ object VectorFunctions {
     * hash-derived value in [-1, 1] (deterministic across runs — no stored
     * codebook needed). One loop per row; the higher-order-function
     * formulation (zip_with + aggregate per plane) is interpreted. */
-  case class HyperplaneSig(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def prettyName: String = "hyperplane_sig"
+  case class TokenPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("ta", StringType), StructField("tb", StringType))),
+      containsNull = false)
+    override def prettyName: String = "token_pairs"
 
-    private def planeVal(p: Int, j: Int): Double =
-      (org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(p.toLong * 131L + j, 42L) % 1000L) / 1000.0
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.tokenPairs(v.asInstanceOf[ArrayData])
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var j = 0
-        while (j < n) { dot += arr.getDouble(j) * planeVal(p, j); j += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.tokenPairs($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  object SimHash64 {
-    def fnv1a64(s: UTF8String): Long = {
-      val bytes = s.getBytes
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL)
-        h *= 0x100000001b3L
-        i += 1
-      }
-      h
-    }
+  case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_sig"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorKernels.hyperplaneSig($c, $planes)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Register both as session SQL functions (idempotent). */
@@ -261,6 +198,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "token_pairs", exprs => TokenPairs(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "hyperplane_sig",
       exprs => HyperplaneSig(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
@@ -273,6 +212,7 @@ object VectorFunctions {
   def shingleSet(tokens: Column, n: Int): Column =
     call_function("shingle_set", tokens, org.apache.spark.sql.functions.lit(n))
   def rollingHash(tokens: Column): Column = call_function("rolling_hash64", tokens)
+  def tokenPairs(tokens: Column): Column = call_function("token_pairs", tokens)
   def hyperplaneSig(v: Column, planes: Int): Column =
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))
 }

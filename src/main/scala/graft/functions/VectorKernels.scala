@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels behind the graft expressions. A top-level object gets
+  * Java static forwarders, so generated whole-stage code calls these
+  * directly (`graft.functions.VectorKernels.simhash64(arr)`) — the
+  * expressions participate in codegen instead of forcing a
+  * CodegenFallback interpretation break.
+  */
+object VectorKernels {
+
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, k.toLong)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  def shingleSet(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  def rollingHash64(arr: ArrayData): Long = {
+    var h = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = if (arr.isNullAt(i)) 0L else fnv1a64(arr.getUTF8String(i))
+      h = h * 1000003L + t
+      i += 1
+    }
+    h
+  }
+
+  /** Ordered pairs (a, b) with a < b from a SORTED distinct string array —
+    * per-row bounded pair expansion for co-occurrence counting (replaces a
+    * doc-keyed self-join; at 100 TB the expansion stays O(vocab²) per doc
+    * while the join shape shuffles the exploded relation twice). */
+  def tokenPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](arr.getUTF8String(i), arr.getUTF8String(j))))
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  def hyperplaneSig(arr: ArrayData, planes: Int): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += arr.getDouble(j) *
+          ((XXH64.hashLong(p.toLong * 131L + j, 42L) % 1000L) / 1000.0)
+        j += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -143,17 +143,17 @@ object TextAnalysis {
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
-    // Token co-occurrence: document frequency of token PAIRS via a
-    // distinct (doc, token) self-join — the blocking-join shape again
-    // (shuffle keyed by doc_id, pairs generated per doc, never |V|²
-    // against the corpus).
+    // Token co-occurrence: document frequency of token PAIRS via per-doc
+    // bounded pair expansion (token_pairs kernel — no self-join, only the
+    // final low-cardinality count shuffles).
     "q_text_cooccur" -> Q(
       fn = (s, d) => {
-        val dt = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-        val a = dt.select(col("doc_id"), col("token").as("ta"))
-        val b = dt.select(col("doc_id"), col("token").as("tb"))
-        a.join(b, Seq("doc_id")).filter(col("ta") < col("tb"))
+        graft.functions.VectorFunctions.register(s)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.VectorFunctions.tokenPairs(
+              array_sort(array_distinct(toks)))).as("p"))
+          .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
           .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
           .orderBy(col("ndocs").desc, col("ta").asc, col("tb").asc)
           .limit(50)
