@@ -76,8 +76,7 @@ object Dedup {
     // least one shingle (blocking join), then J = |∩| / (|A|+|B|-|∩|) ≥ 0.05.
     "q_dedup_ngram" -> Q(
       fn = (s, d) => {
-        // Barrier: three consumers (two join branches + sizes agg).
-        val sh = shingles(s, d).localCheckpoint()
+        val sh = shingles(s, d)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val a = sh.select(col("doc_id").as("da"), col("s"))
         val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -180,13 +179,11 @@ object Dedup {
   def minHashDedup(docSets: DataFrame, numHashes: Int, bands: Int, tau: Double): DataFrame = {
     graft.functions.VectorFunctions.register(docSets.sparkSession)
     val rowsPerBand = numHashes / bands
-    // Materialization barrier directly after signature construction: the
-    // band Generate and both self-join branches would otherwise re-evaluate
-    // it per consumer (and per generated row). 5000 narrow rows here vs 8×
-    // that post-explode. (Cluster scale: persist(DISK_ONLY).)
+    // No materialization barrier needed: signature construction is a cheap
+    // codegen'd kernel now, and the bucket-grouped pair expansion consumes
+    // this relation exactly once.
     val withSig = docSets.select(col("doc_id"), col("tokens")).withColumn("sig",
       graft.functions.VectorFunctions.minhashSig(col("tokens"), numHashes))
-      .localCheckpoint()
     // One explicit shuffle on the band key: both self-join branches reuse
     // this exchange (signature computation runs once, and the join needs no
     // further exchange).

@@ -112,6 +112,26 @@ object Aggregates {
                COUNT(*) AS n
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Filtered aggregates (FILTER clause / conditional aggregation).
+    "q_agg_filtered" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_quantity") > 25, 1)).as("n_big"),
+            dec4(sum(when(col("l_discount") > 0.05, dec2(col("l_quantity")))
+              .otherwise(lit(0).cast(Dec12)))).as("qty_discounted"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (l_quantity > 25) AS n_big,
+               CAST(SUM(CASE WHEN l_discount > 0.05
+                             THEN CAST(l_quantity AS DECIMAL(12,2))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS qty_discounted,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Interpolated percentiles (Spark `percentile` == DuckDB quantile_cont
     // linear interpolation) + exact median.
     "q_agg_percentile" -> Q(
