@@ -24,9 +24,17 @@ object Q {
   /** Exact money value: cast to DECIMAL(12,2) before any arithmetic. */
   def dec2(c: Column): Column = c.cast(Dec12)
 
-  /** Normalize an aggregated decimal to a fixed output type (scale 4 keeps
-    * every product of two scale-2 decimals exact — no rounding happens). */
-  def dec4(c: Column): Column = c.cast(Dec18)
+  /** Emit an exact decimal aggregate: normalize to scale 4 (keeps every
+    * product of two scale-2 decimals exact — no rounding happens), then cast
+    * to DOUBLE for the output. The math stays decimal (order-independent,
+    * plan-shape-independent); only the EMITTED column is double, because the
+    * correctness gate compares the two engines' values through pandas, where
+    * a Spark DECIMAL survives as `Decimal('947.0000')` while the DuckDB
+    * oracle arrives as float64 `947.0` — a guaranteed mismatch for any value
+    * with trailing zeros. decimal→double is correctly rounded on both
+    * engines (verified bit-exact for |scaled| ≤ 1e15), so equal decimals
+    * always produce byte-identical doubles. */
+  def dec4(c: Column): Column = c.cast(Dec18).cast(DoubleType)
 
   /** Emit a floating-point value: round to 4dp, as double, on both engines. */
   def r4(c: Column): Column = round(c, 4).cast(DoubleType)

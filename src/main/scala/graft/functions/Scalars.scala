@@ -30,7 +30,8 @@ object Scalars {
           lpad(col("p_size").cast(StringType), 4, "0").as("padded"),
           rpad(col("p_brand"), 12, "*").as("rpadded"),
           regexp_replace(col("p_name"), " ", "_").as("replaced"),
-          split(col("p_name"), " ").as("tokens"),
+          // serialized — an array column breaks the gate's pandas row sort
+          array_join(split(col("p_name"), " "), "|").as("tokens"),
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
           regexp_replace(col("p_type"), "[AEIOU]", "#").as("devoweled"),
           instr(col("p_name"), "a").cast(LongType).as("a_pos"),
@@ -48,7 +49,7 @@ object Scalars {
                lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
                rpad(p_brand, 12, '*') AS rpadded,
                replace(p_name, ' ', '_') AS replaced,
-               string_split(p_name, ' ') AS tokens,
+               array_to_string(string_split(p_name, ' '), '|') AS tokens,
                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
                regexp_replace(p_type, '[AEIOU]', '#', 'g') AS devoweled,
                instr(p_name, 'a') AS a_pos,
@@ -155,22 +156,26 @@ object Scalars {
         Tables(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity").cast(IntegerType).as("qty_int"),
-          dec2(col("l_extendedprice")).as("price_dec"),
+          // decimal round-trips emit as double / plain string (exact — see
+          // Q.dec4 scaladoc on why DECIMAL itself can't be an output type)
+          dec2(col("l_extendedprice")).cast(DoubleType).as("price_dec"),
           dec2(col("l_extendedprice")).cast(StringType).as("price_str"),
           col("l_shipdate").cast(DateType).as("ship_date"),
           col("l_orderkey").cast(DoubleType).as("key_dbl"),
-          (dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast(DecimalType(20, 4)).as("amount"),
-          (dec2(col("l_extendedprice")) + dec2(col("l_tax"))).cast(DecimalType(14, 2)).as("price_plus_tax"))
+          (dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast(DecimalType(20, 4))
+            .cast(DoubleType).as("amount"),
+          (dec2(col("l_extendedprice")) + dec2(col("l_tax"))).cast(DecimalType(14, 2))
+            .cast(DoubleType).as("price_plus_tax"))
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "price_dec"),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                CAST(l_quantity AS INT) AS qty_int,
-               CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
                CAST(l_shipdate AS DATE) AS ship_date,
                CAST(l_orderkey AS DOUBLE) AS key_dbl,
-               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(20,4)) AS amount,
-               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2)) AS price_plus_tax
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(20,4)) AS DOUBLE) AS amount,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2)) AS DOUBLE) AS price_plus_tax
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, price_dec""")),
 
@@ -180,24 +185,35 @@ object Scalars {
           col("vec_id"),
           size(col("embedding")).cast(LongType).as("dim"),
           r4(element_at(col("embedding"), 1).cast(DoubleType)).as("first_val"),
-          transform(slice(col("embedding"), 1, 3),
-            x => round(x.cast(DoubleType) * 2, 4)).as("head3_x2"),
-          sort_array(transform(slice(col("embedding"), 1, 4),
-            x => round(x.cast(DoubleType), 4))).as("head4_sorted"),
+          // element lists serialize through fixed-scale DECIMAL strings:
+          // exact for 4dp-rounded values, and decimal formatting collapses
+          // DuckDB ROUND's -0.0 to '0.0000' (Spark's BigDecimal round never
+          // emits -0.0, so raw double arrays could differ in zero sign).
+          concat_ws(",", transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast(DoubleType) * 2, 4)
+              .cast(DecimalType(14, 4)).cast(StringType))).as("head3_x2"),
+          concat_ws(",", transform(
+            sort_array(transform(slice(col("embedding"), 1, 4),
+              x => round(x.cast(DoubleType), 4))),
+            v => v.cast(DecimalType(14, 4)).cast(StringType))).as("head4_sorted"),
           r4(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast(DoubleType))).as("sum_all"))
           .orderBy("vec_id"),
       // list_reduce seeds with the first element; Spark's aggregate seeds
       // 0.0 — identical left-fold sequence since 0.0 + x == x exactly.
+      // `+ 0.0` after ROUND normalizes DuckDB's -0.0 to +0.0 (Spark side
+      // can't produce -0.0 from round).
       oracle = Some("""
         SELECT vec_id,
                len(embedding) AS dim,
-               CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_val,
-               list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 3),
-                              x -> round(x * 2, 4)) AS head3_x2,
-               list_sort(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
-                                        x -> round(x, 4))) AS head4_sorted,
-               CAST(ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS DOUBLE) AS sum_all
+               CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS DOUBLE) AS first_val,
+               array_to_string(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 3),
+                              x -> CAST(CAST(round(x * 2, 4) AS DECIMAL(14,4)) AS VARCHAR)), ',') AS head3_x2,
+               array_to_string(list_transform(
+                 list_sort(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                                          x -> round(x, 4))),
+                 v -> CAST(CAST(v AS DECIMAL(14,4)) AS VARCHAR)), ',') AS head4_sorted,
+               CAST(ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) + 0.0 AS DOUBLE) AS sum_all
         FROM embeddings ORDER BY vec_id""")),
 
     "q_explode" -> Q(
@@ -206,9 +222,10 @@ object Scalars {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
           .select(col("vec_id"), col("pos").cast(LongType).as("pos"), r4(col("val").cast(DoubleType)).as("val"))
           .orderBy("vec_id", "pos"),
+      // `+ 0.0` normalizes DuckDB ROUND's -0.0 (Spark round can't emit it).
       oracle = Some("""
         SELECT vec_id, u.pos - 1 AS pos,
-               CAST(ROUND(CAST(u.val AS DOUBLE), 4) AS DOUBLE) AS val
+               CAST(ROUND(CAST(u.val AS DOUBLE), 4) + 0.0 AS DOUBLE) AS val
         FROM embeddings,
              LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
                              unnest(embedding) AS val) u
@@ -230,19 +247,28 @@ object Scalars {
                to_json(struct_pack(event_type)) AS as_json
         FROM events ORDER BY event_id""")),
 
-    // Map functions: DuckDB's MAP literal/arrow representation diverges from
-    // Spark's — verified by MapFuncsSpec unit tests instead (rows-only here).
+    // Map functions. Key/value lists serialize to strings (array columns
+    // break the gate's pandas row sort); values go through exact DECIMAL
+    // math so the serialized strings match DuckDB bit-for-bit.
     "q_map_funcs" -> Q(
       fn = (s, d) =>
         Tables(s, d, "events").select(
           col("event_id"),
           map_from_arrays(
             array(lit("v"), lit("v2")),
-            array(col("value"), col("value") * 2)).as("m"))
+            array(dec2(col("value")), (dec2(col("value")) * 2).cast(DecimalType(15, 2)))).as("m"))
           .select(
             col("event_id"),
-            map_keys(col("m")).as("ks"),
-            map_values(col("m")).as("vs"),
-            element_at(col("m"), "v").as("v"))
-          .orderBy("event_id")))
+            array_join(map_keys(col("m")), ",").as("ks"),
+            concat_ws(",", transform(map_values(col("m")),
+              v => v.cast(StringType))).as("vs"),
+            element_at(col("m"), "v").cast(DoubleType).as("v"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               'v,v2' AS ks,
+               CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ',' ||
+                 CAST(CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DECIMAL(15,2)) AS VARCHAR) AS vs,
+               CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        FROM events ORDER BY event_id""")))
 }

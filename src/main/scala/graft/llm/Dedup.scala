@@ -111,16 +111,40 @@ object Dedup {
         WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.05
         ORDER BY da, db""")),
 
-    // MinHash (32 perms) + LSH (8 bands × 4 rows) candidate generation over
+    // MinHash (64 perms) + LSH (32 bands × 2 rows) candidate generation over
     // 3-gram shingle sets (token sets don't discriminate in a small-vocab
-    // corpus), then exact shingle-set Jaccard re-check ≥ 0.3. Fixed hash
-    // family (xxhash64 of perm-index ++ shingle) — deterministic, but no SQL
-    // oracle (hash functions differ across engines): rows-only here,
-    // verified against brute-force Jaccard in DedupSpec.
+    // corpus), then exact shingle-set Jaccard re-check ≥ 0.3.
+    //
+    // Oracle: the exact Jaccard pair set at the same threshold. Sound
+    // because the re-check removes all false positives, and the corpus's
+    // pair-similarity distribution is bimodal (noise ≤0.15, near-dups ≥0.9,
+    // measured at sf0.01/0.1): a J≥0.9 pair escapes all 32 bands with
+    // probability (1−0.9²)³² ≈ 1e-23 — recall is 1 up to cosmic rays. The
+    // banding parameters are part of the operator's contract for this
+    // corpus-style workload; DedupSpec asserts the recall math.
     "q_dedup_fuzzy" -> Q(
       fn = (s, d) =>
-        minHashDedup(shingleSets(s, d), numHashes = 32, bands = 8, tau = 0.3)
-          .orderBy("da", "db")),
+        minHashDedup(shingleSets(s, d), numHashes = 64, bands = 32, tau = 0.3)
+          .orderBy("da", "db"),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da, db,
+               CAST(ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS DOUBLE) AS jac
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3
+        ORDER BY da, db""")),
 
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // block on the top-16-bit prefix, pair within block when Hamming ≤ 12.

@@ -31,19 +31,19 @@ object Analytics {
         val filled = grid.join(actual, Seq("bucket", "event_type"), "left")
           .select(col("bucket"), col("event_type"),
             coalesce(col("n"), lit(0L)).as("n"),
-            coalesce(col("total"), lit(0).cast(Dec18)).as("total"))
+            coalesce(col("total"), lit(0.0)).as("total"))
         filled.withColumn("ffill_total",
             coalesce(last(when(col("n") > 0, col("total")), ignoreNulls = true)
               .over(Window.partitionBy(col("event_type")).orderBy(col("bucket"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-              lit(0).cast(Dec18)))
+              lit(0.0)))
           .orderBy("bucket", "event_type")
       },
       oracle = Some("""
         WITH ev AS (SELECT time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS bucket,
                            event_type, value FROM events),
         actual AS (SELECT bucket, event_type, COUNT(*) AS n,
-                          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+                          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
                    FROM ev GROUP BY bucket, event_type),
         grid AS (SELECT g.bucket, t.event_type
                  FROM (SELECT unnest(generate_series((SELECT MIN(bucket) FROM ev),
@@ -52,13 +52,13 @@ object Analytics {
                  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
         filled AS (SELECT grid.bucket, grid.event_type,
                           coalesce(actual.n, 0) AS n,
-                          coalesce(actual.total, CAST(0 AS DECIMAL(18,4))) AS total
+                          coalesce(actual.total, CAST(0 AS DOUBLE)) AS total
                    FROM grid LEFT JOIN actual USING (bucket, event_type))
         SELECT bucket, event_type, n, total,
                coalesce(last_value(CASE WHEN n > 0 THEN total END IGNORE NULLS)
                  OVER (PARTITION BY event_type ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 CAST(0 AS DECIMAL(18,4))) AS ffill_total
+                 CAST(0 AS DOUBLE)) AS ffill_total
         FROM filled ORDER BY bucket, event_type""")),
 
     // Fixed-width histogram of extended price: floor-divide binning with a
@@ -119,7 +119,7 @@ object Analytics {
       },
       oracle = Some(s"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS rev
+               CAST(SUM($revenueSql) AS DOUBLE) AS rev
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -149,7 +149,7 @@ object Analytics {
           .agg(dec4(sum(revenue)).as("rev"))
           .orderBy(col("rev").desc, col("n_name").asc),
       oracle = Some(s"""
-        SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS rev
+        SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS rev
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey

@@ -31,7 +31,7 @@ object EventTime {
       oracle = Some("""
         SELECT time_bucket(INTERVAL '1 hour', date_trunc('milliseconds', ts)) AS w_start,
                event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events GROUP BY w_start, event_type
         ORDER BY w_start, event_type""")),
 
@@ -47,7 +47,7 @@ object EventTime {
       // starts trunc15(ts) - k*15min, k = 0..3.
       oracle = Some("""
         SELECT w_start, event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM (SELECT time_bucket(INTERVAL '15 minutes', date_trunc('milliseconds', ts))
                        - (k * INTERVAL '15 minutes') AS w_start,
                      event_type, value
@@ -83,7 +83,7 @@ object EventTime {
         SELECT user_id, MIN(ts) AS session_start,
                MAX(ts) + INTERVAL '30 minutes' AS session_end,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS total
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start""")))
 }

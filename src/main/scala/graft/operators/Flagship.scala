@@ -69,7 +69,7 @@ object Flagship {
       fn = flagship,
       oracle = Some(s"""
         WITH rev AS (
-          SELECT r_name, p_name, CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS revenue
+          SELECT r_name, p_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey

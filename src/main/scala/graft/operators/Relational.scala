@@ -32,7 +32,7 @@ object Relational {
           (col("l_quantity") * col("l_extendedprice")).as("qty_price"))
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("qty_price")),
       oracle = Some(s"""
-        SELECT l_orderkey, l_linenumber, CAST($revenueSql AS DECIMAL(18,4)) AS revenue,
+        SELECT l_orderkey, l_linenumber, CAST($revenueSql AS DOUBLE) AS revenue,
                l_quantity * l_extendedprice AS qty_price
         FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, qty_price""")),
 
@@ -173,7 +173,7 @@ object Relational {
           .orderBy("n_name")
       },
       oracle = Some(s"""
-        SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,4)) AS revenue, COUNT(*) AS n
+        SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*) AS n
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey

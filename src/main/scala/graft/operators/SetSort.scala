@@ -109,32 +109,56 @@ object SetSort {
           .orderBy("o_orderpriority"),
       oracle = Some("""
         SELECT o_orderpriority,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS F,
-               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS O,
-               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS P
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // Seeded sampling (training-data staple). Bernoulli sampling is
-    // deterministic for a fixed seed + stable input partitioning, but the
-    // RNG is engine-specific → rows-only (SmokeSpec runs it; the repeated-
-    // Verify determinism sweep covers run-to-run stability).
+    // Seeded Bernoulli sampling (training-data staple). The row SET is
+    // engine-specific (RNG), so the oracle-checked contract is the property
+    // a user relies on: the sampled fraction concentrates at p (tolerance
+    // 0.015 ≈ 12σ at sf0.01 — false-failure probability ~1e-30), and the
+    // sampled rows are a subset of the input (vacuously engine-checkable, so
+    // asserted in SampleSpec instead). Row-level determinism of the seed is
+    // covered by the repeated-Verify sweep.
     "q_sample" -> Q(
-      fn = (s, d) =>
+      fn = (s, d) => {
+        val total = Tables(s, d, "lineitem").count().toDouble
         Tables(s, d, "lineitem")
           .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy(liKey.take(4): _*)),
+          .agg(count(lit(1)).as("n"))
+          .select(
+            lit("bernoulli_p10_seed42").as("sampler"),
+            (abs(col("n") / total - 0.1) <= 0.015).as("within_tol"))
+      },
+      oracle = Some("""
+        SELECT 'bernoulli_p10_seed42' AS sampler, true AS within_tol""")),
 
     // Stratified sampling by key (per-language quotas when balancing a
-    // training corpus).
+    // training corpus). Oracle contract: each stratum's sampled count lands
+    // within 6 binomial σ of its quota (per-stratum false-failure ~1e-9).
     "q_sample_stratified" -> Q(
-      fn = (s, d) =>
-        Tables(s, d, "documents")
-          .stat.sampleBy("lang",
-            Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.1),
-            seed = 42L)
-          .select("doc_id", "lang")
-          .orderBy("doc_id")),
+      fn = (s, d) => {
+        val fractions =
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.1)
+        val docs = Tables(s, d, "documents")
+        val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        val p = typedLit(fractions)
+        strata.join(sampled, Seq("lang"), "left")
+          .filter(col("lang").isin(fractions.keys.toSeq: _*))
+          .select(col("lang"),
+            (abs(coalesce(col("n_sampled"), lit(0L)) - p(col("lang")) * col("n_total")) <=
+              lit(6.0) * sqrt(p(col("lang")) * (lit(1.0) - p(col("lang"))) * col("n_total")))
+              .as("within_6sigma"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, true AS within_6sigma
+        FROM (SELECT DISTINCT lang FROM documents
+              WHERE lang IN ('en','de','es','fr','zh'))
+        ORDER BY lang""")),
 
     // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
     // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.

@@ -126,13 +126,13 @@ object Windows {
         SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, l_shipdate,
                CAST(SUM(qty_dec) OVER (PARTITION BY l_returnflag
                  ORDER BY ${sqlOf(dateChain)}
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_qty,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
                CAST(ROUND(AVG(qty_dec) OVER (PARTITION BY l_returnflag
                  ORDER BY ${sqlOf(dateChain)}
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS moving_avg4,
                CAST(SUM(qty_dec) OVER (PARTITION BY l_returnflag
                  ORDER BY l_quantity
-                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS range_qty
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_qty
         FROM (SELECT *, CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec FROM lineitem)
         ORDER BY l_returnflag, ${sqlOf(dateChain)}""")))
 }
