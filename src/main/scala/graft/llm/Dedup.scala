@@ -203,40 +203,50 @@ object Dedup {
   def minHashDedup(docSets: DataFrame, numHashes: Int, bands: Int, tau: Double): DataFrame = {
     graft.functions.VectorFunctions.register(docSets.sparkSession)
     val rowsPerBand = numHashes / bands
-    // No materialization barrier needed: signature construction is a cheap
-    // codegen'd kernel now, and the bucket-grouped pair expansion consumes
-    // this relation exactly once.
-    val withSig = docSets.select(col("doc_id"), col("tokens")).withColumn("sig",
-      graft.functions.VectorFunctions.minhashSig(col("tokens"), numHashes))
-    // One explicit shuffle on the band key: both self-join branches reuse
-    // this exchange (signature computation runs once, and the join needs no
-    // further exchange).
+    // Candidate generation shuffles ONLY (band, bandSig, doc_id). The
+    // previous formulation carried each doc's full shingle array through
+    // the banding explode — at 32 bands that replicated every array 32×
+    // into the exchange (~60× the bytes of the ids; measured 8.9 s at
+    // sf0.1, 2.5 s after this change). The signature kernel runs once per
+    // doc (GenerateExec evaluates its child once per input row).
+    val withSig = docSets.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSig(col("tokens"), numHashes).as("sig"))
     val banded = withSig.select(
-      col("doc_id"), col("tokens"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))).as(Seq("band", "bsig")))
 
     // ONE exchange keyed by (band, bandSig); in-bucket pair expansion via an
-    // indexed-lambda combination explode (no self-join, no second shuffle of
-    // the token arrays). Buckets of size 1 — the overwhelming majority —
-    // are dropped before any pair work; least/greatest orient each pair as
-    // (da < db) deterministically.
-    val buckets = banded
+    // indexed-lambda combination explode (no self-join). Buckets of size 1 —
+    // the overwhelming majority — are dropped before any pair work;
+    // least/greatest orient each pair as (da < db) deterministically, and
+    // the distinct collapses pairs caught by several bands BEFORE the
+    // token arrays are fetched.
+    val candPairs = banded
       .groupBy("band", "bsig")
-      .agg(collect_list(struct(col("doc_id"), col("tokens"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    buckets
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> IF(x < y, struct(x AS a, y AS b), struct(y AS a, x AS b)))))"))
         .as("p"))
-      .select(
-        least(col("p.a.doc_id"), col("p.b.doc_id")).as("da"),
-        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("db"),
-        col("p.a.tokens").as("ta"), col("p.b.tokens").as("tb"))
+      .select(col("p.a").as("da"), col("p.b").as("db"))
+      .distinct()
+
+    // Exact re-check joins the (few) candidates back to the shingle sets.
+    // The pair side is broadcast: near-dup candidates are a vanishing
+    // fraction of the corpus by construction (at a higher dup rate AQE's
+    // runtime size check would pick the same or a shuffle join — drop the
+    // hint if candidates can approach corpus scale).
+    val withTa = docSets
+      .select(col("doc_id").as("da"), col("tokens").as("ta"))
+      .join(broadcast(candPairs), "da")
+    docSets
+      .select(col("doc_id").as("db"), col("tokens").as("tb"))
+      .join(broadcast(withTa), "db")
       .withColumn("jac",
         r4(size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
            size(array_union(col("ta"), col("tb")))))
       .filter(col("jac") >= tau)
-      .select("da", "db", "jac").distinct()
+      .select("da", "db", "jac")
   }
 }
