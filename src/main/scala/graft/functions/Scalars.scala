@@ -197,7 +197,14 @@ object Scalars {
               x => round(x.cast(DoubleType), 4))),
             v => v.cast(DecimalType(14, 4)).cast(StringType))).as("head4_sorted"),
           r4(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast(DoubleType))).as("sum_all"))
+            (acc, x) => acc + x.cast(DoubleType))).as("sum_all"),
+          size(filter(col("embedding"), x => x > 0)).cast(LongType).as("n_pos"),
+          exists(col("embedding"), x => x.cast(DoubleType) > 0.5).as("has_big"),
+          size(array_distinct(transform(slice(col("embedding"), 1, 8),
+            x => round(x.cast(DoubleType), 2)))).cast(LongType).as("nd_head8"),
+          r4(aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0),
+            (acc, v) => acc + v)).as("dot_rev"))
           .orderBy("vec_id"),
       // list_reduce seeds with the first element; Spark's aggregate seeds
       // 0.0 — identical left-fold sequence since 0.0 + x == x exactly.
@@ -213,7 +220,13 @@ object Scalars {
                  list_sort(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
                                           x -> round(x, 4))),
                  v -> CAST(CAST(v AS DECIMAL(14,4)) AS VARCHAR)), ',') AS head4_sorted,
-               CAST(ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) + 0.0 AS DOUBLE) AS sum_all
+               CAST(ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) + 0.0 AS DOUBLE) AS sum_all,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.5)) > 0 AS has_big,
+               len(list_distinct(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                                                x -> round(x, 2)))) AS nd_head8,
+               CAST(ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 list_reverse(CAST(embedding AS DOUBLE[]))), 4) + 0.0 AS DOUBLE) AS dot_rev
         FROM embeddings ORDER BY vec_id""")),
 
     "q_explode" -> Q(

@@ -146,22 +146,75 @@ object Dedup {
         WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3
         ORDER BY da, db""")),
 
-    // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
-    // block on the top-16-bit prefix, pair within block when Hamming ≤ 12.
+    // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression) with
+    // PIGEONHOLE banding (Manku et al., WWW'07): the fingerprint splits into
+    // 4 bands of 16 bits; any pair within Hamming distance ≤ 3 has at most 3
+    // differing bits, so at least one of the 4 bands is IDENTICAL — blocking
+    // on (band, band-bits) finds every qualifying pair deterministically
+    // (complete, not probabilistic; DedupSpec asserts equality with the
+    // brute-force pair set). Fingerprint values are engine-specific → no SQL
+    // oracle, rows-only.
     "q_dedup_simhash" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
         val sh = docs(s, d)
           .select(col("doc_id"), VectorFunctions.simhash(toks).as("sh"))
-          .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
-        val a = sh.select(col("bucket"), col("doc_id").as("da"), col("sh").as("ha"))
-        val b = sh.select(col("bucket"), col("doc_id").as("db"), col("sh").as("hb"))
-        a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+        val banded = sh.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("band", "bits")))
+        val a = banded.select(col("band"), col("bits"),
+          col("doc_id").as("da"), col("sh").as("ha"))
+        val b = banded.select(col("band"), col("bits"),
+          col("doc_id").as("db"), col("sh").as("hb"))
+        a.join(b, Seq("band", "bits")).filter(col("da") < col("db"))
           .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-          .filter(col("hamming") <= 12)
-          .select("da", "db", "hamming")
+          .filter(col("hamming") <= 3)
+          .select("da", "db", "hamming").distinct()
           .orderBy("da", "db")
       }),
+
+    // Near-dup CLUSTERING — the step between pair detection and an actual
+    // deduplicated corpus: connected components over the LSH pair graph
+    // (J ≥ 0.3, same recall-1 argument as q_dedup_fuzzy), each doc labeled
+    // with its cluster's canonical survivor (min doc_id). Oracle: recursive
+    // transitive closure over the exact Jaccard pair set.
+    "q_dedup_cluster" -> Q(
+      fn = (s, d) => {
+        val pairs = minHashDedup(shingleSets(s, d),
+            numHashes = 64, bands = 32, tau = 0.3)
+          .select(col("da").as("a"), col("db").as("b"))
+        connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+            (col("id") === col("lbl")).as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+              LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+            WHERE i + 2 <= len(t)),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db FROM shared
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        SELECT id AS doc_id, MIN(r) AS cluster_id,
+               (id = MIN(r)) AS is_survivor
+        FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // Embedding-cosine near-dup pairs, blocked by label (the corpus's
     // cluster attribute): exact cosine ≥ 0.3 within block. At 100 TB the
@@ -190,6 +243,39 @@ object Dedup {
         WHERE ROUND(list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
         ORDER BY a.label, va, vb""")))
+
+  /** Connected components over an undirected edge list `(a, b)` by
+    * min-label propagation: every node's label converges to the smallest
+    * node id reachable from it. The loop is driver-side but each iteration
+    * is a pure shuffle-join — the standard Spark shape for iterative graph
+    * algorithms; iterations = graph diameter (near-dup clusters are
+    * shallow — a handful). `localCheckpoint` truncates the growing lineage
+    * each round (on a cluster: `persist` + `checkpoint`).
+    *
+    * At 100 TB the same loop holds: labels is (id, lbl) — two longs per
+    * node in any pair, orders of magnitude smaller than the corpus — and
+    * convergence is detected with one count per iteration.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 
   /** MinHash+LSH near-dup detection, reusable operator.
     *

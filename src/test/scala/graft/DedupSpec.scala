@@ -58,4 +58,44 @@ class DedupSpec extends AnyFunSuite {
     val once = SparkEntry.queries("q_dedup_exact")(spark, TestSpark.sf)
     assert(once.count() == once.distinct().count())
   }
+
+  test("connectedComponents: min-label propagation over chain, triangle, singleton pair") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 (+edge 11-12), pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("cluster query: labels are closed under the pair graph and survivors are minima") {
+    val pairs = Dedup.minHashDedup(shingleSets, numHashes = 64, bands = 32, tau = 0.3)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = SparkEntry.queries("q_dedup_cluster")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl survivor is not the min id")
+    }
+  }
+
+  test("simhash pigeonhole banding finds EVERY pair within hamming <= 3") {
+    graft.functions.VectorFunctions.register(spark)
+    val sigs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b)).toSet
+    val blocked = SparkEntry.queries("q_dedup_simhash")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"pigeonhole blocking must be exhaustive: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
 }

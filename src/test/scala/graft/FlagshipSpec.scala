@@ -25,9 +25,9 @@ class FlagshipSpec extends AnyFunSuite {
 
   test("metric is non-increasing with rank within each group") {
     out.groupBy(_.getString(0)).foreach { case (_, rows) =>
-      val byRank = rows.sortBy(_.getLong(3)).map(_.getDecimal(2))
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
       byRank.sliding(2).foreach {
-        case Array(a, b) => assert(a.compareTo(b) >= 0)
+        case Array(a, b) => assert(a >= b)
         case _ =>
       }
     }

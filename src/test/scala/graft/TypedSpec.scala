@@ -31,7 +31,7 @@ class TypedSpec extends AnyFunSuite {
       .groupBy(_.getString(0))
       .map { case (g, rows) =>
         g -> rows.sortBy(_.getLong(3)).map(r =>
-          (r.getString(1), r.getDecimal(2).doubleValue())).toSeq
+          (r.getString(1), r.getDouble(2))).toSeq
       }
 
     assert(typed.keySet == window.keySet)
