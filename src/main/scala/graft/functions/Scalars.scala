@@ -93,6 +93,34 @@ object Scalars {
                make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS made
         FROM orders ORDER BY o_orderkey""")),
 
+    // Sub-day time functions over the event stream (orders/lineitem
+    // timestamps are all midnight, so hour/minute/second need events.ts —
+    // ms-truncated NTZ from Tables, mirrored by date_trunc in the oracle).
+    "q_ts_funcs" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events").select(
+          col("event_id"),
+          hour(col("ts")).cast(LongType).as("h"),
+          minute(col("ts")).cast(LongType).as("mi"),
+          second(col("ts")).cast(LongType).as("sec"),
+          date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour_start"),
+          date_trunc("day", col("ts")).cast(TimestampNTZType).as("day_start"),
+          unix_millis(col("ts").cast(TimestampType)).as("epoch_ms"),
+          expr("timestampadd(HOUR, 2, ts)").cast(TimestampNTZType).as("plus2h"),
+          expr("timestampdiff(MINUTE, date_trunc('day', ts), ts)")
+            .cast(LongType).as("mins_since_midnight"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        WITH e AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts FROM events)
+        SELECT event_id,
+               hour(ts) AS h, minute(ts) AS mi, second(ts) AS sec,
+               date_trunc('hour', ts) AS hour_start,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               epoch_ms(ts) AS epoch_ms,
+               ts + INTERVAL 2 HOUR AS plus2h,
+               date_diff('minute', date_trunc('day', ts), ts) AS mins_since_midnight
+        FROM e ORDER BY event_id""")),
+
     "q_math_funcs" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem").select(
