@@ -166,6 +166,77 @@ object TextAnalysis {
         GROUP BY ta, tb
         ORDER BY ndocs DESC, ta ASC, tb ASC LIMIT 50""")),
 
+    // The composed training-data pipeline, end to end: near-dup cluster
+    // dedup (keep each cluster's canonical survivor) → quality filter →
+    // language selection → per-language corpus stats. One query exercising
+    // the operators together the way a real corpus build chains them; every
+    // stage is oracle-replicated (the dedup stage via recursive closure
+    // over the exact Jaccard pair graph — same recall-1 argument as
+    // q_dedup_fuzzy).
+    "q_pipeline_e2e" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val pairs = Dedup.minHashDedup(
+            Tables(s, d, "documents")
+              .select(col("doc_id"),
+                graft.functions.VectorFunctions.shingleSet(toks, 3).as("tokens"))
+              .filter(size(col("tokens")) > 0),
+            numHashes = 64, bands = 32, tau = 0.3)
+          .select(col("da").as("a"), col("db").as("b"))
+        val dropped = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("lbl"))
+          .select(col("id").as("doc_id"))
+        Tables(s, d, "documents")
+          .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+          .withColumn("n_tokens", size(toks).cast(LongType))
+          .withColumn("space_ratio",
+            length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
+              greatest(length(col("text")), lit(1)))
+          .filter(col("n_tokens").between(20, 80) && col("space_ratio") <= 0.18 &&
+            col("lang").isin("en", "de", "es"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            r4(avg(col("n_chars"))).as("avg_chars"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+              LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+            WHERE i + 2 <= len(t)),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db FROM shared
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        dropped AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+        kept AS (
+          SELECT lang, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS space_ratio
+          FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped))
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars
+        FROM kept
+        WHERE n_tokens BETWEEN 20 AND 80 AND space_ratio <= 0.18
+          AND lang IN ('en', 'de', 'es')
+        GROUP BY lang ORDER BY lang""")),
+
     "q_text_fingerprint" -> Q(
       fn = (s, d) =>
         Tables(s, d, "documents").select(

@@ -75,6 +75,29 @@ object Aggregates {
                true AS within_rsd
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Approximate percentile (Greenwald-Khanna sketch — the fixed-size
+    // per-executor state that replaces the exact sort at 100 TB). Oracle
+    // contract mirrors q_agg_approx_distinct: the sketch's median must land
+    // inside the exact [p45, p55] quantile neighborhood; the exact median
+    // is emitted and hash-checked alongside.
+    "q_agg_approx_percentile" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, 0.45)").as("p45"),
+            expr("percentile(l_extendedprice, 0.55)").as("p55"))
+          .select(col("l_returnflag"), r4(col("p50")).as("p50_exact"),
+            col("approx").between(col("p45"), col("p55")).as("within_band"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_exact,
+               true AS within_band
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_agg_having" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem")
