@@ -257,8 +257,13 @@ object Dedup {
     * convergence is detected with one count per iteration.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list once: it is tiny (near-dup pairs), but its
+    // lineage is the whole upstream pair-generation pipeline — without the
+    // barrier every iteration's join AND every convergence check re-runs
+    // LSH candidate generation (measured 5.4 s vs 2.5 s at sf0.1).
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var iter = 0
