@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Aggregates.qs,
       operators.Windows.qs,
       operators.SetSort.qs,
+      operators.Skew.qs,
       operators.EventTime.qs,
       operators.Analytics.qs,
       functions.Scalars.qs,

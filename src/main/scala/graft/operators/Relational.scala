@@ -317,5 +317,41 @@ object Relational {
         SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p
         WHERE NOT EXISTS (SELECT 1 FROM sg
                           WHERE sg.user_id = p.user_id AND sg.signup_ts <= p.ts)
+        ORDER BY event_id""")),
+
+    // As-of with a tolerance bound (the pandas merge_asof `tolerance`
+    // surface): a signup farther than 7 days before the purchase is no
+    // match — the left row survives null-extended.
+    "q_join_asof_tol" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+        AsOf.joinBackward(
+            purchases, signups,
+            key = "user_id", leftTime = "ts", rightTime = "signup_ts",
+            rightTieBreak = "signup_id", tolerance = Some("INTERVAL 7 DAYS"))
+          .select("event_id", "user_id", "ts", "signup_ts", "signup_id")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+             sg AS (SELECT event_id AS signup_id, user_id, date_trunc('milliseconds', ts) AS signup_ts
+                    FROM events WHERE event_type = 'signup'),
+             j AS (SELECT p.event_id, p.user_id, p.ts, sg.signup_ts, sg.signup_id,
+                          row_number() OVER (PARTITION BY p.event_id
+                                             ORDER BY sg.signup_ts DESC, sg.signup_id DESC) AS rn
+                   FROM p JOIN sg ON p.user_id = sg.user_id
+                          AND sg.signup_ts <= p.ts
+                          AND sg.signup_ts >= p.ts - INTERVAL 7 DAY)
+        SELECT event_id, user_id, ts, signup_ts, signup_id FROM j WHERE rn = 1
+        UNION ALL
+        SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM sg
+                          WHERE sg.user_id = p.user_id AND sg.signup_ts <= p.ts
+                            AND sg.signup_ts >= p.ts - INTERVAL 7 DAY)
         ORDER BY event_id""")))
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.{Q, Tables}
+import graft.Q._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +14,24 @@ import org.apache.spark.sql.functions._
   * formulation in SkewSpec).
   */
 object Skew {
+
+  /** The salted rewrite is oracle-checked against the DIRECT aggregation:
+    * decimal partials make the two-phase merge bit-identical to a single
+    * GROUP BY, so the skew mitigation is provably semantics-free.
+    * l_returnflag (3 hot keys over 600k rows at sf0.1) is exactly the
+    * shape where a single-phase agg would bottleneck on 3 reduce tasks.
+    */
+  val qs: Map[String, Q] = Map(
+    "q_skew_salted" -> Q(
+      fn = (s, d) =>
+        saltedSum(Tables(s, d, "lineitem"), "l_returnflag",
+            dec2(col("l_quantity")), 16)
+          .select(col("l_returnflag"), dec4(col("total")).as("total"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   /** Two-phase salted aggregation: spread each group key over `saltBuckets`
     * partial groups (breaking a hot key across tasks), then merge partials.
