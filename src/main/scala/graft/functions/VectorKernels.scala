@@ -44,16 +44,28 @@ object VectorKernels {
     out
   }
 
+  /** Universal-hashing minhash: each element is string-hashed ONCE
+    * (XXH64), then the k-th permutation value derives from one integer
+    * avalanche round seeded per k (splitmix64-style finalizer over
+    * h + k·φ64). Hashing the string bytes k times — the naive family —
+    * costs numHashes× the string traffic for the same collision
+    * guarantees; with 64 perms over ~600 shingles/doc that was the
+    * dominant cost of LSH candidate generation. */
   def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var k = 0
         while (k < numHashes) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, k.toLong)
-          if (h < sig(k)) sig(k) = h
+          // splitmix64 finalizer on (base + k * golden-gamma)
+          var z = base + k * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          if (z < sig(k)) sig(k) = z
           k += 1
         }
       }
