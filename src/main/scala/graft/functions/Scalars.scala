@@ -35,7 +35,8 @@ object Scalars {
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
           regexp_replace(col("p_type"), "[AEIOU]", "#").as("devoweled"),
           instr(col("p_name"), "a").cast(LongType).as("a_pos"),
-          reverse(col("p_name")).as("rev"))
+          reverse(col("p_name")).as("rev"),
+          levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("lev"))
           .orderBy("p_partkey"),
       oracle = Some("""
         SELECT p_partkey,
@@ -53,7 +54,8 @@ object Scalars {
                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
                regexp_replace(p_type, '[AEIOU]', '#', 'g') AS devoweled,
                instr(p_name, 'a') AS a_pos,
-               reverse(p_name) AS rev
+               reverse(p_name) AS rev,
+               levenshtein(p_name, p_brand) AS lev
         FROM part ORDER BY p_partkey""")),
 
     "q_date_funcs" -> Q(

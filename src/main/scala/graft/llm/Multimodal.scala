@@ -71,5 +71,33 @@ object Multimodal {
       oracle = Some("""
         SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest,
                'text/plain' AS mime
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // Payload chunking (frame-extraction plumbing): split each payload into
+    // 64-byte chunks, one output row per chunk with its digest. The corpus
+    // text is ASCII, so string slicing == byte slicing and the md5s are
+    // oracle-checkable; on real media the same plan runs over BinaryType
+    // slices.
+    "q_multimodal_chunks" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            ceil(length(col("text")).cast(DoubleType) / 64).cast(IntegerType).as("n_chunks"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0)))).as("idx"))
+          .select(
+            col("doc_id"),
+            col("idx").cast(LongType).as("idx"),
+            length(expr("substring(text, CAST(idx*64+1 AS INT), 64)"))
+              .cast(LongType).as("chunk_bytes"),
+            md5(to_binary(expr("substring(text, CAST(idx*64+1 AS INT), 64)"),
+              lit("utf-8"))).as("chunk_md5"))
+          .orderBy("doc_id", "idx"),
+      oracle = Some("""
+        SELECT doc_id, u.idx,
+               length(substring(text, CAST(u.idx*64+1 AS INT), 64)) AS chunk_bytes,
+               md5(substring(text, CAST(u.idx*64+1 AS INT), 64)) AS chunk_md5
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, greatest(CAST(ceil(length(text)/64.0) AS BIGINT), 1))) AS idx) u
+        ORDER BY doc_id, idx""")))
 }

@@ -114,6 +114,24 @@ object Aggregates {
         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 800
         ORDER BY l_partkey""")),
 
+    // Argmax/argmin aggregation — deterministic because the ordering value
+    // (o_orderkey) is unique per group.
+    "q_agg_argmax" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            expr("max_by(o_orderstatus, o_orderkey)").as("last_status"),
+            expr("min_by(o_orderpriority, o_orderkey)").as("first_prio"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_custkey"),
+      oracle = Some("""
+        SELECT o_custkey,
+               max_by(o_orderstatus, o_orderkey) AS last_status,
+               min_by(o_orderpriority, o_orderkey) AS first_prio,
+               MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
     "q_agg_stats" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem")

@@ -55,6 +55,34 @@ object EventTime {
         GROUP BY w_start, event_type
         ORDER BY w_start, event_type""")),
 
+    // Time-interval RANGE frame: per-user rolling count/sum over the
+    // trailing hour. RANGE (not ROWS) makes ties-in-ts deterministic — the
+    // frame is defined by the time value, not row position.
+    "q_window_range_time" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT event_id, user_id, ts,
+                 COUNT(*) OVER w AS n_1h,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+                      AS DECIMAL(18,4)) AS DOUBLE) AS sum_1h
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts, value
+                   FROM events)
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_1h,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+                    AS DECIMAL(18,4)) AS DOUBLE) AS sum_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
     "q_session_window" -> Q(
       fn = (s, d) =>
         Tables(s, d, "events")
