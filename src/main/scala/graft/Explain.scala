@@ -19,14 +19,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
-        println(s"\n===== $name =====")
-        try println(fn(spark, sfDir).queryExecution.explainString(
+        sb.append(s"\n===== $name =====\n")
+        try sb.append(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        catch { case e: Throwable => sb.append(s"explain failed: ${e.getMessage}\n") }
       }
     }
+    print(sb)
+    // full dump for grep-based plan review (pane scrollback is finite)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/explain_all.txt"), sb.toString)
     spark.stop()
   }
 }
