@@ -59,6 +59,18 @@ class DedupSpec extends AnyFunSuite {
     assert(once.count() == once.distinct().count())
   }
 
+  test("64/32 banding (the q_dedup_fuzzy oracle contract) equals brute force exactly") {
+    // Precision is exact by construction (re-check); recall at J>=0.9 is
+    // 1-(1-J^2)^32 ~ 1-1e-23, and the corpus has no pairs between 0.15 and
+    // 0.9 — so the LSH pair set must EQUAL the brute-force one.
+    val lsh6432 = Dedup.minHashDedup(shingleSets, numHashes = 64, bands = 32, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = bruteForce.filter { case (_, j) =>
+      math.round(j * 10000) / 10000.0 >= 0.3 }.keySet
+    assert(lsh6432 == exact,
+      s"missing=${exact -- lsh6432} extra=${lsh6432 -- exact}")
+  }
+
   test("connectedComponents: min-label propagation over chain, triangle, singleton pair") {
     import spark.implicits._
     // chain 1-2-3-4, triangle 10-11-12 (+edge 11-12), pair 20-21
