@@ -65,6 +65,35 @@ object TextAnalysis {
         GROUP BY token
         ORDER BY df DESC, tf DESC, token ASC LIMIT 100""")),
 
+    // TF-IDF: term frequency per (doc, token) × inverse document frequency.
+    // One explode + two hash aggs + a broadcast-able df join — the final
+    // global top-200 is TakeOrderedAndProject (O(k) per partition). The
+    // (tfidf, doc_id, token) sort chain is a total order, so the LIMIT
+    // boundary is deterministic.
+    "q_text_tfidf" -> Q(
+      fn = (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = docs.count().toDouble
+        val dt = docs.select(col("doc_id"), explode(toks).as("token"))
+        val tf = dt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = dt.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(df, "token")
+          .withColumn("tfidf", r4(col("tf") * log(lit(n) / col("df"))))
+          .select("doc_id", "token", "tf", "df", "tfidf")
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+          .limit(200)
+      },
+      oracle = Some("""
+        WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM dt GROUP BY 1)
+        SELECT tf.doc_id, tf.token AS token, tf.tf, df.df,
+               CAST(ROUND(tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df.df), 4)
+                    AS DOUBLE) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token
+        ORDER BY tfidf DESC, doc_id ASC, tf.token ASC LIMIT 200""")),
+
     "q_text_stats" -> Q(
       fn = (s, d) =>
         Tables(s, d, "documents")
