@@ -289,6 +289,82 @@ object Relational {
         FROM target FULL JOIN source ON k = sk
         ORDER BY key""")),
 
+    // SCD2 history build (the warehouse-ETL staple): per customer, each
+    // order becomes a versioned row effective until the next order's date
+    // (open-ended for the latest). lead() over (date, key-unique) — one
+    // keyed window pass.
+    "q_scd2" -> Q(
+      fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("eff_from").asc, col("o_orderkey").asc)
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").as("eff_from"))
+          .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+          .withColumn("is_current", col("eff_to").isNull)
+          .orderBy("o_custkey", "eff_from", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               o_orderdate AS eff_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS eff_to,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
+        FROM orders
+        ORDER BY o_custkey, eff_from, o_orderkey""")),
+
+    // Event funnel (behavioral analytics): per user, the earliest
+    // view -> click -> purchase chain where each step follows the previous
+    // in time; conversion depth = how far the user got. Conditional
+    // min-aggregates — one hash agg, no self-joins.
+    "q_funnel" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click_any"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_buy_any"))
+          .select(
+            col("user_id"), col("t_view"),
+            when(col("t_click_any") > col("t_view"), col("t_click_any")).as("t_click"),
+            col("t_buy_any"), col("t_click_any"))
+          .withColumn("t_buy",
+            when(col("t_buy_any") > col("t_click"), col("t_buy_any")))
+          .withColumn("depth",
+            when(col("t_buy").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .when(col("t_view").isNotNull, 1)
+              .otherwise(0).cast(LongType))
+          .select("user_id", "t_view", "t_click", "t_buy", "depth")
+          .orderBy("user_id"),
+      oracle = Some("""
+        WITH agg AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+          FROM (SELECT user_id, event_type, date_trunc('milliseconds', ts) AS ts
+                FROM events)
+          GROUP BY user_id),
+        step2 AS (
+          SELECT user_id, t_view,
+                 CASE WHEN t_click_any > t_view THEN t_click_any END AS t_click,
+                 t_buy_any
+          FROM agg),
+        step3 AS (
+          SELECT user_id, t_view, t_click,
+                 CASE WHEN t_buy_any > t_click THEN t_buy_any END AS t_buy
+          FROM step2)
+        SELECT user_id, t_view, t_click, t_buy,
+               CASE WHEN t_buy IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
+                    WHEN t_view IS NOT NULL THEN 1
+                    ELSE 0 END AS depth
+        FROM step3 ORDER BY user_id""")),
+
     "q_join_asof" -> Q(
       fn = (s, d) => {
         val ev = Tables(s, d, "events") // ts already ms-truncated NTZ
