@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Grouped aggregation family (SURVEY.md §2.2). All run as Catalyst hash
@@ -219,6 +219,63 @@ object Aggregates {
       oracle = Some("""
         SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // Data profiling (the corpus-QA pass a pipeline runs before training):
+    // one wide aggregate computes null count / NDV / numeric range for
+    // every profiled column in a SINGLE scan, then unpivots to long form.
+    // Numeric min/max emit as double; string columns profile counts only
+    // (double->varchar formatting diverges across engines).
+    "q_profile" -> Q(
+      fn = (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val li = Tables(s, d, "lineitem")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast(DoubleType).as(s"${c}__mn"),
+          max(col(c)).cast(DoubleType).as(s"${c}__mx"))) ++
+          strCols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            lit(null).cast(DoubleType).as(s"${c}__mn"),
+            lit(null).cast(DoubleType).as(s"${c}__mx")))
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        val rows = (cols ++ strCols).map(c => struct(
+          lit(c).as("column"), col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val")))
+        wide.select(explode(array(rows: _*)).as("p"))
+          .select("p.column", "p.n_null", "p.n_distinct", "p.min_val", "p.max_val")
+          .orderBy("column")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS "column", COUNT(*) FILTER (l_orderkey IS NULL) AS n_null,
+                 COUNT(DISTINCT l_orderkey) AS n_distinct,
+                 CAST(MIN(l_orderkey) AS DOUBLE) AS min_val, CAST(MAX(l_orderkey) AS DOUBLE) AS max_val
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_partkey', COUNT(*) FILTER (l_partkey IS NULL), COUNT(DISTINCT l_partkey),
+                 CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', COUNT(*) FILTER (l_quantity IS NULL), COUNT(DISTINCT l_quantity),
+                 CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', COUNT(*) FILTER (l_extendedprice IS NULL), COUNT(DISTINCT l_extendedprice),
+                 CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', COUNT(*) FILTER (l_discount IS NULL), COUNT(DISTINCT l_discount),
+                 CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*) FILTER (l_returnflag IS NULL), COUNT(DISTINCT l_returnflag),
+                 NULL, NULL FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', COUNT(*) FILTER (l_linestatus IS NULL), COUNT(DISTINCT l_linestatus),
+                 NULL, NULL FROM lineitem
+)
+        ORDER BY "column" """)),
 
     "q_rollup" -> Q(
       fn = (s, d) =>
