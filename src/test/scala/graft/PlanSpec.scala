@@ -60,6 +60,24 @@ class PlanSpec extends AnyFunSuite {
     assert(mj.contains("SortMergeJoin"))
   }
 
+  test("LSH banding exchange carries only ids — token arrays stay out of the shuffle") {
+    val p = planOf("q_dedup_fuzzy")
+    // the hashpartitioning exchange on (band, bsig) must not carry the
+    // shingle-set array column (replicating it x bands was measured 5x)
+    val exchanges = p.split("\\n").filter(_.contains("hashpartitioning(band"))
+    assert(exchanges.nonEmpty, "banding exchange missing")
+    assert(!exchanges.exists(_.contains("tokens")),
+      "token arrays riding the banding exchange")
+  }
+
+  test("q_profile reads lineitem in a single scan") {
+    val p = planOf("q_profile")
+    // formatted mode lists each operator twice (tree + detail header);
+    // count only the numbered detail headers
+    assert(p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "profiling must compute all column stats in one pass")
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
