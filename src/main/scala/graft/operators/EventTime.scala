@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing in batch mode (SURVEY.md §2.4). The exact same
@@ -81,6 +82,42 @@ object EventTime {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Null-aware window navigation: defaults, IGNORE NULLS skipping,
+    // forward fill, guarded percent change — the missing-data toolkit a
+    // time-series consumer of the engine needs.
+    "q_window_nulls" -> Q(
+      fn = (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables(s, d, "events")
+          .withColumn("v", when(col("value") >= 50, col("value")))
+          .select(
+            col("event_id"), col("user_id"), col("ts"), col("v"),
+            lag(col("value"), 1, -1.0).over(w).as("lag_def"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(w).as("lag_ign"),
+            last(col("v"), ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("ffill"),
+            r4((col("value") - lag(col("value"), 1).over(w)) /
+              nullif(lag(col("value"), 1).over(w), lit(0.0))).as("pct_change"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
+                          value, CASE WHEN value >= 50 THEN value END AS v
+                   FROM events)
+        SELECT event_id, user_id, ts, v,
+               lag(value, 1, -1.0) OVER w AS lag_def,
+               lag(v IGNORE NULLS) OVER w AS lag_ign,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+               CAST(ROUND((value - lag(value, 1) OVER w) /
+                 nullif(lag(value, 1) OVER w, 0.0), 4) AS DOUBLE) AS pct_change
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ORDER BY event_id""")),
 
     "q_session_window" -> Q(
