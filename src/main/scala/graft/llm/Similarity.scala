@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   * 100 TB design: brute force broadcasts the (small) query set against the
   * partitioned corpus — a map-side nested loop with no shuffle until the
   * final per-query top-k (WindowGroupLimit keeps k rows per partition before
-  * the exchange). The ANN variant buckets both sides by a deterministic
-  * 8-bit hyperplane signature so each query only scans its bucket
-  * (~1/256th of the corpus per probe).
+  * the exchange). The ANN variant is multi-table hyperplane LSH (one 64-bit
+  * signature, bit-sliced into L independent tables) — geometry sized to the
+  * corpus's measured similarity profile, see [[annTopK]].
   */
 object Similarity {
 
@@ -57,11 +57,9 @@ object Similarity {
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
         ORDER BY q_id, rnk, vec_id""")),
 
-    // ANN: random-hyperplane LSH. Deterministic pseudo-planes — component j
-    // of plane p is a hash-derived value in [-1, 1] — give every vector an
-    // 8-bit signature; top-3 neighbors are searched within the same bucket
-    // only. Approximate by construction → rows-only (recall asserted vs
-    // brute force in SimilaritySpec).
+    // ANN: multi-table random-hyperplane LSH (deterministic pseudo-planes;
+    // see annTopK for the recall math). Approximate by construction →
+    // rows-only (recall floor asserted vs brute force in SimilaritySpec).
     "q_similarity_ann" -> Q(
       fn = (s, d) => annTopK(s, Tables(s, d, "embeddings"), k = 3)
         .orderBy("q_id", "rnk", "vec_id")),
@@ -118,18 +116,41 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rnk")
   }
 
-  /** 8-bit hyperplane signature (native expression — the HOF formulation
-    * is interpreted per element) + within-bucket exact cosine top-k. */
+  /** Multi-TABLE random-hyperplane LSH (the standard cosine-ANN
+    * construction): L independent b-plane hash tables, all derived from
+    * ONE 64-bit signature kernel call — table t's bucket is bit-slice t of
+    * the signature, exactly the simhash banding trick. A neighbor at angle
+    * θ shares a vector's bucket in at least one table with probability
+    * 1 − (1 − (1−θ/π)^b)^L. The table geometry is sized to the corpus's
+    * actual similarity profile: its nearest neighbors sit at cos ≈ 0.33
+    * (θ≈71°, collision p≈0.61/plane), so 8-plane tables give p⁸≈0.02 and
+    * near-zero recall no matter how many tables (measured 0.13@3); 5-plane
+    * × 12 tables gives 1−(1−0.61⁵)¹²≈0.64 while scanning ~12/32 of the
+    * corpus — the honest LSH trade at weak similarity. (Dedup-grade
+    * cos≥0.9 neighbors would recall ≈1 here with the same geometry.)
+    * Candidates found by several tables collapse with a distinct on the
+    * scored pair; the corpus is hashed once and shuffled by
+    * (table, bucket). The 64-dim vectors ride the banding explode here
+    * (512 bytes); at real embedding width band ids only and join vectors
+    * back per candidate (see minHashDedup). */
   def annTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     VectorFunctions.register(spark)
+    val tables = 12
     val e = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
-      .withColumn("bucket", VectorFunctions.hyperplaneSig(col("v"), 8))
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
-    e.join(queries, Seq("bucket"))
+      .withColumn("sig", VectorFunctions.hyperplaneSig(col("v"), 64))
+    def banded(df: DataFrame) = df.select(
+      col("*"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("sig"), t * 5).bitwiseAND(lit(0x1FL))): _*))
+        .as(Seq("table", "bucket")))
+    val corpus = banded(e).select(col("table"), col("bucket"), col("vec_id"), col("v"))
+    val queries = banded(e.filter(col("vec_id") < 10))
+      .select(col("table"), col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
+    corpus.join(queries, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+      .select("q_id", "vec_id", "cos").distinct()
       .withColumn("rnk", rank().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))

@@ -46,7 +46,10 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSeq }
     val (rIvf, rLsh) = (recall(ivf), recall(lsh))
     info(f"IVF recall@3 = $rIvf%.2f, LSH recall@3 = $rLsh%.2f")
-    assert(rIvf > 0.0)
+    // corpus neighbors sit at cos ~ 0.33 -> theoretical LSH recall ~ 0.64
+    // (5-plane x 12-table geometry); 0.4 is a safe floor across sf dirs
+    assert(rIvf >= 0.8, f"IVF recall degraded: $rIvf%.2f")
+    assert(rLsh >= 0.4, f"LSH recall degraded: $rLsh%.2f")
     // both must return ≤ k results per present query
     assert(ivf.values.forall(_.size <= 3) && lsh.values.forall(_.size <= 3))
   }
