@@ -95,6 +95,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch and streaming tumbling aggregation agree on the whole corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // batch side: the oracle-checked q_window_tumbling
+    val batch = SparkEntry.queries("q_window_tumbling")(spark, TestSpark.sf)
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // streaming side: the SAME window expression over a MemoryStream fed
+    // with the same corpus rows
+    val corpus = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val mem = MemoryStream[Event]
+    val out = mem.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Q.dec4(sum(graft.Q.dec2(col("value")))).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("total"))
+    val q = out.writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(corpus.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("parity").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"batch-only=${(batch -- streamed).take(3)} stream-only=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream join emits signup→purchase pairs within the bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
