@@ -132,6 +132,25 @@ object Aggregates {
                MAX(o_orderkey) AS max_key
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Boolean aggregation family.
+    "q_agg_bool" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bool_and(l_quantity > 0)").as("all_pos_qty"),
+            expr("bool_or(l_discount > 0.09)").as("any_big_disc"),
+            expr("every(l_extendedprice > 100)").as("all_price_100"),
+            expr("count_if(l_discount > 0.09)").as("n_big_disc"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_pos_qty,
+               bool_or(l_discount > 0.09) AS any_big_disc,
+               bool_and(l_extendedprice > 100) AS all_price_100,
+               COUNT(*) FILTER (l_discount > 0.09) AS n_big_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_agg_stats" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem")
