@@ -36,7 +36,8 @@ object Scalars {
           regexp_replace(col("p_type"), "[AEIOU]", "#").as("devoweled"),
           instr(col("p_name"), "a").cast(LongType).as("a_pos"),
           reverse(col("p_name")).as("rev"),
-          levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("lev"))
+          levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("lev"),
+          col("p_name").rlike("a.*e").as("has_pat"))
           .orderBy("p_partkey"),
       oracle = Some("""
         SELECT p_partkey,
@@ -55,7 +56,8 @@ object Scalars {
                regexp_replace(p_type, '[AEIOU]', '#', 'g') AS devoweled,
                instr(p_name, 'a') AS a_pos,
                reverse(p_name) AS rev,
-               levenshtein(p_name, p_brand) AS lev
+               levenshtein(p_name, p_brand) AS lev,
+               regexp_matches(p_name, 'a.*e') AS has_pat
         FROM part ORDER BY p_partkey""")),
 
     "q_date_funcs" -> Q(
@@ -273,6 +275,42 @@ object Scalars {
              LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
                              unnest(embedding) AS val) u
         ORDER BY vec_id, pos""")),
+
+    // Outer generator: posexplode_outer keeps rows whose generated list is
+    // EMPTY as a single null-extended row (inner explode drops them).
+    "q_explode_outer" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode_outer(filter(col("embedding"),
+              x => x.cast(DoubleType) > 0.3)).as(Seq("pos", "val")))
+          .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+            r4(col("val").cast(DoubleType)).as("val"))
+          .orderBy(col("vec_id"), col("pos").asc_nulls_first),
+      oracle = Some("""
+        SELECT vec_id, u.pos - 1 AS pos,
+               CAST(ROUND(CAST(u.val AS DOUBLE), 4) + 0.0 AS DOUBLE) AS val
+        FROM embeddings LEFT JOIN LATERAL (
+          SELECT generate_subscripts(l, 1) AS pos, unnest(l) AS val
+          FROM (SELECT list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.3) AS l)) u
+          ON true
+        ORDER BY vec_id, pos NULLS FIRST""")),
+
+    // Schema-aligning union: unionByName with allowMissingColumns
+    // null-fills columns absent on one side (DuckDB: UNION ALL BY NAME).
+    "q_union_byname" -> Q(
+      fn = (s, d) => {
+        val a = Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        val b = Tables(s, d, "nation")
+          .select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("n_nationkey"), col("n_regionkey").asc_nulls_first)
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation
+        UNION ALL BY NAME
+        SELECT n_name, n_nationkey, n_regionkey FROM nation
+        ORDER BY n_nationkey, n_regionkey NULLS FIRST""")),
 
     "q_json_funcs" -> Q(
       fn = (s, d) =>

@@ -132,6 +132,23 @@ object Aggregates {
                MAX(o_orderkey) AS max_key
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Bitwise aggregation family.
+    "q_agg_bitwise" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_orderkey)").as("band"),
+            expr("bit_or(l_orderkey)").as("bor"),
+            expr("bit_xor(l_orderkey)").as("bxor"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               bit_and(l_orderkey) AS band,
+               bit_or(l_orderkey) AS bor,
+               bit_xor(l_orderkey) AS bxor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Boolean aggregation family.
     "q_agg_bool" -> Q(
       fn = (s, d) =>
