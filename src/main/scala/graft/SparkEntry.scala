@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Windows.qs,
       operators.SetSort.qs,
       operators.Skew.qs,
+      sources.Sources.qs,
       operators.EventTime.qs,
       operators.Analytics.qs,
       functions.Scalars.qs,

@@ -37,7 +37,8 @@ object Scalars {
           instr(col("p_name"), "a").cast(LongType).as("a_pos"),
           reverse(col("p_name")).as("rev"),
           levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("lev"),
-          col("p_name").rlike("a.*e").as("has_pat"))
+          col("p_name").rlike("a.*e").as("has_pat"),
+          split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"))
           .orderBy("p_partkey"),
       oracle = Some("""
         SELECT p_partkey,
@@ -57,7 +58,8 @@ object Scalars {
                instr(p_name, 'a') AS a_pos,
                reverse(p_name) AS rev,
                levenshtein(p_name, p_brand) AS lev,
-               regexp_matches(p_name, 'a.*e') AS has_pat
+               regexp_matches(p_name, 'a.*e') AS has_pat,
+               split_part(p_type, ' ', 2) AS type_mid
         FROM part ORDER BY p_partkey""")),
 
     "q_date_funcs" -> Q(
@@ -141,7 +143,9 @@ object Scalars {
           pmod(col("l_orderkey"), lit(7)).as("pm"),
           signum(col("l_discount") - 0.05).as("sgn"),
           greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
-          least(col("l_quantity"), col("l_discount") * 100).as("ls"))
+          least(col("l_quantity"), col("l_discount") * 100).as("ls"),
+          // error-safe division: divisor 0 yields null, not an error/Inf
+          try_divide(col("l_quantity"), col("l_linenumber") - 1).as("safe_div"))
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "div7", "qty_sq"),
       oracle = Some("""
@@ -158,7 +162,8 @@ object Scalars {
                ((l_orderkey % 7) + 7) % 7 AS pm,
                CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
                greatest(l_quantity, l_tax * 100) AS gr,
-               least(l_quantity, l_discount * 100) AS ls
+               least(l_quantity, l_discount * 100) AS ls,
+               l_quantity / nullif(l_linenumber - 1, 0) AS safe_div
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, div7, qty_sq""")),
 

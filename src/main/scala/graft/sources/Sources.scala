@@ -15,6 +15,30 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  /** CSV and JSON landing formats, oracle-checked as round trips: write the
+    * corpus table out, read it back schema-applied, and the result must
+    * hash-match the direct parquet read — the fidelity property a raw
+    * landing zone relies on. */
+  val qs: Map[String, graft.Q] = Map(
+    "q_source_csv" -> graft.Q(
+      fn = (s, d) => {
+        val nation = s.read.parquet(s"$d/nation.parquet")
+        val path = "/tmp/graft_csv_nation"
+        writeCsv(nation, path)
+        readCsv(s, path, nation.schema)
+          .orderBy("n_nationkey")
+      },
+      oracle = Some("SELECT * FROM nation ORDER BY n_nationkey")),
+    "q_source_json" -> graft.Q(
+      fn = (s, d) => {
+        val supplier = s.read.parquet(s"$d/supplier.parquet")
+        val path = "/tmp/graft_json_supplier"
+        writeJson(supplier, path)
+        readJson(s, path, supplier.schema)
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("SELECT * FROM supplier ORDER BY s_suppkey")))
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
