@@ -100,7 +100,12 @@ object EventTime {
             last(col("v"), ignoreNulls = true)
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .as("ffill"),
-            r4((col("value") - lag(col("value"), 1).over(w)) /
+            // raw double, NOT rounded: the ratio of two 2-decimal values
+            // can land exactly on a .xxxx5 boundary, where Spark's
+            // BigDecimal round (exact) and DuckDB's x*1e4 fp round diverge
+            // (hit at sf0.1). The unrounded division is bit-identical on
+            // both engines.
+            ((col("value") - lag(col("value"), 1).over(w)) /
               nullif(lag(col("value"), 1).over(w), lit(0.0))).as("pct_change"))
           .orderBy("event_id")
       },
@@ -114,8 +119,8 @@ object EventTime {
                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
-               CAST(ROUND((value - lag(value, 1) OVER w) /
-                 nullif(lag(value, 1) OVER w, 0.0), 4) AS DOUBLE) AS pct_change
+               CAST((value - lag(value, 1) OVER w) /
+                 nullif(lag(value, 1) OVER w, 0.0) AS DOUBLE) AS pct_change
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ORDER BY event_id""")),
