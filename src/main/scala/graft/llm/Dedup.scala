@@ -85,8 +85,11 @@ object Dedup {
         shared
           .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
           .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-          .withColumn("jac", r4(col("c").cast(DoubleType) /
-            (col("na") + col("nb") - col("c"))))
+          // raw ratio, not rounded: rounding a rational can land on an
+          // exact .xxxx5 boundary where the engines' round() diverge; the
+          // unrounded division is bit-identical (same IEEE ops both sides)
+          .withColumn("jac", col("c").cast(DoubleType) /
+            (col("na") + col("nb") - col("c")))
           .filter(col("jac") >= 0.05)
           .select("da", "db", "jac")
           .orderBy("da", "db")
@@ -104,11 +107,11 @@ object Dedup {
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT da, db,
-               CAST(ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS DOUBLE) AS jac
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
         FROM shared
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
-        WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.05
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05
         ORDER BY da, db""")),
 
     // MinHash (64 perms) + LSH (32 bands × 2 rows) candidate generation over
@@ -139,11 +142,11 @@ object Dedup {
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT da, db,
-               CAST(ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS DOUBLE) AS jac
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
         FROM shared
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
-        WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         ORDER BY da, db""")),
 
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression) with
@@ -205,7 +208,7 @@ object Dedup {
           SELECT da, db FROM shared
           JOIN sizes sa ON sa.doc_id = da
           JOIN sizes sb ON sb.doc_id = db
-          WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3),
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
         edges AS (SELECT da AS a, db AS b FROM pairs
                   UNION SELECT db, da FROM pairs),
         reach(id, r) AS (
@@ -228,7 +231,7 @@ object Dedup {
         val a = e.select(col("label"), col("vec_id").as("va"), col("v").as("xa"))
         val b = e.select(col("label"), col("vec_id").as("vb"), col("v").as("xb"))
         a.join(b, Seq("label")).filter(col("va") < col("vb"))
-          .withColumn("cos", r4(VectorFunctions.cosineSim(col("xa"), col("xb"))))
+          .withColumn("cos", VectorFunctions.cosineSim(col("xa"), col("xb")))
           .filter(col("cos") >= 0.3)
           .select("label", "va", "vb", "cos")
           .orderBy("label", "va", "vb")
@@ -236,12 +239,11 @@ object Dedup {
       oracle = Some("""
         WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
-               CAST(ROUND(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-                 AS DOUBLE) AS cos
+               list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        WHERE list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
         ORDER BY a.label, va, vb""")))
 
   /** Connected components over an undirected edge list `(a, b)` by
@@ -335,8 +337,8 @@ object Dedup {
       .select(col("doc_id").as("db"), col("tokens").as("tb"))
       .join(broadcast(withTa), "db")
       .withColumn("jac",
-        r4(size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
-           size(array_union(col("ta"), col("tb")))))
+        size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
+          size(array_union(col("ta"), col("tb"))))
       .filter(col("jac") >= tau)
       .select("da", "db", "jac")
   }

@@ -33,7 +33,7 @@ object Similarity {
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+          .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
           .withColumn("rnk", rank().over(
             Window.partitionBy(col("q_id"))
               .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
@@ -46,9 +46,8 @@ object Similarity {
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
         scored AS (
           SELECT q.q_id, e.vec_id,
-                 CAST(ROUND(list_dot_product(q.qv, e.v) /
-                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4)
-                   AS DOUBLE) AS cos
+                 list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
           FROM q JOIN e ON e.vec_id <> q.q_id),
         ranked AS (
           SELECT q_id, vec_id, cos,
@@ -108,7 +107,7 @@ object Similarity {
 
     assigned.join(queries, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
       .withColumn("rnk", rank().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
@@ -149,7 +148,7 @@ object Similarity {
       .select(col("table"), col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
     corpus.join(queries, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", r4(VectorFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
       .select("q_id", "vec_id", "cos").distinct()
       .withColumn("rnk", rank().over(
         Window.partitionBy(col("q_id"))

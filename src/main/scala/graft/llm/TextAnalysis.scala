@@ -245,7 +245,7 @@ object TextAnalysis {
           SELECT da, db FROM shared
           JOIN sizes sa ON sa.doc_id = da
           JOIN sizes sb ON sb.doc_id = db
-          WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3),
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
         edges AS (SELECT da AS a, db AS b FROM pairs
                   UNION SELECT db, da FROM pairs),
         reach(id, r) AS (

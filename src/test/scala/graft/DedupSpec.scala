@@ -65,8 +65,7 @@ class DedupSpec extends AnyFunSuite {
     // 0.9 — so the LSH pair set must EQUAL the brute-force one.
     val lsh6432 = Dedup.minHashDedup(shingleSets, numHashes = 64, bands = 32, tau = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = bruteForce.filter { case (_, j) =>
-      math.round(j * 10000) / 10000.0 >= 0.3 }.keySet
+    val exact = bruteForce.filter(_._2 >= 0.3).keySet
     assert(lsh6432 == exact,
       s"missing=${exact -- lsh6432} extra=${lsh6432 -- exact}")
   }
