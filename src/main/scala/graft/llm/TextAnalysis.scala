@@ -101,15 +101,15 @@ object TextAnalysis {
           .agg(
             count(lit(1)).as("n_docs"),
             countDistinct(col("source")).as("n_sources"),
-            r4(avg(col("n_chars"))).as("avg_chars"),
-            r4(avg(size(toks))).as("avg_tokens"),
+            avg(col("n_chars")).as("avg_chars"),
+            avg(size(toks)).as("avg_tokens"),
             min(col("n_chars")).as("min_chars"),
             max(col("n_chars")).as("max_chars"))
           .orderBy("lang"),
       oracle = Some("""
         SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
-               CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
-               CAST(ROUND(AVG(len(string_split(text, ' '))), 4) AS DOUBLE) AS avg_tokens,
+               CAST(AVG(n_chars) AS DOUBLE) AS avg_chars,
+               CAST(AVG(len(string_split(text, ' '))) AS DOUBLE) AS avg_tokens,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 
@@ -119,28 +119,32 @@ object TextAnalysis {
           col("doc_id"),
           size(toks).cast(LongType).as("n_tokens"),
           length(col("text")).cast(LongType).as("text_len"),
-          r4(length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
+          // raw ratios, not rounded: int/int division is bit-identical on
+          // both engines, while round(ratio, 4) diverges when the rational
+          // lands exactly on a .xxxx5 boundary (possible when the
+          // denominator divides 2*10^4)
+          (length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
              greatest(length(col("text")), lit(1))).as("space_ratio"),
-          r4(size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) /
+          (size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) /
              greatest(size(toks), lit(1))).as("stopword_ratio"),
-          r4((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+          ((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
             .cast(DoubleType) / greatest(length(col("text")), lit(1))).as("vowel_ratio"),
-          r4(size(array_distinct(toks)).cast(DoubleType) /
+          (size(array_distinct(toks)).cast(DoubleType) /
              greatest(size(toks), lit(1))).as("distinct_ratio"))
           .orderBy("doc_id"),
       oracle = Some(s"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                length(text) AS text_len,
-               CAST(ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-                    / greatest(length(text), 1), 4) AS DOUBLE) AS space_ratio,
-               CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+               CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) AS space_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
                       t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
-                    / greatest(len(string_split(text, ' ')), 1), 4) AS DOUBLE) AS stopword_ratio,
-               CAST(ROUND(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
-                    / greatest(length(text), 1), 4) AS DOUBLE) AS vowel_ratio,
-               CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / greatest(len(string_split(text, ' ')), 1), 4) AS DOUBLE) AS distinct_ratio
+                    / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) AS vowel_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1) AS distinct_ratio
         FROM documents ORDER BY doc_id""")),
 
     "q_text_langid" -> Q(
@@ -226,7 +230,7 @@ object TextAnalysis {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
-            r4(avg(col("n_chars"))).as("avg_chars"))
+            avg(col("n_chars")).as("avg_chars"))
           .orderBy("lang")
       },
       oracle = Some("""
@@ -260,7 +264,7 @@ object TextAnalysis {
                    / greatest(length(text), 1) AS space_ratio
           FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped))
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars
+               CAST(AVG(n_chars) AS DOUBLE) AS avg_chars
         FROM kept
         WHERE n_tokens BETWEEN 20 AND 80 AND space_ratio <= 0.18
           AND lang IN ('en', 'de', 'es')
