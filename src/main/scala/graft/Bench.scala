@@ -26,16 +26,23 @@ object Bench {
     // Warm the session once (JIT, codegen cache, parquet footers) so the
     // first measured query doesn't absorb JVM startup.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
-    // Best-of-2 per query: single-shot local timings vary ±20% with system
-    // noise; the min is the standard stable estimator.
+    // Median-of-3 per query: single-shot local timings vary ±20% with system
+    // noise; the median rejects one-off outliers in either direction where
+    // best-of-N hides genuine regressions behind one lucky run.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Query isolation: a query that leaves cached/checkpointed blocks
+      // behind (iterative loops) must not bleed memory pressure into the
+      // next measurement. Outside the timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sec
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    val runs = SparkEntry.queries.map { case (name, fn) =>
+      name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
     }
+    val results = runs.map { case (name, ts) => name -> ts.sorted.apply(1) }
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
@@ -47,6 +54,11 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
       results.map { case (k, v) => s"\"$k\":${r3(v)}" }
+        .mkString("{", ",", "}") + "\n")
+    // All three raw runs per query, for drift-vs-noise analysis.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_RUNS.json"),
+      runs.map { case (k, ts) => s"\"$k\":[${ts.map(r3).mkString(",")}]" }
         .mkString("{", ",", "}") + "\n")
     spark.stop()
   }

@@ -180,8 +180,18 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Register both as session SQL functions (idempotent). */
-  def register(spark: SparkSession): Unit = {
+  /** Sessions already holding the graft functions. Weak keys: a dropped
+    * session must not be pinned by the guard. Without the guard every query
+    * re-registered the whole set, flooding the log with
+    * `SimpleFunctionRegistry ... replaced` warnings (one per function per
+    * query in a bench run).
+    */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register all graft functions in the session, once per session. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")

@@ -278,9 +278,17 @@ object Dedup {
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).isEmpty
+      // Release the superseded generation's checkpoint blocks: without this
+      // every iteration's label table stays cached for the rest of the
+      // session (the blocks outlive the query and bleed memory pressure
+      // into whatever runs next in the same JVM).
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    // The returned frame is itself checkpointed, so the edge list's blocks
+    // are no longer reachable from it — free them too.
+    sym.unpersist()
     labels
   }
 
