@@ -24,12 +24,34 @@ object VectorKernels {
     h
   }
 
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Little-endian uint64 of the LAST 8 MD5 digest bytes — the exact value
+    * DuckDB's `md5_number_lower(s)` returns (byte order verified against
+    * v1.0.0). Using a hash both engines can compute makes every
+    * fingerprint built on it reproducible in plain SQL, which is what
+    * turns simhash from rows-only into a hash-checked oracle query.
+    */
+  def md5Lower64(s: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = fnv1a64(arr.getUTF8String(i))
+        val h = md5Lower64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -155,8 +155,13 @@ object Dedup {
     // differing bits, so at least one of the 4 bands is IDENTICAL — blocking
     // on (band, band-bits) finds every qualifying pair deterministically
     // (complete, not probabilistic; DedupSpec asserts equality with the
-    // brute-force pair set). Fingerprint values are engine-specific → no SQL
-    // oracle, rows-only.
+    // brute-force pair set).
+    //
+    // Oracle: the per-token hash is md5-lower-64 — a value DuckDB computes
+    // natively as `md5_number_lower` — so the oracle rebuilds the EXACT
+    // fingerprints in SQL (per-bit majority vote over the same tokens) and
+    // brute-forces the hamming<=3 pair set. The banded plan must therefore
+    // reproduce the full pair set, rows+schema+hash.
     "q_dedup_simhash" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
@@ -171,11 +176,30 @@ object Dedup {
         val b = banded.select(col("band"), col("bits"),
           col("doc_id").as("db"), col("sh").as("hb"))
         a.join(b, Seq("band", "bits")).filter(col("da") < col("db"))
-          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
           .filter(col("hamming") <= 3)
           .select("da", "db", "hamming").distinct()
           .orderBy("da", "db")
-      }),
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (md5_number_lower(t) >> b) & 1 = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM tk, (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b),
+        fp AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b)
+                        ELSE CAST(0 AS UBIGINT) END) AS sh
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY da, db""")),
 
     // Near-dup CLUSTERING — the step between pair detection and an actual
     // deduplicated corpus: connected components over the LSH pair graph

@@ -26,21 +26,8 @@ object Similarity {
     // Exact top-5 cosine neighbors for query vectors (vec_id < 10), via the
     // codegen'd CosineSimilarity expression; tie-break by vec_id.
     "q_similarity_topk" -> Q(
-      fn = (s, d) => {
-        VectorFunctions.register(s)
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
-        val queries = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
-          .withColumn("rnk", rank().over(
-            Window.partitionBy(col("q_id"))
-              .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "vec_id", "cos", "rnk")
-          .orderBy("q_id", "rnk", "vec_id")
-      },
+      fn = (s, d) => exactTopK(s, Tables(s, d, "embeddings"), k = 5)
+        .orderBy("q_id", "rnk", "vec_id"),
       oracle = Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -57,20 +44,118 @@ object Similarity {
         ORDER BY q_id, rnk, vec_id""")),
 
     // ANN: multi-table random-hyperplane LSH (deterministic pseudo-planes;
-    // see annTopK for the recall math). Approximate by construction →
-    // rows-only (recall floor asserted vs brute force in SimilaritySpec).
+    // see annTopK for the recall math). The hyperplane signature kernel is
+    // not SQL-reproducible, so the driver-visible contract is the
+    // boolean-validated form (same pattern as q_agg_approx_*): the ANN picks
+    // are scored against the EXACT top-k (computed independently on both
+    // engines), and the query emits one row of engine-independent anchors
+    // (query count, min/max k-th exact cosine — raw doubles, order-
+    // insensitive aggregates) plus `recall_ok` = mean recall >= 0.3. The
+    // floor is meaningful (random picks score ~k/N ~= 0.005; measured mean
+    // is 0.53 @ sf0.01, 0.63 @ sf0.1 per the geometry analysis on annTopK)
+    // yet safe against per-query variance (individual queries range 0..1).
     "q_similarity_ann" -> Q(
-      fn = (s, d) => annTopK(s, Tables(s, d, "embeddings"), k = 3)
-        .orderBy("q_id", "rnk", "vec_id")),
+      fn = (s, d) => {
+        val ann = annTopK(s, Tables(s, d, "embeddings"), k = 3)
+          .select("q_id", "vec_id")
+        val exact = exactTopK(s, Tables(s, d, "embeddings"), k = 3)
+        val anchors = exact
+          .groupBy("q_id").agg(max(when(col("rnk") === 3, col("cos"))).as("kth"))
+          .agg(count(lit(1)).cast(LongType).as("n_queries"),
+            min(col("kth")).as("min_kth_cos"), max(col("kth")).as("max_kth_cos"))
+        val hits = ann.join(exact.select("q_id", "vec_id"),
+            Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        anchors.crossJoin(hits)
+          .select(col("n_queries"), col("min_kth_cos"), col("max_kth_cos"),
+            (col("hits") / (col("n_queries") * 3.0) >= 0.3).as("recall_ok"))
+      },
+      oracle = Some(s"""
+        WITH $exactTopKSql
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               MIN(kth) AS min_kth_cos, MAX(kth) AS max_kth_cos,
+               true AS recall_ok
+        FROM (SELECT q_id, MAX(CASE WHEN rnk = 3 THEN cos END) AS kth
+              FROM ranked WHERE rnk <= 3 GROUP BY q_id)""")),
 
     // IVF: coarse-quantize every vector to its nearest centroid cell; each
-    // query probes only its `nprobe` closest cells. Approximate → rows-only
-    // (SimilaritySpec asserts the probed-cell scan is exact and reports
-    // recall vs brute force).
+    // query probes only its `nprobe` closest cells. The codebook is
+    // deterministic (first `nlist` vectors), so unlike the LSH path the
+    // whole algorithm is plain relational algebra — the oracle re-runs IVF
+    // itself in SQL (assign cells, probe top-nprobe cells, exact top-k
+    // inside) and the result is hash-checked end to end.
     "q_similarity_ivf" -> Q(
       fn = (s, d) => ivfTopK(s, Tables(s, d, "embeddings"), k = 3,
           nlist = 16, nprobe = 4)
-        .orderBy("q_id", "rnk", "vec_id")))
+        .orderBy("q_id", "rnk", "vec_id"),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        acell AS (
+          SELECT vec_id, cent_id,
+                 rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crnk
+          FROM (SELECT e.vec_id, cb.cent_id,
+                       list_dot_product(e.v, cb.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cb.cv, cb.cv))) AS ccos
+                FROM e CROSS JOIN cb)),
+        assigned AS (
+          SELECT a.vec_id, a.cent_id, e.v
+          FROM acell a JOIN e USING (vec_id) WHERE crnk = 1),
+        qcell AS (
+          SELECT q_id, cent_id, qv FROM (
+            SELECT vec_id AS q_id, cent_id, v AS qv,
+                   rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crnk
+            FROM (SELECT e.vec_id, cb.cent_id, e.v,
+                         list_dot_product(e.v, cb.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cb.cv, cb.cv))) AS ccos
+                  FROM e CROSS JOIN cb WHERE e.vec_id < 10))
+          WHERE crnk <= 4),
+        scored AS (
+          SELECT q.q_id, a.vec_id,
+                 list_dot_product(q.qv, a.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+          FROM assigned a JOIN qcell q USING (cent_id)
+          WHERE a.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM (SELECT DISTINCT q_id, vec_id, cos FROM scored))
+        SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk, vec_id""")))
+
+  /** Exact brute-force cosine top-k for the query set (vec_id < 10) —
+    * the ground truth the approximate paths are validated against.
+    * Broadcast query set, map-side scoring, per-query rank. */
+  private def exactTopK(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos", "rnk")
+  }
+
+  /** Shared oracle fragment: exact cosine ranking of the full corpus
+    * against the query set, as DuckDB SQL (CTE bodies `e`,`q`,`scored`,
+    * `ranked`). */
+  private def exactTopKSql: String = """e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM q JOIN e ON e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM scored)"""
 
   /** IVF-style ANN: a deterministic coarse quantizer (here: the first
     * `nlist` vectors as the codebook; on a real corpus a KMeans-trained
