@@ -78,29 +78,60 @@ object Analytics {
                COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         FROM lineitem GROUP BY bin ORDER BY bin""")),
 
-    // Equi-depth histogram: decile boundaries via ntile over a TOTAL order
-    // (ntile is order-dependent — ties must be broken, SURVEY §7.4).
-    // NOTE the unpartitioned window is a single-task sort: exact and fine
-    // at oracle scale, but the 100 TB formulation derives the boundaries
-    // with approx_percentile (fixed-size sketch) and bins map-side.
+    // Equi-depth histogram, sketch-based — the 100 TB formulation. The
+    // naive plan (ntile over a total order) is a single-task global sort;
+    // here the decile boundaries come from ONE approx_percentile pass
+    // (Greenwald-Khanna: fixed-size per-partition state, map-side combine,
+    // only sketches cross the exchange) and rows are binned map-side
+    // against the broadcast boundary array — no Window operator anywhere
+    // (PlanSpec asserts). The binning comparisons are unrolled per decile
+    // (static getItem chain, whole-stage codegen) rather than an
+    // interpreted array HOF.
+    //
+    // Correctness contract (boolean-validated like q_agg_approx_*): each
+    // decile's depth must sit within 1% of N/10 (sketch rank error at
+    // accuracy 10⁴ is 0.01% — two orders of margin; max value multiplicity
+    // in the corpus is 4, so unsplittable ties cannot skew a bucket), and
+    // each sketch boundary must land inside the exact ±0.05-quantile
+    // neighborhood of its target. The exact mid-decile percentile is
+    // emitted alongside and hash-checked against DuckDB's quantile_cont.
     "q_histogram_equidepth" -> Q(
       fn = (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("l_extendedprice").asc +: liKey: _*)
-        Tables(s, d, "lineitem")
-          .withColumn("decile", ntile(10).over(w).cast(LongType))
+        val probes = (1 to 19).map(k => k * 0.05)
+        val sketch = Tables(s, d, "lineitem")
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("b"),
+            expr(s"percentile(l_extendedprice, array(${probes.mkString(",")}))").as("q"),
+            count(lit(1)).as("n_total"))
+        val binned = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+          .crossJoin(broadcast(sketch))
+          .withColumn("decile",
+            (1 to 9).map(i => when(col("x") > col("b").getItem(i - 1), 1L).otherwise(0L))
+              .reduce(_ + _) + lit(1L))
           .groupBy("decile")
-          .agg(count(lit(1)).as("n"),
-            min(col("l_extendedprice")).as("lo"),
-            max(col("l_extendedprice")).as("hi"))
+          .agg(count(lit(1)).as("n"), first(col("n_total")).as("n_total"))
+        binned.crossJoin(broadcast(sketch.select(col("b"), col("q"))))
+          .select(
+            col("decile"),
+            (abs(col("n") - col("n_total") / 10.0) <= col("n_total") * 0.01).as("depth_ok"),
+            when(col("decile") === 10, lit(true)).otherwise(
+              col("b").getItem(col("decile").cast(IntegerType) - 1)
+                .between(
+                  element_at(col("q"), (col("decile") * 2 - 1).cast(IntegerType)),
+                  element_at(col("q"), (col("decile") * 2 + 1).cast(IntegerType))))
+              .as("boundary_ok"),
+            r4(element_at(col("q"), (col("decile") * 2 - 1).cast(IntegerType)))
+              .as("p_mid_exact"))
           .orderBy("decile")
       },
-      oracle = Some(s"""
-        SELECT decile, COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
-        FROM (SELECT l_extendedprice,
-                     ntile(10) OVER (ORDER BY l_extendedprice ASC, $liKeySql) AS decile
-              FROM lineitem)
-        GROUP BY decile ORDER BY decile""")),
+      oracle = Some("""
+        WITH qq AS (SELECT quantile_cont(l_extendedprice,
+                      [0.05,0.15,0.25,0.35,0.45,0.55,0.65,0.75,0.85,0.95]) AS q
+                    FROM lineitem)
+        SELECT d AS decile, true AS depth_ok, true AS boundary_ok,
+               CAST(ROUND(q[d], 4) AS DOUBLE) AS p_mid_exact
+        FROM qq CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
+        ORDER BY d""")),
 
     // TPC-H Q3 (shipping priority), adapted: o_orderpriority stands in for
     // the missing o_shippriority column.

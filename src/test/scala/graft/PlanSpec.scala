@@ -78,6 +78,13 @@ class PlanSpec extends AnyFunSuite {
       "profiling must compute all column stats in one pass")
   }
 
+  test("equi-depth histogram plans sketch + map-side binning, no Window") {
+    val p = planOf("q_histogram_equidepth")
+    assert(!p.contains("Window"),
+      "equi-depth must not fall back to the single-task ntile total order")
+    assert(p.contains("approx_percentile"), "boundary sketch missing")
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
