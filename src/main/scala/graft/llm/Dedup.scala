@@ -74,26 +74,12 @@ object Dedup {
 
     // n-gram (3-shingle) Jaccard near-dup pairs, exact: candidates share at
     // least one shingle (blocking join), then J = |∩| / (|A|+|B|-|∩|) ≥ 0.05.
+    // τ=0.05 is below any sound frequency cap on this corpus (a qualifying
+    // pair may share a single hot shingle), so this key ships the uncapped
+    // exact join; q_dedup_ngram_capped is the bounded-bucket scale path.
     "q_dedup_ngram" -> Q(
-      fn = (s, d) => {
-        val sh = shingles(s, d)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("da"), col("s"))
-        val b = sh.select(col("doc_id").as("db"), col("s"))
-        val shared = a.join(b, Seq("s")).filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("c"))
-        shared
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-          // raw ratio, not rounded: rounding a rational can land on an
-          // exact .xxxx5 boundary where the engines' round() diverge; the
-          // unrounded division is bit-identical (same IEEE ops both sides)
-          .withColumn("jac", col("c").cast(DoubleType) /
-            (col("na") + col("nb") - col("c")))
-          .filter(col("jac") >= 0.05)
-          .select("da", "db", "jac")
-          .orderBy("da", "db")
-      },
+      fn = (s, d) => ngramPairs(shingles(s, d), tau = 0.05, dfCap = None)
+        .orderBy("da", "db"),
       oracle = Some("""
         WITH sh AS (
           SELECT DISTINCT doc_id, s FROM (
@@ -112,6 +98,35 @@ object Dedup {
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05
+        ORDER BY da, db""")),
+
+    // The SAME exact pair join with the frequency-capped blocking key —
+    // the bounded-bucket formulation that survives 100 TB (see ngramPairs
+    // for the completeness bound and the runtime guard). τ=0.3 exactly
+    // mirrors q_dedup_fuzzy's ground truth, so three independent
+    // algorithms (LSH+recheck, capped exact blocking, DuckDB brute force)
+    // must agree on the identical pair set.
+    "q_dedup_ngram_capped" -> Q(
+      fn = (s, d) => ngramPairs(shingles(s, d), tau = 0.3, dfCap = Some(16))
+        .orderBy("da", "db"),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da, db,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         ORDER BY da, db""")),
 
     // MinHash (64 perms) + LSH (32 bands × 2 rows) candidate generation over
@@ -314,6 +329,87 @@ object Dedup {
     // are no longer reachable from it — free them too.
     sym.unpersist()
     labels
+  }
+
+  /** Exact n-gram Jaccard pair join over distinct (doc_id, s) shingle rows,
+    * optionally with a frequency-capped blocking key.
+    *
+    * Uncapped (`dfCap = None`): candidates are every pair sharing a
+    * shingle — exact, but in-bucket pair work is O(df²) per shingle and a
+    * stop-shingle bucket at 100 TB explodes.
+    *
+    * Capped (`dfCap = Some(cap)`): the hottest shingles (df > cap, at most
+    * 63 of them — one bit each) are REMOVED from the blocking join, so no
+    * bucket in the self-join exceeds max(cap, 64th-hottest df). The
+    * intersection count stays EXACT: each doc carries a 64-bit membership
+    * mask over the stop set, and a found pair's shared-stop count is
+    * recovered as bit_count(maskA & maskB) — the mask rides the join as
+    * one long per doc.
+    *
+    * Completeness bound: a qualifying pair shares
+    * c ≥ ⌈τ/(1+τ)·(nA+nB)⌉ shingles, so it can only be missed (shares
+    * stop shingles exclusively) if some doc holds ≥ ⌈τ/(1+τ)·(nX+n_min)⌉
+    * stop shingles. The operator CHECKS that condition on the data (one
+    * aggregate over the tiny mask table) and falls back to the uncapped
+    * exact join when capping would be unsound — exactness is
+    * unconditional; the cap engages exactly when provably safe. For the
+    * near-dup regime (τ ≥ 0.3, documents of hundreds of shingles) the
+    * guard passes with wide margin; it is low-τ tiny-doc corpora that
+    * legitimately need the full join.
+    */
+  def ngramPairs(sh: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    def pairsFrom(blocking: DataFrame, stopShared: Option[DataFrame]): DataFrame = {
+      val a = blocking.select(col("doc_id").as("da"), col("s"))
+      val b = blocking.select(col("doc_id").as("db"), col("s"))
+      val low = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c_low"))
+      val shared = stopShared match {
+        case None => low.withColumn("c", col("c_low"))
+        case Some(masks) =>
+          low
+            .join(masks.select(col("doc_id").as("da"), col("mask").as("ma")), Seq("da"), "left")
+            .join(masks.select(col("doc_id").as("db"), col("mask").as("mb")), Seq("db"), "left")
+            .withColumn("c", col("c_low") + bit_count(
+              coalesce(col("ma"), lit(0L)).bitwiseAND(coalesce(col("mb"), lit(0L)))).cast(LongType))
+      }
+      shared
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        // raw ratio, not rounded: rounding a rational can land on an
+        // exact .xxxx5 boundary where the engines' round() diverge; the
+        // unrounded division is bit-identical (same IEEE ops both sides)
+        .withColumn("jac", col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= tau)
+        .select("da", "db", "jac")
+    }
+
+    dfCap match {
+      case None => pairsFrom(sh, None)
+      case Some(cap) =>
+        val r = tau / (1.0 + tau)
+        val stop = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .orderBy(col("df").desc, col("s")).limit(63)
+          .withColumn("bit", row_number().over(
+            Window.orderBy(col("df").desc, col("s"))) - 1)
+          .select("s", "bit")
+        val masks = sh.join(broadcast(stop), "s")
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+          .localCheckpoint()  // reused 3× below; lineage = full shingle scan
+        val nMin = sizes.agg(min(col("n")).as("n_min"))
+        val violations = masks.join(sizes, "doc_id").crossJoin(nMin)
+          .filter(bit_count(col("mask")) >=
+            ceil(lit(r) * (col("n") + col("n_min"))))
+          .count()
+        val result =
+          if (violations > 0) pairsFrom(sh, None) // cap unsound here: stay exact
+          else pairsFrom(sh.join(broadcast(stop), Seq("s"), "left_anti"), Some(masks))
+        result
+    }
   }
 
   /** MinHash+LSH near-dup detection, reusable operator.

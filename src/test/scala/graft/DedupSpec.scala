@@ -94,6 +94,63 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force Jaccard pair set over an in-memory (doc_id, text) corpus. */
+  private def bruteJac(corpus: Seq[(Long, String)], tau: Double): Map[(Long, Long), Double] = {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      j = inter.toDouble / (sa | sb).size if j >= tau
+    } yield (a, b) -> j).toMap
+  }
+
+  private def ngramOn(corpus: Seq[(Long, String)], tau: Double, cap: Option[Int]) = {
+    import spark.implicits._
+    val sh = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .withColumn("n1", lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("n2", lead(col("w"), 2).over(Window.partitionBy("doc_id").orderBy("i")))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("n1"), col("n2")).as("s"))
+      .distinct()
+    Dedup.ngramPairs(sh, tau, cap)
+  }
+
+  test("capped ngram blocking: hot shingle removed from the join, pair set stays exact") {
+    // 40 docs sharing one universal shingle ("h0 h1 h2" via a common
+    // 3-token prefix, df=40 >> cap=8) + two true near-dups. The guard
+    // holds (1 stop shingle per doc, far under the tau=0.3 bound), so the
+    // capped path must engage (left-anti prune of the blocking input) and
+    // still return the exact brute-force pair set, hot shingle INCLUDED
+    // in every intersection count via the stop-mask.
+    val base = (0L until 40L).map(i =>
+      i -> (s"h0 h1 h2 " + (0 until 30).map(k => s"u${i}_$k").mkString(" ")))
+    val nearDup = Seq(41L -> (s"h0 h1 h2 " + (0 until 30).map(k => s"u7_$k").mkString(" ") + " extra"))
+    val corpus = base ++ nearDup
+    val got = ngramOn(corpus, 0.3, Some(8))
+    assert(got.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "df cap did not engage on a corpus where it is provably safe")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteJac(corpus, 0.3)
+    assert(gotPairs.keySet == want.keySet,
+      s"missing=${want.keySet -- gotPairs.keySet} extra=${gotPairs.keySet -- want.keySet}")
+    gotPairs.foreach { case (p, j) => assert(math.abs(j - want(p)) < 1e-12) }
+  }
+
+  test("capped ngram falls back to the exact join when the cap is unsound") {
+    // Ten identical tiny docs: every shingle is hot AND every doc is
+    // mostly stop shingles — dropping them would lose the J=1 pairs. The
+    // guard must detect the violation and run the uncapped join.
+    val corpus = (0L until 10L).map(i => i -> "a b c d e")
+    val got = ngramOn(corpus, 0.3, Some(4))
+    assert(!got.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "cap engaged on a corpus where dropping hot shingles loses pairs")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == bruteJac(corpus, 0.3).keySet)
+  }
+
   test("simhash pigeonhole banding finds EVERY pair within hamming <= 3") {
     graft.functions.VectorFunctions.register(spark)
     val sigs = Tables(spark, TestSpark.sf, "documents")
