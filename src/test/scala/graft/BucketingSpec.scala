@@ -1,6 +1,9 @@
 package graft
 
+import graft.operators.Flagship
 import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Bucketed co-located join: same key, same bucket count on both sides ⇒
@@ -27,5 +30,42 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
+  }
+
+  test("flagship top-N on a fact table bucketed by the entity key skips the pre-agg shuffle") {
+    // The repeated-workload variant of q_topn_flagship: lineitem bucketed
+    // by l_partkey feeds the per-(region, part) revenue aggregation
+    // directly — HashPartitioning(l_partkey) already clusters every
+    // group of the (r_name, l_partkey) aggregate (broadcast dim joins
+    // preserve the scan's partitioning), so the plan needs exactly one
+    // exchange fewer than the unbucketed run: the agg happens in place
+    // and only the tiny post-agg window repartitions.
+    def variant(fact: DataFrame): DataFrame = {
+      val joined = fact
+        .join(broadcast(Tables(spark, TestSpark.sf, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(spark, TestSpark.sf, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(spark, TestSpark.sf, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      Flagship.topNPerGroup(joined, Seq("r_name"), Seq("l_partkey"), Q.revenue, 3)
+    }
+    val cols = Seq("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val plain = Tables(spark, TestSpark.sf, "lineitem").select(cols.map(col): _*)
+    Sources.writeBucketed(plain, "li_pk_bucketed", "l_partkey", 8)
+    try {
+      def exchanges(df: DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val bucketed = variant(spark.table("li_pk_bucketed"))
+      val baseline = variant(plain)
+      assert(exchanges(bucketed) == exchanges(baseline) - 1,
+        s"bucketed=${exchanges(bucketed)} baseline=${exchanges(baseline)}")
+      val got = bucketed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      val want = baseline.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == want)
+    } finally spark.sql("DROP TABLE IF EXISTS li_pk_bucketed")
   }
 }
