@@ -39,7 +39,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       sec
     }
-    val runs = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for local single-query profiling;
+    // the driver never sets it, so round benches always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val runs = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
     }
     val results = runs.map { case (name, ts) => name -> ts.sorted.apply(1) }

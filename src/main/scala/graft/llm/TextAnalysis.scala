@@ -282,5 +282,31 @@ object TextAnalysis {
         SELECT doc_id,
                md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
                substr(md5(text), 1, 8) AS fp_short
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // Token-distribution (Shannon) entropy per document — the repetition
+    // signal quality filters use: boilerplate and generated spam sit far
+    // below natural text. H = ln(n) − Σc·ln(c)/n (the algebraic form needs
+    // ONE aggregation over (doc, token) counts instead of a join back for
+    // the total). Natural-log entropy, rounded — ln is transcendental so
+    // engine libms may differ in the last ulp.
+    "q_text_entropy" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n"),
+            sum(col("c").cast(DoubleType) * log(col("c"))).as("clnc"))
+          .select(col("doc_id"), col("n"),
+            r4(log(col("n")) - col("clnc") / col("n")).as("entropy"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH tc AS (
+          SELECT doc_id, t, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY doc_id, t)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS DOUBLE) AS entropy
+        FROM tc GROUP BY doc_id ORDER BY doc_id""")))
 }

@@ -186,6 +186,31 @@ object Aggregates {
                CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) AS covar_qty_disc
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Statistical mode per group, deterministic: Spark's built-in `mode()`
+    // picks an ARBITRARY value among tied candidates, so the operator is
+    // the count+rank formulation with a total tie-break (highest count,
+    // then smallest value) — the only way mode is reproducible at all.
+    "q_agg_mode" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("l_returnflag")
+              .orderBy(col("n").desc, col("l_quantity").asc)))
+          .filter(col("rnk") === 1)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast(DoubleType).as("mode_qty"), col("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, n FROM (
+          SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY COUNT(*) DESC, l_quantity ASC) AS rnk
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rnk = 1 ORDER BY l_returnflag""")),
+
     // collect_list / collect_set, serialized to strings for the compare (an
     // array column breaks the correctness gate's pandas row sort).
     "q_agg_collect" -> Q(

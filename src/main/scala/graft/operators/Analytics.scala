@@ -190,5 +190,68 @@ object Analytics {
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY n_name ORDER BY rev DESC, n_name ASC""")))
+        GROUP BY n_name ORDER BY rev DESC, n_name ASC""")),
+
+    // Retention cohorts: users grouped by the week of their FIRST event,
+    // crossed with the weeks they were active — the classic triangular
+    // retention matrix. Two hash aggs + one join; cohort assignment
+    // broadcasts (distinct users ≪ events).
+    "q_retention_cohort" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"))
+        val cohorts = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).cast(DateType).as("cohort_week"))
+        ev.select(col("user_id"),
+            date_trunc("week", col("ts")).cast(DateType).as("act_week"))
+          .join(broadcast(cohorts), "user_id")
+          .groupBy("cohort_week", "act_week")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "act_week")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts FROM events),
+        cohorts AS (
+          SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+          FROM e GROUP BY user_id)
+        SELECT cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS act_week,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM e JOIN cohorts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Interval-point temporal join WITHOUT an equi key: for every order,
+    // how many high-quantity return lineitems shipped inside its 3-day
+    // window — a pure range predicate between two tables. The theta join
+    // is O(n·m); the scale formulation BINS it: each 3-day interval
+    // explodes into its 3 covering days, points key by their day, and the
+    // match becomes an equi join on the day bucket (day-granular data ⇒
+    // bucket equality is exactly the range predicate, no dedup needed).
+    // Shuffle is keyed by calendar day; interval length bounds the
+    // explode factor.
+    "q_interval_join" -> Q(
+      fn = (s, d) => {
+        val pts = Tables(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+          .select(col("l_shipdate").as("day"))
+        val buckets = Tables(s, d, "orders")
+          .select(col("o_orderkey"), explode(expr(
+            "sequence(o_orderdate, o_orderdate + INTERVAL 2 DAYS, INTERVAL 1 DAY)")).as("day"))
+        val counts = buckets.join(pts, "day")
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n_pts"))
+        Tables(s, d, "orders").select("o_orderkey")
+          .join(counts, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), coalesce(col("n_pts"), lit(0L)).as("n_pts"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        WITH pts AS (
+          SELECT l_shipdate AS day FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity >= 45)
+        SELECT o_orderkey, COUNT(pts.day) AS n_pts
+        FROM orders LEFT JOIN pts
+          ON pts.day >= o_orderdate
+         AND pts.day < o_orderdate + INTERVAL 3 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey""")))
 }

@@ -37,7 +37,16 @@ object Sources {
         readJson(s, path, supplier.schema)
           .orderBy("s_suppkey")
       },
-      oracle = Some("SELECT * FROM supplier ORDER BY s_suppkey")))
+      oracle = Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+    "q_source_orc" -> graft.Q(
+      fn = (s, d) => {
+        val customer = s.read.parquet(s"$d/customer.parquet")
+        val path = "/tmp/graft_orc_customer"
+        customer.write.mode(SaveMode.Overwrite).orc(path)
+        s.read.schema(customer.schema).orc(path)
+          .orderBy("c_custkey")
+      },
+      oracle = Some("SELECT * FROM customer ORDER BY c_custkey")))
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

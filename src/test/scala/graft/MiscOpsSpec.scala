@@ -30,6 +30,67 @@ class MiscOpsSpec extends AnyFunSuite {
       .select(initcap(col("s"))).head().getString(0) == "Hello Spark World")
   }
 
+  test("deterministic mode picks the smallest value among tied candidates") {
+    import spark.implicits._
+    // Counts: 10 -> 2, 20 -> 2, 30 -> 1; the tie must resolve to 10.
+    val df = Seq(("A", 20.0), ("A", 10.0), ("A", 30.0), ("A", 10.0), ("A", 20.0))
+      .toDF("l_returnflag", "l_quantity")
+    val out = df.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity").asc)))
+      .filter(col("rnk") === 1).head()
+    assert(out.getDouble(1) == 10.0 && out.getLong(2) == 2L)
+  }
+
+  test("token entropy: constant text is 0, distinct-token text is ln(n)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val h = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c"))).as("clnc"))
+      .select(col("doc_id"), (log(col("n")) - col("clnc") / col("n")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(h(1L)) < 1e-12)
+    assert(math.abs(h(2L) - math.log(4)) < 1e-12)
+  }
+
+  test("containment flags a subset document that Jaccard misses") {
+    import spark.implicits._
+    // sub's 8 tokens (6 shingles) all appear in sup's 40-token text:
+    // C(sub->sup) = 1.0 while J ~= 6/38 ~= 0.16 stays under any dedup tau.
+    val subText = (0 until 8).map(i => s"w$i").mkString(" ")
+    val supText = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, subText), (2L, supText)).toDF("doc_id", "text")
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(subText), sh(supText))
+    assert((a & b) == a, "test corpus: sub must be a shingle subset")
+    assert((a & b).size.toDouble / (a | b).size < 0.2, "jaccard must be low")
+    // the shipped query's formulation over this corpus
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .withColumn("n1", lead(col("w"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("n2", lead(col("w"), 2).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("n1"), col("n2")).as("s"))
+      .distinct()
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = shingled.select(col("doc_id").as("da"), col("s"))
+      .join(shingled.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .head()
+    assert(shared.getAs[Long]("c").toDouble / shared.getAs[Long]("na") == 1.0)
+  }
+
   test("map functions round-trip keys and values") {
     val out = SparkEntry.queries("q_map_funcs")(spark, TestSpark.sf)
     val row = out.head()
