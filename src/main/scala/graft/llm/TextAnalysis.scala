@@ -284,6 +284,69 @@ object TextAnalysis {
                substr(md5(text), 1, 8) AS fp_short
         FROM documents ORDER BY doc_id""")),
 
+    // Overlapping token-window chunking — the step that turns documents
+    // into training-window rows. Window W=32, stride S=24 (8-token
+    // overlap); the final window may be shorter. Chunk starts come from an
+    // exploded integer sequence (k·S < n), the slice is taken on the
+    // projected token array — nothing recomputed per generated row.
+    "q_text_chunk" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0),
+              floor(greatest(size(col("t")) - 1, lit(0)) / 24).cast(IntegerType))).as("k"))
+          .select(col("doc_id"), col("k").cast(LongType).as("chunk_id"),
+            least(size(col("t")) - col("k") * 24, lit(32)).cast(LongType).as("n_tokens"),
+            concat_ws(" ", slice(col("t"), col("k") * 24 + 1, lit(32))).as("chunk"))
+          .orderBy("doc_id", "chunk_id"),
+      oracle = Some("""
+        SELECT doc_id, k AS chunk_id,
+               CAST(least(len(t) - k * 24, 32) AS BIGINT) AS n_tokens,
+               array_to_string(t[k * 24 + 1 : k * 24 + 32], ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(0, greatest(len(t) - 1, 0) // 24)) AS k)
+        ORDER BY doc_id, chunk_id""")),
+
+    // Text scrubbing — the normalization pass before fingerprinting/dedup:
+    // mask emails and URLs, normalize digit runs, strip stray punctuation,
+    // collapse whitespace, lowercase. Every rule is a codegen'd
+    // regexp_replace; the `changed` flag makes the pass auditable.
+    "q_text_scrub" -> Q(
+      fn = (s, d) => {
+        val scrubbed =
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(col("text")),
+                    "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+                  "https?://[^ ]+", "<url>"),
+                "[0-9]+", "0"),
+              "[^a-z0-9<> ]", ""),
+            " +", " "))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), scrubbed.as("clean"),
+            (scrubbed =!= col("text")).as("changed"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(text),
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+                         'https?://[^ ]+', '<url>', 'g'),
+                       '[0-9]+', '0', 'g'),
+                     '[^a-z0-9<> ]', '', 'g'),
+                   ' +', ' ', 'g')) AS clean
+          FROM documents)
+        SELECT doc_id, clean, clean <> text AS changed
+        FROM s ORDER BY doc_id""")),
+
     // Token-distribution (Shannon) entropy per document — the repetition
     // signal quality filters use: boilerplate and generated spam sit far
     // below natural text. H = ln(n) − Σc·ln(c)/n (the algebraic form needs

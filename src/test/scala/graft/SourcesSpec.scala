@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.Sources
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -39,5 +40,30 @@ class SourcesSpec extends AnyFunSuite {
       orders.filter("o_orderstatus = 'F'").count())
     // partition filter must reach the scan, not a post-filter
     assert(plan.contains("PartitionFilters") || !plan.contains("o_orderstatus = F"))
+  }
+
+  test("dynamic partition pruning: a runtime dim filter prunes fact partitions") {
+    import spark.implicits._
+    // The dim is filtered on a NON-join column, so no static constraint
+    // reaches the fact side — only DPP can skip partitions, by turning the
+    // broadcast join's build-side keys into a runtime partition filter.
+    // At 100 TB this is the difference between scanning the whole
+    // partitioned fact table and only the partitions the dim selects.
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Sources.writeParquet(li, dir, partitionBy = Seq("l_returnflag"))
+    val fact = Sources.readParquet(spark, dir)
+    // The dim must be a real scan: a Seq-backed LocalRelation folds the
+    // filter away at optimization time and DPP no longer sees a selective
+    // predicate on the build side.
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Sources.writeParquet(Seq(("R", 1), ("N", 1), ("A", 2)).toDF("f", "grp"), dimDir)
+    val dim = Sources.readParquet(spark, dimDir).filter(col("grp") === 2)
+    val joined = fact.join(dim, fact("l_returnflag") === dim("f"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP filter in the fact scan:\n${plan.take(2500)}")
+    assert(joined.count() == li.filter(col("l_returnflag") === "A").count())
   }
 }
