@@ -98,6 +98,39 @@ object Aggregates {
                true AS within_band
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
+    // build one sketch per (flag, ship-month) slice, then UNION the binary
+    // sketches and estimate. This is the incremental-aggregation shape for
+    // continuously-updated corpora at 100 TB — per-partition sketches are
+    // persisted once and re-merged in O(slices), never rescanning history.
+    // Oracle contract mirrors q_agg_approx_distinct: merged estimate must
+    // land within 5% of the exact NDV (lgConfigK=14 ⇒ rsd ≈ 0.8%), with the
+    // exact NDV emitted and hash-checked alongside.
+    "q_agg_sketch_merge" -> Q(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val merged = li
+          .groupBy(col("l_returnflag"),
+            date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+          .groupBy("l_returnflag")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
+            count(col("sk")).as("n_sketches"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+        merged.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("n_sketches"), col("nd_exact"),
+            (abs(col("approx") - col("nd_exact")) <=
+              col("nd_exact") * 0.05).as("within_band"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT date_trunc('month', l_shipdate)) AS n_sketches,
+               COUNT(DISTINCT l_partkey) AS nd_exact,
+               true AS within_band
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_agg_having" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem")

@@ -44,6 +44,17 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 10.0 && out.getLong(2) == 2L)
   }
 
+  test("hll sketches built per slice merge to the whole-corpus estimate") {
+    import spark.implicits._
+    // 5000 distinct values spread over 10 slices; the union of per-slice
+    // sketches must estimate the global NDV (lgK=14 ⇒ rsd ≈ 0.8%).
+    val df = (1 to 5000).map(i => (i % 10, i)).toDF("slice", "v")
+    val est = df.groupBy("slice").agg(expr("hll_sketch_agg(v, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    assert(math.abs(est - 5000L) <= 5000 * 0.03, s"estimate $est off by >3%")
+  }
+
   test("token entropy: constant text is 0, distinct-token text is ln(n)") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")

@@ -85,6 +85,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("approx_percentile"), "boundary sketch missing")
   }
 
+  // Row-level runtime filtering: the complement to DPP for non-partition
+  // join keys. At 100 TB a selective dim predicate should cut the fact scan
+  // before the shuffle via an injected bloom filter (might_contain). The
+  // size thresholds are tuned for test scale — the default 10 GB
+  // application-side threshold exists precisely because the optimization
+  // only pays off at the scales this engine targets.
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, TestSpark.sf, "lineitem")
+      val ord = Tables(spark, TestSpark.sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("might_contain"),
+        "runtime bloom filter not injected:\n" + p.take(1500))
+      assert(j.head().getLong(1) > 0)
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
