@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/text hot paths (SURVEY.md
   * §7.2). ALL participate in whole-stage codegen: cosine inlines its loop;
@@ -83,6 +84,23 @@ object VectorFunctions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.simhash64($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Lower 64 bits of MD5(string) as a long holding the unsigned value —
+    * bit-identical to DuckDB's `md5_number_lower`, which makes it the
+    * cross-engine-reproducible uniform-hash source for deterministic
+    * sampling oracles (see VectorKernels.md5Lower64 for the byte order). */
+  case class Md5Lower64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_lower64"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.md5Lower64(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.md5Lower64($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -208,6 +226,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "md5_lower64", exprs => Md5Lower64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "token_pairs", exprs => TokenPairs(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hyperplane_sig",
@@ -222,6 +242,7 @@ object VectorFunctions {
   def shingleSet(tokens: Column, n: Int): Column =
     call_function("shingle_set", tokens, org.apache.spark.sql.functions.lit(n))
   def rollingHash(tokens: Column): Column = call_function("rolling_hash64", tokens)
+  def md5Lower(s: Column): Column = call_function("md5_lower64", s)
   def tokenPairs(tokens: Column): Column = call_function("token_pairs", tokens)
   def hyperplaneSig(v: Column, planes: Int): Column =
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))

@@ -175,6 +175,58 @@ object Dedup {
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         ORDER BY da, db""")),
 
+    // INCREMENTAL dedup — the ingest shape: a small new batch (doc_id ≡ 0
+    // mod 20, ~5%) checked against the standing corpus. The batch's
+    // shingles BROADCAST to the corpus scan, so the corpus is never
+    // shuffled: candidate counting is map-side, the (new, old) pair agg
+    // shuffles only matched candidate rows, and corpus per-doc sizes are
+    // computed AFTER a semi-join down to candidate docs. At 100 TB this is
+    // the only viable daily-ingest plan — per-batch cost scales with the
+    // batch, not the corpus.
+    "q_dedup_incremental" -> Q(
+      fn = (s, d) => {
+        val sh = shingles(s, d)
+        val batchSh = sh.filter(col("doc_id") % 20 === 0)
+        val corpusSh = sh.filter(col("doc_id") % 20 =!= 0)
+        val shared = corpusSh.select(col("doc_id").as("dc"), col("s"))
+          .join(broadcast(batchSh.select(col("doc_id").as("db"), col("s"))), "s")
+          .groupBy("db", "dc").agg(count(lit(1)).as("c"))
+        val sizesB = batchSh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+          .withColumnRenamed("doc_id", "db")
+        val cand = shared.select(col("dc")).distinct()
+        val sizesC = corpusSh
+          .join(broadcast(cand), corpusSh("doc_id") === cand("dc"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+          .withColumnRenamed("doc_id", "dc")
+        shared
+          .join(broadcast(sizesB), "db")
+          .join(broadcast(sizesC), "dc")
+          .withColumn("jac", col("c").cast(DoubleType) /
+            (col("nb") + col("nc") - col("c")))
+          .filter(col("jac") >= 0.3)
+          .select(col("db").as("new_doc"), col("dc").as("dup_of"), col("jac"))
+          .orderBy("new_doc", "dup_of")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        bsh AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+        csh AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        shared AS (
+          SELECT b.doc_id AS db, c.doc_id AS dc, COUNT(*) AS c
+          FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2),
+        sb AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY 1),
+        sc AS (SELECT doc_id, COUNT(*) AS nc FROM csh GROUP BY 1)
+        SELECT db AS new_doc, dc AS dup_of,
+               CAST(c AS DOUBLE) / (nb + nc - c) AS jac
+        FROM shared JOIN sb ON sb.doc_id = db JOIN sc ON sc.doc_id = dc
+        WHERE CAST(c AS DOUBLE) / (nb + nc - c) >= 0.3
+        ORDER BY new_doc, dup_of""")),
+
     // MinHash (64 perms) + LSH (32 bands × 2 rows) candidate generation over
     // 3-gram shingle sets (token sets don't discriminate in a small-vocab
     // corpus), then exact shingle-set Jaccard re-check ≥ 0.3.
@@ -419,7 +471,12 @@ object Dedup {
     // sf0.1 despite the extra action). The uncapped path reads it twice
     // within one plan and exchange reuse covers it, so it stays lazy.
     val sh = if (dfCap.isDefined) shInput.localCheckpoint() else shInput
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The capped path reads per-doc sizes from two separate actions (the
+    // guard count, then the final pair plan) — cache the tiny relation so
+    // the 1M-row groupBy shuffle behind it runs once, not twice. The
+    // uncapped path has a single action; exchange reuse already covers it.
+    val sizesRaw = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = if (dfCap.isDefined) sizesRaw.cache() else sizesRaw
 
     def pairsFrom(blocking: DataFrame, stopShared: Option[DataFrame]): DataFrame = {
       val a = blocking.select(col("doc_id").as("da"), col("s"))

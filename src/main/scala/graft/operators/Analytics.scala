@@ -221,6 +221,42 @@ object Analytics {
         FROM e JOIN cohorts USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Per-group statistical outlier flagging — the corpus-quality gate that
+    // drops anomalous documents before training. The metric is mean token
+    // length (chars per token), whose per-language distribution has real
+    // tails (doc token COUNTS are uniform here — their z never exceeds √3).
+    // Group stats are one hash agg (5 rows), broadcast back over the scan:
+    // no shuffle of the corpus at any scale. z is round-4 (stddev's merge
+    // order differs per engine in the last ulps); |z|>2 boundary hits are
+    // measure-zero.
+    "q_outlier_zscore" -> Q(
+      fn = (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars").cast(DoubleType) /
+              size(split(col("text"), " "))).as("m"))
+        val stats = docs.groupBy("lang")
+          .agg(avg(col("m")).as("mu"), stddev_samp(col("m")).as("sd"))
+        docs.join(broadcast(stats), "lang")
+          .withColumn("z", (col("m") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("lang"), col("doc_id"), col("m"), r4(col("z")).as("z"))
+          .orderBy("lang", "doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS m
+          FROM documents),
+        s AS (
+          SELECT lang, avg(m) AS mu, stddev_samp(m) AS sd
+          FROM t GROUP BY lang)
+        SELECT t.lang, doc_id, m,
+               CAST(ROUND((m - mu) / sd, 4) AS DOUBLE) AS z
+        FROM t JOIN s ON t.lang = s.lang
+        WHERE abs((m - mu) / sd) > 2
+        ORDER BY t.lang, doc_id""")),
+
     // Interval-point temporal join WITHOUT an equi key: for every order,
     // how many high-quantity return lineitems shipped inside its 3-day
     // window — a pure range predicate between two tables. The theta join

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Sorts, limits, set operations, subqueries (SURVEY.md §2.2).
   * `q_topk` deliberately keeps the ORDER BY + LIMIT shape so Catalyst plans
@@ -159,6 +160,38 @@ object SetSort {
         FROM (SELECT DISTINCT lang FROM documents
               WHERE lang IN ('en','de','es','fr','zh'))
         ORDER BY lang""")),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // priority u^(1/w) per row, global top-k by priority — one scan plus a
+    // TakeOrderedAndProject, no shuffle of the corpus. Deterministic and
+    // CROSS-ENGINE exact: u derives from md5-lower-64 of the doc id (the
+    // value DuckDB computes as md5_number_lower), mapped to (0,1] via the
+    // exact dyadic (h>>>11 + 1)/2^53, so both engines rank the identical
+    // priority and the oracle reproduces the exact selected set. The
+    // emitted u/w are exact; ln stays internal to the ranking.
+    "q_sample_weighted" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val h = graft.functions.VectorFunctions.md5Lower(
+          concat(lit("wsamp-"), col("doc_id").cast(StringType)))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(DoubleType).as("w"),
+            ((shiftrightunsigned(h, 11).cast(DoubleType) + lit(1.0)) /
+              lit(9007199254740992.0)).as("u")) // (h>>>11 + 1) / 2^53
+          .orderBy((log(col("u")) / col("w")).desc, col("doc_id"))
+          .limit(100)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+                 (CAST(md5_number_lower('wsamp-' || CAST(doc_id AS VARCHAR)) >> 11
+                       AS DOUBLE) + 1.0) / 9007199254740992.0 AS u
+          FROM documents)
+        SELECT doc_id, w, u FROM t
+        ORDER BY ln(u) / w DESC, doc_id LIMIT 100""")),
 
     // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
     // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.

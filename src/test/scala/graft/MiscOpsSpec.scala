@@ -55,6 +55,21 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(math.abs(est - 5000L) <= 5000 * 0.03, s"estimate $est off by >3%")
   }
 
+  test("weighted sampling overrepresents heavy rows and is deterministic") {
+    val out1 = SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sf).collect()
+    val out2 = SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sf).collect()
+    assert(out1.sameElements(out2), "selection must be run-deterministic")
+    assert(out1.length == 100)
+    // A-Res with weight = token count: the sample's mean weight must exceed
+    // the population's (uniform sampling would match it; 100 draws of a
+    // weighted scheme landing below is astronomically unlikely).
+    val sampleMean = out1.map(_.getDouble(1)).sum / out1.length
+    val popMean = Tables(spark, TestSpark.sf, "documents")
+      .select(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    assert(sampleMean > popMean,
+      s"weighted sample mean $sampleMean not above population mean $popMean")
+  }
+
   test("token entropy: constant text is 0, distinct-token text is ln(n)") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")

@@ -85,6 +85,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("approx_percentile"), "boundary sketch missing")
   }
 
+  test("incremental dedup joins the corpus only via broadcast — no shuffle join") {
+    val p = planOf("q_dedup_incremental")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the standing corpus must never be shuffled for a small ingest batch")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   // Row-level runtime filtering: the complement to DPP for non-partition
   // join keys. At 100 TB a selective dim predicate should cut the fact scan
   // before the shuffle via an injected bloom filter (might_contain). The
