@@ -315,6 +315,48 @@ object Relational {
         FROM orders
         ORDER BY o_custkey, eff_from, o_orderkey""")),
 
+    // CDC changelog application — compact an ordered I/U/D change stream to
+    // final state: last op per key wins, a trailing delete removes the key.
+    // signup→I, purchase→U, error→D over the events stream. One keyed
+    // window (row_number + count over the same partition spec = one
+    // shuffle); at 100 TB this is the standard changelog-compaction plan —
+    // no join against the snapshot until the compacted delta is tiny.
+    "q_cdc_apply" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ch = Tables(s, d, "events")
+          .filter(col("event_type").isin("signup", "purchase", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            when(col("event_type") === "signup", "I")
+              .when(col("event_type") === "purchase", "U")
+              .otherwise("D").as("op"))
+        val byKey = Window.partitionBy("user_id")
+        val latest = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ch.withColumn("rn", row_number().over(latest))
+          .withColumn("n_ops", count(lit(1)).over(byKey))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("user_id"), col("op").as("last_op"),
+            col("value").as("last_value"), col("n_ops"), col("ts").as("last_ts"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT user_id, date_trunc('milliseconds', ts) AS ts, event_id, value,
+                 CASE event_type WHEN 'signup' THEN 'I'
+                      WHEN 'purchase' THEN 'U' ELSE 'D' END AS op
+          FROM events
+          WHERE event_type IN ('signup', 'purchase', 'error')),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+          FROM ch)
+        SELECT user_id, op AS last_op, value AS last_value, n_ops,
+               ts AS last_ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        ORDER BY user_id""")),
+
     // Event funnel (behavioral analytics): per user, the earliest
     // view -> click -> purchase chain where each step follows the previous
     // in time; conversion depth = how far the user got. Conditional
