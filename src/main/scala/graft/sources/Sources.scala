@@ -70,6 +70,28 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Compact a small-files dataset to ~targetBytes output files. The
+    * small-files problem is the dominant operational failure of long-lived
+    * 100 TB tables: a streaming or per-batch writer leaves thousands of
+    * KB-scale files per partition, and every downstream scan pays a
+    * file-open + footer-read per file. Sizing from the ACTUAL input bytes
+    * (not a guessed partition count) keeps output files near the parquet
+    * row-group sweet spot at any scale; coalesce (no shuffle) when
+    * shrinking the file count, repartition only when growing it.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(inPath)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (inputBytes / BigInt(targetBytes)).toInt +
+        (if (inputBytes % BigInt(targetBytes) > 0) 1 else 0))
+    val sized =
+      if (nFiles <= df.rdd.getNumPartitions) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Bucketed + sorted table write: both sides of a co-located join
     * bucketed by the join key read shuffle-free (no Exchange in the plan) —
     * the pre-partitioning answer for repeated fact-fact joins at 100 TB.

@@ -30,6 +30,21 @@ class SourcesSpec extends AnyFunSuite {
       .sameElements(nation.orderBy("n_nationkey").collect()))
   }
 
+  test("compact rewrites a fragmented dataset to target-sized files") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val dir = Files.createTempDirectory("graft_compact").toString
+    docs.repartition(50).write.parquet(s"$dir/fragmented")
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/fragmented") == 50)
+    Sources.compact(spark, s"$dir/fragmented", s"$dir/compacted")
+    assert(parquetFiles(s"$dir/compacted") == 1,
+      "sf0.01 documents is far below one 128 MB target file")
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = Tables(spark, TestSpark.sf, "orders")
     val dir = Files.createTempDirectory("graft_part").toString
