@@ -308,6 +308,46 @@ object TextAnalysis {
              LATERAL (SELECT unnest(generate_series(0, greatest(len(t) - 1, 0) // 24)) AS k)
         ORDER BY doc_id, chunk_id""")),
 
+    // Greedy sequence PACKING — documents filled into token-budget-bounded
+    // training groups (budget 2048): per language, docs in deterministic
+    // order accumulate until the budget crosses, then a new pack starts
+    // (pack id = completed budget multiples BEFORE this doc — the standard
+    // streaming-fill semantics; a pack may overflow by at most one doc).
+    // One keyed window cumsum + one hash agg: shuffle keyed by language,
+    // integer arithmetic throughout ⇒ exact cross-engine. A per-key
+    // sequential fill serializes per language — at 100 TB the partition
+    // key becomes (lang, shard) (date or hash shard) and pack ids compose
+    // (shard, local_pack): same plan, parallelism restored, packs still
+    // budget-bounded since the fill never crosses shards.
+    "q_pack_sequences" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+          .orderBy("lang", "pack_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT lang, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""")),
+
     // Text scrubbing — the normalization pass before fingerprinting/dedup:
     // mask emails and URLs, normalize digit runs, strip stray punctuation,
     // collapse whitespace, lowercase. Every rule is a codegen'd
