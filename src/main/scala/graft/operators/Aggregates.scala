@@ -131,6 +131,46 @@ object Aggregates {
                true AS within_band
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Pairwise correlation matrix over the fact table's numeric columns —
+    // ONE scan, one agg row carrying all 6 pairs (each corr is a partial-
+    // merge aggregate), unpivoted to (col_a, col_b, r) rows via stack.
+    // At 100 TB this is the single-pass profiling shape: no per-pair scan,
+    // no driver loop. round-4 (corr's merge order differs in last ulps).
+    "q_agg_corr" -> Q(
+      fn = (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val wide = Tables(s, d, "lineitem").agg(
+          r4(corr(col(pairs.head._1), col(pairs.head._2)))
+            .as(s"${pairs.head._1}__${pairs.head._2}"),
+          pairs.tail.map { case (a, b) =>
+            r4(corr(col(a), col(b))).as(s"${a}__${b}") }: _*)
+        val stackArgs = pairs.map { case (a, b) =>
+          s"'$a', '$b', ${a}__${b}" }.mkString(", ")
+        wide.select(expr(
+          s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, r)"))
+          .orderBy("col_a", "col_b")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT corr(l_quantity, l_extendedprice) AS qty_ext,
+                 corr(l_quantity, l_discount)      AS qty_dis,
+                 corr(l_quantity, l_tax)           AS qty_tax,
+                 corr(l_extendedprice, l_discount) AS ext_dis,
+                 corr(l_extendedprice, l_tax)      AS ext_tax,
+                 corr(l_discount, l_tax)           AS dis_tax
+          FROM lineitem)
+        SELECT col_a, col_b, CAST(ROUND(r, 4) AS DOUBLE) + 0.0 AS r FROM (
+          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qty_ext AS r FROM w
+          UNION ALL SELECT 'l_quantity', 'l_discount', qty_dis FROM w
+          UNION ALL SELECT 'l_quantity', 'l_tax', qty_tax FROM w
+          UNION ALL SELECT 'l_extendedprice', 'l_discount', ext_dis FROM w
+          UNION ALL SELECT 'l_extendedprice', 'l_tax', ext_tax FROM w
+          UNION ALL SELECT 'l_discount', 'l_tax', dis_tax FROM w)
+        ORDER BY col_a, col_b""")),
+
     "q_agg_having" -> Q(
       fn = (s, d) =>
         Tables(s, d, "lineitem")
