@@ -44,6 +44,24 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 10.0 && out.getLong(2) == 2L)
   }
 
+  test("cdc compaction: last op wins and a trailing delete removes the key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // key 1: I then U → survives with the U value; key 2: I then D → gone;
+    // key 3: D then I (out-of-order arrival, ts decides) → survives.
+    val ch = Seq(
+      (1L, 10L, "I", 1.0), (1L, 20L, "U", 2.0),
+      (2L, 10L, "I", 3.0), (2L, 20L, "D", 0.0),
+      (3L, 20L, "I", 4.0), (3L, 10L, "D", 0.0))
+      .toDF("k", "ts", "op", "v")
+    val last = Window.partitionBy("k").orderBy(col("ts").desc)
+    val out = ch.withColumn("rn", row_number().over(last))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("k", "op", "v").orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
+  }
+
   test("hll sketches built per slice merge to the whole-corpus estimate") {
     import spark.implicits._
     // 5000 distinct values spread over 10 slices; the union of per-slice

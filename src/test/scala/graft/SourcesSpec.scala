@@ -45,6 +45,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema == docs.schema)
   }
 
+  test("compact grows the file count when input files exceed the target size") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val dir = Files.createTempDirectory("graft_compact_up").toString
+    docs.coalesce(1).write.parquet(s"$dir/one")
+    Sources.compact(spark, s"$dir/one", s"$dir/split", targetBytes = 16L << 10)
+    val n = new java.io.File(s"$dir/split").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n > 1, s"16 KB target over a ${docs.count()}-doc table must split")
+    assert(spark.read.parquet(s"$dir/split").count() == docs.count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = Tables(spark, TestSpark.sf, "orders")
     val dir = Files.createTempDirectory("graft_part").toString
