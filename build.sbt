@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is a bare JSON line on stdout. sbt's default
+// LoggedOutput prefixes forked-process output with "[info] ", which breaks
+// the driver's json parse of the bench line (BENCH_r0{1,2,3}.json all show
+// "parsed": null). StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,6 +23,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-query cleanup below unpersists locally-checkpointed RDDs
+    // (iterative operators leave them behind). That is safe here — every
+    // timed run rebuilds its plan from scratch, so a truncated lineage is
+    // never recomputed — but each unpersist logs a scary WARN that floods
+    // the driver's finite log tail. Silence that one logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the session once (JIT, codegen cache, parquet footers) so the
     // first measured query doesn't absorb JVM startup.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
@@ -35,7 +43,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // Query isolation: a query that leaves cached/checkpointed blocks
       // behind (iterative loops) must not bleed memory pressure into the
-      // next measurement. Outside the timed region.
+      // next measurement. Outside the timed region. DataFrame-level caches
+      // drop through the CacheManager (keeps its registry consistent);
+      // local checkpoints are raw RDD blocks it doesn't track, so those
+      // are unpersisted directly — safe because timeOnce never retains a
+      // plan across runs, so a truncated lineage is never re-executed.
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       sec
     }

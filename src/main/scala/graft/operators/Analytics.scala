@@ -104,13 +104,21 @@ object Analytics {
             expr(s"percentile(l_extendedprice, array(${probes.mkString(",")}))").as("q"),
             count(lit(1)).as("n_total"))
         val binned = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
-          .crossJoin(broadcast(sketch))
+          .crossJoin(broadcast(sketch.select(col("b"))))
           .withColumn("decile",
             (1 to 9).map(i => when(col("x") > col("b").getItem(i - 1), 1L).otherwise(0L))
               .reduce(_ + _) + lit(1L))
           .groupBy("decile")
-          .agg(count(lit(1)).as("n"), first(col("n_total")).as("n_total"))
-        binned.crossJoin(broadcast(sketch.select(col("b"), col("q"))))
+          .agg(count(lit(1)).as("n"))
+        // groupBy drops empty groups, so an empty decile (adjacent sketch
+        // boundaries colliding on low-cardinality data) would shrink the
+        // output to <10 rows — a shape mismatch instead of the intended
+        // depth_ok=false. Pin the shape to exactly 10 rows and let the
+        // contract degrade through coalesce(n, 0).
+        s.range(1, 11).select(col("id").as("decile"))
+          .join(binned, Seq("decile"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .crossJoin(broadcast(sketch.select(col("b"), col("q"), col("n_total"))))
           .select(
             col("decile"),
             (abs(col("n") - col("n_total") / 10.0) <= col("n_total") * 0.01).as("depth_ok"),

@@ -169,6 +169,16 @@ object SetSort {
     // exact dyadic (h>>>11 + 1)/2^53, so both engines rank the identical
     // priority and the oracle reproduces the exact selected set. The
     // emitted u/w are exact; ln stays internal to the ranking.
+    //
+    // Residual libm assumption: the rank ln(u)/w uses JVM Math.log vs
+    // DuckDB's libm log, which are not guaranteed correctly rounded. A
+    // divergence flips the selected set only if the #100 and #101 true
+    // ranks sit within ~1 ulp of each other — with ~24k docs the rank
+    // spacing at the boundary is ~1e-4 relative vs 1e-16 ulp, so the
+    // exposure is measure-zero (same class as the round(4)-on-
+    // transcendentals rule in SURVEY §7.4, and verified identical at
+    // sf0.01 and sf0.1). The doc_id tie-break fires only on exact
+    // equality and does not mask this.
     "q_sample_weighted" -> Q(
       fn = (s, d) => {
         graft.functions.VectorFunctions.register(s)
@@ -190,8 +200,10 @@ object SetSort {
                  (CAST(md5_number_lower('wsamp-' || CAST(doc_id AS VARCHAR)) >> 11
                        AS DOUBLE) + 1.0) / 9007199254740992.0 AS u
           FROM documents)
-        SELECT doc_id, w, u FROM t
-        ORDER BY ln(u) / w DESC, doc_id LIMIT 100""")),
+        SELECT doc_id, w, u FROM (
+          SELECT doc_id, w, u FROM t
+          ORDER BY ln(u) / w DESC, doc_id LIMIT 100)
+        ORDER BY doc_id""")),
 
     // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
     // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.

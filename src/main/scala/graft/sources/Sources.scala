@@ -23,7 +23,9 @@ object Sources {
     "q_source_csv" -> graft.Q(
       fn = (s, d) => {
         val nation = s.read.parquet(s"$d/nation.parquet")
-        val path = "/tmp/graft_csv_nation"
+        // Per-invocation scratch dir (same concurrency rationale as ORC).
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_csv_nation_").toString
         writeCsv(nation, path)
         readCsv(s, path, nation.schema)
           .orderBy("n_nationkey")
@@ -32,7 +34,9 @@ object Sources {
     "q_source_json" -> graft.Q(
       fn = (s, d) => {
         val supplier = s.read.parquet(s"$d/supplier.parquet")
-        val path = "/tmp/graft_json_supplier"
+        // Per-invocation scratch dir (same concurrency rationale as ORC).
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_json_supplier_").toString
         writeJson(supplier, path)
         readJson(s, path, supplier.schema)
           .orderBy("s_suppkey")
@@ -41,7 +45,10 @@ object Sources {
     "q_source_orc" -> graft.Q(
       fn = (s, d) => {
         val customer = s.read.parquet(s"$d/customer.parquet")
-        val path = "/tmp/graft_orc_customer"
+        // Per-invocation scratch dir: a fixed path races when two sessions
+        // bench concurrently (one overwrites mid-read of the other).
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_orc_customer_").toString
         customer.write.mode(SaveMode.Overwrite).orc(path)
         s.read.schema(customer.schema).orc(path)
           .orderBy("c_custkey")
