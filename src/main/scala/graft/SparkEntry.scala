@@ -25,6 +25,7 @@ object SparkEntry {
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,
+      llm.Curation.qs,
       llm.Similarity.qs,
       llm.Multimodal.qs
     ).reduce(_ ++ _)

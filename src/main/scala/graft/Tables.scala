@@ -34,7 +34,21 @@ object Tables {
   }
 
   /** Register every corpus table as a temp view (for spark.sql queries —
-    * correlated subqueries, GROUPING SETS — which mirror the oracle SQL). */
+    * correlated subqueries, GROUPING SETS — which mirror the oracle SQL).
+    *
+    * Memoized per (session, dir): each registration re-reads 10 parquet
+    * footers and re-resolves 10 view plans, which showed up as ~0.5s of
+    * pure overhead on every spark.sql query in the round-3 bench. The memo
+    * invalidates when the same session switches corpus dirs (tests do),
+    * keyed on the session so a stopped session's entry can't leak onto a
+    * new one with the same dir.
+    */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
 }

@@ -1,0 +1,327 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus curation operators (SURVEY.md §2.5 north-star): the
+  * selection / filtering / splitting passes a large-scale LLM data pipeline
+  * runs between raw ingestion and tokenization. Everything here is either
+  * pure map-side column math (quality rules, repetition metrics, PII
+  * scrubbing, split assignment — zero shuffles, embarrassingly parallel at
+  * 100 TB) or a broadcast-join against a tiny derived relation
+  * (decontamination's eval shingle set, mixture sampling's per-source
+  * rates) so the corpus itself is scanned once and never shuffled.
+  *
+  * Reference provenance: the reference (jiazhi110/Top-produce-ETL) declares
+  * a config-driven ETL scaffold only (`config/config_dev.yaml:10-13`);
+  * these operators are the north-star extension set recorded in
+  * /root/repo/BASELINE.json.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Uniform in (0,1] derived from md5-lower-64 of a salted doc id — the
+    * cross-engine-exact construction proven by q_sample_weighted: DuckDB
+    * computes the identical value as
+    * `(CAST(md5_number_lower(salt || doc_id) >> 11 AS DOUBLE) + 1) / 2^53`.
+    */
+  private def uniform(s: SparkSession, salt: String): Column = {
+    val h = graft.functions.VectorFunctions.md5Lower(
+      concat(lit(salt), col("doc_id").cast(StringType)))
+    (shiftrightunsigned(h, 11).cast(DoubleType) + lit(1.0)) / lit(9007199254740992.0)
+  }
+
+  private def uniformSql(salt: String): String =
+    s"(CAST(md5_number_lower('$salt' || CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE) + 1.0) / 9007199254740992.0"
+
+  val qs: Map[String, Q] = Map(
+
+    // ----------------------------------------------------------------
+    // Benchmark decontamination: flag training docs sharing any 5-token
+    // n-gram with a held-out eval split (the GPT-3/PaLM n-gram-overlap
+    // decontamination shape). Eval set = doc_id % 97 == 0 — in production
+    // the eval benchmarks are a few MB against a 100 TB corpus, so the
+    // plan broadcasts the DISTINCT eval shingles to the corpus scan: the
+    // training side is never shuffled, matching is map-side, and only the
+    // (tiny) per-doc match counts aggregate. Every train doc is emitted
+    // with its contamination count (left join against the match relation,
+    // which is itself broadcast back).
+    // ----------------------------------------------------------------
+    "q_decontaminate" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), toks.as("t"))
+        // 5-gram shingles built on the exploded index row (building the
+        // array first and exploding it re-evaluates the generator child
+        // per output row — the measured ~16x trap, Dedup.scala).
+        val sh = base
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), greatest(size(col("t")) - 4, lit(1)))).as("i"))
+          .filter(col("i") + 4 <= size(col("t")))
+          .select(col("doc_id"), concat_ws(" ",
+            (0 to 4).map(k => element_at(col("t"), col("i") + k)): _*).as("s"))
+          .distinct()
+        val evalSh = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("s")).distinct()
+        val hits = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalSh), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        docs(s, d).filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"))
+          .join(broadcast(hits), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               LATERAL (SELECT generate_subscripts(t, 1) AS i) u
+          WHERE i + 4 <= len(t)),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT sh.doc_id, COUNT(*) AS n_shared
+          FROM sh JOIN ev ON sh.s = ev.s
+          WHERE sh.doc_id % 97 <> 0
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               COALESCE(h.n_shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Gopher-style quality rule bundle (Rae et al. 2021 §A1.1): word
+    // count bounds, mean word length bounds, alphabetic-word fraction,
+    // stopword floor. Pure column expressions — whole-stage codegen, no
+    // shuffle at all; at 100 TB this is a single map-side pass. Ratios
+    // emitted as raw doubles (same IEEE ops both engines — round(x,4)
+    // diverges on exact .xxxx5 boundaries, see commit cb66774).
+    // ----------------------------------------------------------------
+    "q_quality_gopher" -> Q(
+      fn = (s, d) => {
+        val n = size(toks)
+        val meanLen = (col("n_chars") - (n - 1)).cast(DoubleType) / n
+        val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(DoubleType) / n
+        val stop = size(filter(toks,
+          t => t.isin(Seq("a", "the", "to", "of", "and", "that", "with", "be").map(lit): _*)))
+        docs(s, d)
+          .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+            alphaFrac.as("alpha_frac"), stop.as("n_stopwords"))
+          .withColumn("word_count_ok", col("n_words").between(20, 100000))
+          .withColumn("mean_len_ok", col("mean_word_len").between(3.0, 10.0))
+          .withColumn("alpha_ok", col("alpha_frac") >= 0.8)
+          .withColumn("stopword_ok", col("n_stopwords") >= 2)
+          .withColumn("pass",
+            col("word_count_ok") && col("mean_len_ok") && col("alpha_ok") && col("stopword_ok"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+                 CAST(len(list_filter(string_split(text, ' '),
+                        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS alpha_frac,
+                 len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a','the','to','of','and','that','with','be'))) AS n_stopwords
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+               n_words BETWEEN 20 AND 100000 AS word_count_ok,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+               alpha_frac >= 0.8 AS alpha_ok,
+               n_stopwords >= 2 AS stopword_ok,
+               (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS pass
+        FROM m ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Repetition metrics (the Gopher repeated-content filters): distinct
+    // token ratio, most-frequent-token fraction, most-frequent-bigram
+    // fraction. Computed fully IN-ROW — the per-doc top-frequency values
+    // come from an aggregate over the distinct list (O(n·v) per doc,
+    // bounded by doc length), so the whole operator is one map-side pass
+    // with ZERO shuffles; the explode+groupBy formulation would shuffle
+    // every (doc, gram) row twice for the same answer.
+    // ----------------------------------------------------------------
+    "q_repetition" -> Q(
+      fn = (s, d) => {
+        val t = col("t")
+        def topCount(arr: Column): Column =
+          aggregate(array_distinct(arr), lit(0),
+            (acc, x) => greatest(acc, size(filter(arr, y => y === x))))
+        val bigrams = transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+        docs(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(t) >= 2)
+          .select(
+            col("doc_id"),
+            size(t).as("n_tok"),
+            (size(array_distinct(t)).cast(DoubleType) / size(t)).as("distinct_ratio"),
+            (topCount(t).cast(DoubleType) / size(t)).as("top_token_frac"),
+            (topCount(bigrams).cast(DoubleType) / (size(t) - 1)).as("top_bigram_frac"))
+          .withColumn("repetitive",
+            col("distinct_ratio") < 0.3 || col("top_bigram_frac") > 0.18)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        m AS (
+          SELECT doc_id,
+                 len(t) AS n_tok,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+                 CAST(list_max(list_transform(list_distinct(t),
+                        x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+                   / len(t) AS top_token_frac,
+                 CAST(list_max(list_transform(
+                        list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])),
+                        x -> len(list_filter(
+                               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+                               y -> y = x)))) AS DOUBLE)
+                   / (len(t) - 1) AS top_bigram_frac
+          FROM base)
+        SELECT doc_id, n_tok, distinct_ratio, top_token_frac, top_bigram_frac,
+               distinct_ratio < 0.3 OR top_bigram_frac > 0.18 AS repetitive
+        FROM m ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Deterministic train/val/test split: bucket = md5-lower-64 of the
+    // salted doc id mod 100 → 80/10/10. Hash-based assignment is the only
+    // split that is stable under corpus growth and needs no shuffle or
+    // global sort — each row decides its own split map-side; the only
+    // shuffle is the 3-row summary agg.
+    // ----------------------------------------------------------------
+    "q_split_hash" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val h = graft.functions.VectorFunctions.md5Lower(
+          concat(lit("split-"), col("doc_id").cast(StringType)))
+        val bucket = shiftrightunsigned(h, 11) % 100
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            dec4(sum(dec2(col("n_chars")))).as("sum_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("split")
+      },
+      oracle = Some(s"""
+        SELECT split, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(n_chars AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM (
+          SELECT *,
+                 CASE WHEN (md5_number_lower('split-' || CAST(doc_id AS VARCHAR)) >> 11) % 100 < 80 THEN 'train'
+                      WHEN (md5_number_lower('split-' || CAST(doc_id AS VARCHAR)) >> 11) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split ORDER BY split""")),
+
+    // ----------------------------------------------------------------
+    // Domain-mixture resampling (temperature sampling, alpha = 0.5): each
+    // source keeps rate_s = min(1, sqrt(avg_n / n_s)) of its docs —
+    // heavy sources are downsampled toward the mean, rare sources kept
+    // whole. The per-source stats relation is tiny (one row per source),
+    // so it broadcasts back onto the corpus scan and selection is a
+    // map-side predicate on the deterministic per-doc uniform: the corpus
+    // is scanned once and never shuffled. sqrt and division are IEEE
+    // correctly-rounded on both engines, and u is an exact dyadic, so the
+    // u < rate comparison is cross-engine exact.
+    // ----------------------------------------------------------------
+    "q_mixture_resample" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val counts = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_orig"))
+        // Global mean via a 1-row broadcast, not an unpartitioned window —
+        // same answer, no single-partition WindowExec in the plan.
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(avg(col("n_orig")).as("avg_n"))))
+          .withColumn("rate", least(lit(1.0), sqrt(col("avg_n") / col("n_orig"))))
+          .select("source", "n_orig", "rate")
+        docs(s, d)
+          .withColumn("u", uniform(s, "mix-"))
+          .join(broadcast(rates), "source")
+          .filter(col("u") < col("rate"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_selected"),
+            first(col("n_orig")).as("n_orig"),
+            first(col("rate")).as("rate"))
+          .select("source", "n_orig", "n_selected", "rate")
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH counts AS (SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY 1),
+        rates AS (
+          SELECT source, n_orig,
+                 least(1.0, sqrt((SELECT AVG(CAST(n_orig AS DOUBLE)) FROM counts) / n_orig)) AS rate
+          FROM counts)
+        SELECT d.source, r.n_orig, COUNT(*) AS n_selected, r.rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ${uniformSql("mix-")} < r.rate
+        GROUP BY d.source, r.n_orig, r.rate
+        ORDER BY d.source""")),
+
+    // ----------------------------------------------------------------
+    // PII detection + redaction. The corpus itself is clean, so each doc
+    // deterministically synthesizes a contact tail (same expression on
+    // both engines) and the operator detects emails / IPv4s / card-like
+    // digit runs and emits redaction counts plus the md5 of the redacted
+    // text. Regexes stay in the Java∩RE2 common subset. Pure map-side
+    // column math — zero shuffles at any scale.
+    // ----------------------------------------------------------------
+    "q_text_pii" -> Q(
+      fn = (s, d) => {
+        val full = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com from 10."), (col("doc_id") % 256).cast(StringType),
+          lit(".0.1 card 4111-1111-1111-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+        val emailRe = "[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val cardRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+        docs(s, d)
+          .select(col("doc_id"), full.as("full"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("full"), lit(emailRe), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("full"), lit(ipRe), lit(0))).as("n_ip"),
+            size(regexp_extract_all(col("full"), lit(cardRe), lit(0))).as("n_card"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("full"),
+              emailRe, "<EMAIL>"), ipRe, "<IP>"), cardRe, "<CARD>")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.0.1 card 4111-1111-1111-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(full_text, '[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(full_text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+               len(regexp_extract_all(full_text, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}')) AS n_card,
+               md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+                 '[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', '<CARD>', 'g')) AS redacted_md5
+        FROM f ORDER BY doc_id"""))
+  )
+}

@@ -42,6 +42,27 @@ object Sources {
           .orderBy("s_suppkey")
       },
       oracle = Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+    // Partitioned sink round trip: write documents hive-partitioned by
+    // lang, read back ONE partition. At 100 TB partitioning by a coarse
+    // selective column is what turns a full-corpus scan into a
+    // directory-listing prune — the read here plans PartitionFilters (not
+    // data filters), asserted in SourcesSpec. Output must equal the
+    // directly-filtered parquet original (fidelity through the partition
+    // encoding, including the partition column's value round trip).
+    "q_sink_partitioned" -> graft.Q(
+      fn = (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_part_documents_").toString
+        writeParquet(docsDf, path, partitionBy = Seq("lang"))
+        s.read.parquet(path)
+          .filter(org.apache.spark.sql.functions.col("lang") === "en")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id""")),
     "q_source_orc" -> graft.Q(
       fn = (s, d) => {
         val customer = s.read.parquet(s"$d/customer.parquet")
