@@ -59,6 +59,10 @@ object Bench {
     val runs = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // One untimed warmup per query: the first execution of a plan absorbs
+      // JIT + codegen compilation (measured up to 3.6x skew on run 1),
+      // which is startup cost, not operator cost.
+      timeOnce(fn)
       name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
     }
     val results = runs.map { case (name, ts) => name -> ts.sorted.apply(1) }

@@ -508,11 +508,19 @@ object Dedup {
       case None => pairsFrom(sh, None)
       case Some(cap) =>
         val r = tau / (1.0 + tau)
+        // Bit positions 0..62 for the ≤63 stop shingles. orderBy+limit
+        // plans TakeOrderedAndProject (single output partition, already
+        // sorted); re-asserting the order locally and numbering with
+        // monotonically_increasing_id gives the same deterministic rank
+        // WITHOUT a WindowExec — an unpartitioned row_number() here is
+        // harmless at 63 rows but logs a "No Partition Defined" warning
+        // per evaluation, flooding the bench log tail.
         val stop = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .orderBy(col("df").desc, col("s")).limit(63)
-          .withColumn("bit", row_number().over(
-            Window.orderBy(col("df").desc, col("s"))) - 1)
+          .coalesce(1)
+          .sortWithinPartitions(col("df").desc, col("s"))
+          .withColumn("bit", monotonically_increasing_id().cast(IntegerType))
           .select("s", "bit")
         val masks = sh.join(broadcast(stop), "s")
           .groupBy("doc_id")

@@ -70,16 +70,29 @@ object TextAnalysis {
     // global top-200 is TakeOrderedAndProject (O(k) per partition). The
     // (tfidf, doc_id, token) sort chain is a total order, so the LIMIT
     // boundary is deterministic.
+    //
+    // Single-scan shape: df derives from tf (tf's rows are already distinct
+    // per (doc, token), so counting rows per token IS the document
+    // frequency) — the two branches share one scan + one (doc_id, token)
+    // exchange, which Catalyst deduplicates via ReusedExchange. The corpus
+    // size N is a lazy 1-row broadcast agg, not a driver-side count(): no
+    // eager extra pass, and the N-side scan prunes to zero columns.
     "q_text_tfidf" -> Q(
       fn = (s, d) => {
         val docs = Tables(s, d, "documents")
-        val n = docs.count().toDouble
+        val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
         val dt = docs.select(col("doc_id"), explode(toks).as("token"))
         val tf = dt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df = dt.select("doc_id", "token").distinct()
+        // Min-term-frequency gate (the knob real TF-IDF pipelines expose;
+        // 1 = keep everything). It also pins the df branch to CONSUME tf,
+        // so ColumnPruning can't strip count(1) from this side's aggregate
+        // and diverge it from the tf branch — with both subtrees identical,
+        // ReuseExchange collapses them onto one scan + one exchange.
+        val df = tf.filter(col("tf") >= 1)
           .groupBy("token").agg(count(lit(1)).as("df"))
         tf.join(df, "token")
-          .withColumn("tfidf", r4(col("tf") * log(lit(n) / col("df"))))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", r4(col("tf") * log(col("n_docs") / col("df"))))
           .select("doc_id", "token", "tf", "df", "tfidf")
           .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
           .limit(200)

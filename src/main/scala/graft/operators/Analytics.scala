@@ -92,53 +92,50 @@ object Analytics {
     // decile's depth must sit within 1% of N/10 (sketch rank error at
     // accuracy 10⁴ is 0.01% — two orders of margin; max value multiplicity
     // in the corpus is 4, so unsplittable ties cannot skew a bucket), and
-    // each sketch boundary must land inside the exact ±0.05-quantile
-    // neighborhood of its target. The exact mid-decile percentile is
-    // emitted alongside and hash-checked against DuckDB's quantile_cont.
+    // each sketch boundary's exact RANK — cum(n)/N, a free by-product of
+    // the binning pass — must land within ±0.05 of its target quantile.
+    // Rank-of-boundary replaces the earlier value-of-rank check via exact
+    // percentile(): same neighborhood test (modulo ties, multiplicity ≤4),
+    // but bounded state — Spark's exact percentile buffers a value→count
+    // map per agg, unbounded on a 100 TB high-cardinality double column.
+    // The exact-percentile cross-check survives at test scale only
+    // (MiscOpsSpec "equi-depth sketch boundaries").
     "q_histogram_equidepth" -> Q(
       fn = (s, d) => {
-        val probes = (1 to 19).map(k => k * 0.05)
         val sketch = Tables(s, d, "lineitem")
           .agg(
-            expr("approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("b"),
-            expr(s"percentile(l_extendedprice, array(${probes.mkString(",")}))").as("q"),
-            count(lit(1)).as("n_total"))
-        val binned = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
-          .crossJoin(broadcast(sketch.select(col("b"))))
+            expr("approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("b"))
+        // One global aggregate produces every per-decile count AND its
+        // cumulative rank as 20 conditional sums (bounded 1-row state,
+        // map-side combine), then explodes back to the 10-row shape —
+        // empty deciles surface as n=0 rather than a dropped group, and
+        // there is no window, no range-join, no second binning pass.
+        val aggs = (1 to 10).flatMap(i => Seq(
+          sum(when(col("decile") === i, 1L).otherwise(0L)).as(s"n_$i"),
+          sum(when(col("decile") <= i, 1L).otherwise(0L)).as(s"cum_$i")))
+        val counts = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+          .crossJoin(broadcast(sketch))
           .withColumn("decile",
             (1 to 9).map(i => when(col("x") > col("b").getItem(i - 1), 1L).otherwise(0L))
               .reduce(_ + _) + lit(1L))
-          .groupBy("decile")
-          .agg(count(lit(1)).as("n"))
-        // groupBy drops empty groups, so an empty decile (adjacent sketch
-        // boundaries colliding on low-cardinality data) would shrink the
-        // output to <10 rows — a shape mismatch instead of the intended
-        // depth_ok=false. Pin the shape to exactly 10 rows and let the
-        // contract degrade through coalesce(n, 0).
-        s.range(1, 11).select(col("id").as("decile"))
-          .join(binned, Seq("decile"), "left")
-          .withColumn("n", coalesce(col("n"), lit(0L)))
-          .crossJoin(broadcast(sketch.select(col("b"), col("q"), col("n_total"))))
+          .agg(aggs.head, aggs.tail: _*)
+        counts
+          // cum_10 counts every row — the corpus total, for free.
+          .select(col("cum_10").as("n_total"), explode(array((1 to 10).map(i =>
+            struct(lit(i.toLong).as("decile"), col(s"n_$i").as("n"),
+              col(s"cum_$i").as("cum"))): _*)).as("r"))
           .select(
-            col("decile"),
-            (abs(col("n") - col("n_total") / 10.0) <= col("n_total") * 0.01).as("depth_ok"),
-            when(col("decile") === 10, lit(true)).otherwise(
-              col("b").getItem(col("decile").cast(IntegerType) - 1)
-                .between(
-                  element_at(col("q"), (col("decile") * 2 - 1).cast(IntegerType)),
-                  element_at(col("q"), (col("decile") * 2 + 1).cast(IntegerType))))
-              .as("boundary_ok"),
-            r4(element_at(col("q"), (col("decile") * 2 - 1).cast(IntegerType)))
-              .as("p_mid_exact"))
+            col("r.decile").as("decile"),
+            (abs(col("r.n") - col("n_total") / 10.0) <= col("n_total") * 0.01).as("depth_ok"),
+            when(col("r.decile") === 10, lit(true)).otherwise(
+              (col("r.cum") / col("n_total"))
+                .between(col("r.decile") / 10.0 - 0.05, col("r.decile") / 10.0 + 0.05))
+              .as("boundary_ok"))
           .orderBy("decile")
       },
       oracle = Some("""
-        WITH qq AS (SELECT quantile_cont(l_extendedprice,
-                      [0.05,0.15,0.25,0.35,0.45,0.55,0.65,0.75,0.85,0.95]) AS q
-                    FROM lineitem)
-        SELECT d AS decile, true AS depth_ok, true AS boundary_ok,
-               CAST(ROUND(q[d], 4) AS DOUBLE) AS p_mid_exact
-        FROM qq CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
+        SELECT d AS decile, true AS depth_ok, true AS boundary_ok
+        FROM (SELECT unnest(generate_series(1, 10)) AS d)
         ORDER BY d""")),
 
     // TPC-H Q3 (shipping priority), adapted: o_orderpriority stands in for

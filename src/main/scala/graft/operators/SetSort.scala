@@ -122,15 +122,19 @@ object SetSort {
     // sampled rows are a subset of the input (vacuously engine-checkable, so
     // asserted in SampleSpec instead). Row-level determinism of the seed is
     // covered by the repeated-Verify sweep.
+    // The denominator is a lazy 1-row broadcast agg, not a driver-side
+    // count() — no eager second pass over the fact table, and the
+    // denominator-side scan prunes to zero columns (row-group metadata
+    // only at parquet level).
     "q_sample" -> Q(
       fn = (s, d) => {
-        val total = Tables(s, d, "lineitem").count().toDouble
-        Tables(s, d, "lineitem")
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        val li = Tables(s, d, "lineitem")
+        li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
           .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
           .select(
             lit("bernoulli_p10_seed42").as("sampler"),
-            (abs(col("n") / total - 0.1) <= 0.015).as("within_tol"))
+            (abs(col("n") / col("total") - 0.1) <= 0.015).as("within_tol"))
       },
       oracle = Some("""
         SELECT 'bernoulli_p10_seed42' AS sampler, true AS within_tol""")),

@@ -135,6 +135,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(shared.getAs[Long]("c").toDouble / shared.getAs[Long]("na") == 1.0)
   }
 
+  test("equi-depth sketch boundaries sit inside the exact quantile neighborhood") {
+    // The shipped q_histogram_equidepth validates boundary rank against the
+    // sketch-computed cum/N (bounded state). Here, at test scale only, the
+    // sketch boundaries are cross-checked against Spark's EXACT percentile —
+    // the unbounded-state aggregate deliberately kept out of the shipped plan.
+    val probes = (1 to 19).map(k => k * 0.05)
+    val r = Tables(spark, TestSpark.sf, "lineitem")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("b"),
+        expr(s"percentile(l_extendedprice, array(${probes.mkString(",")}))").as("q"))
+      .head()
+    val b = r.getSeq[Double](0)
+    val q = r.getSeq[Double](1)
+    (1 to 9).foreach { i =>
+      val (lo, hi) = (q(2 * i - 2), q(2 * i))
+      assert(b(i - 1) >= lo && b(i - 1) <= hi,
+        s"sketch decile boundary $i = ${b(i - 1)} outside exact [$lo, $hi]")
+    }
+  }
+
   test("map functions round-trip keys and values") {
     val out = SparkEntry.queries("q_map_funcs")(spark, TestSpark.sf)
     val row = out.head()

@@ -83,6 +83,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       "equi-depth must not fall back to the single-task ntile total order")
     assert(p.contains("approx_percentile"), "boundary sketch missing")
+    assert(!p.replace("approx_percentile", "").contains("percentile"),
+      "exact percentile (unbounded agg state) must stay out of the shipped plan")
+  }
+
+  test("q_text_tfidf reads document data in one scan; tf/df share the exchange") {
+    // Exchange reuse happens at runtime under AQE, so inspect the FINAL
+    // adaptive plan after execution, not the static explain.
+    val df = SparkEntry.queries("q_text_tfidf")(spark, TestSpark.sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      "tf and df branches must share one scan+exchange via ReusedExchange")
+    // In the final plan the documents DATA scan (doc_id + text) appears
+    // once; the corpus-size branch's scan prunes to zero columns.
+    val finalSection = fin.split("== Initial Plan ==").head
+    val dataScans = finalSection.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("text:string"))
+    assert(dataScans == 1, s"expected 1 data scan of documents, got $dataScans")
+  }
+
+  test("q_sample and q_text_tfidf build lazily — no driver-side action") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    SparkEntry.queries("q_sample")(spark, TestSpark.sf)
+    SparkEntry.queries("q_text_tfidf")(spark, TestSpark.sf)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    // Each query construction runs exactly one parquet schema-inference
+    // job (footer read) for its single Tables() call; an eager count()
+    // would add a full-scan job on top.
+    assert(after - before <= 2,
+      s"construction ran ${after - before} jobs — an eager driver-side " +
+        "action (count()) is back in the build path")
   }
 
   test("incremental dedup joins the corpus only via broadcast — no shuffle join") {
