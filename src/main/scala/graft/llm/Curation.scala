@@ -41,6 +41,43 @@ object Curation {
   private def uniformSql(salt: String): String =
     s"(CAST(md5_number_lower('$salt' || CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE) + 1.0) / 9007199254740992.0"
 
+  // ------------------------------------------------------------------
+  // Reusable curation expressions — the SAME column trees drive the
+  // oracle-checked batch queries below AND the micro-batch streaming
+  // curation chain (graft.streaming.Streams.curationChain); StreamingSpec
+  // asserts stream/batch output parity on the corpus.
+  // ------------------------------------------------------------------
+
+  private[graft] val gopherStopwords =
+    Seq("a", "the", "to", "of", "and", "that", "with", "be")
+
+  /** Gopher rule metrics over a `text` column:
+    * (n_words, mean_word_len, alpha_frac, n_stopwords). */
+  private[graft] def gopherMetrics(nChars: Column): (Column, Column, Column, Column) = {
+    val n = size(toks)
+    val meanLen = (nChars - (n - 1)).cast(DoubleType) / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(DoubleType) / n
+    val stop = size(filter(toks, t => t.isin(gopherStopwords.map(lit): _*)))
+    (n, meanLen, alphaFrac, stop)
+  }
+
+  /** The Gopher pass/fail gate as one predicate (streaming quality filter). */
+  private[graft] def gopherPass(nChars: Column): Column = {
+    val (n, meanLen, alphaFrac, stop) = gopherMetrics(nChars)
+    n.between(20, 100000) && meanLen.between(3.0, 10.0) &&
+      alphaFrac >= 0.8 && stop >= 2
+  }
+
+  /** Deterministic hash split assignment (train/val/test 80/10/10) for an
+    * id column — map-side, stable under corpus growth, identical in batch
+    * (q_split_hash) and streaming. */
+  private[graft] def splitAssign(id: Column): Column = {
+    val h = graft.functions.VectorFunctions.md5Lower(
+      concat(lit("split-"), id.cast(StringType)))
+    val bucket = shiftrightunsigned(h, 11) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ----------------------------------------------------------------
@@ -110,11 +147,7 @@ object Curation {
     // ----------------------------------------------------------------
     "q_quality_gopher" -> Q(
       fn = (s, d) => {
-        val n = size(toks)
-        val meanLen = (col("n_chars") - (n - 1)).cast(DoubleType) / n
-        val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(DoubleType) / n
-        val stop = size(filter(toks,
-          t => t.isin(Seq("a", "the", "to", "of", "and", "that", "with", "be").map(lit): _*)))
+        val (n, meanLen, alphaFrac, stop) = gopherMetrics(col("n_chars"))
         docs(s, d)
           .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
             alphaFrac.as("alpha_frac"), stop.as("n_stopwords"))
@@ -209,12 +242,8 @@ object Curation {
     "q_split_hash" -> Q(
       fn = (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        val h = graft.functions.VectorFunctions.md5Lower(
-          concat(lit("split-"), col("doc_id").cast(StringType)))
-        val bucket = shiftrightunsigned(h, 11) % 100
         docs(s, d)
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .withColumn("split", splitAssign(col("doc_id")))
           .groupBy("split")
           .agg(count(lit(1)).as("n"),
             dec4(sum(dec2(col("n_chars")))).as("sum_chars"),

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.5): opaque binary payloads with
-  * typed metadata, batch "decode"/feature-extraction via mapPartitions, and
-  * frame sampling. The image/audio codec itself is STUBBED with a
-  * deterministic fake (no media libraries in this environment) — the Spark
-  * plumbing (schema, binary round-trip, per-partition batching, sampling)
-  * is real and unit-tested (MultimodalSpec).
+  * typed metadata, batch decode/feature-extraction via mapPartitions, and
+  * frame sampling. The image codec is a REAL decoder — `javax.imageio`
+  * (JDK-only, PNG/JPEG/BMP/GIF) — exercised over synthesized PNG bytes in
+  * MultimodalSpec; payloads no reader recognizes degrade to byte-level
+  * stats with `decoded = false` instead of failing the batch.
   */
 object Multimodal {
 
@@ -20,24 +20,56 @@ object Multimodal {
   case class MediaRow(id: Long, payload: Array[Byte], format: String,
       width: Int, height: Int)
 
+  /** Byte-level stats always; decoded pixel stats when a codec accepts the
+    * payload (width/height/mean_luma are -1/-1/0 otherwise). */
   case class MediaFeature(id: Long, n_bytes: Int, checksum: Long,
-      mean_byte: Double)
+      mean_byte: Double, decoded: Boolean, width: Int, height: Int,
+      mean_luma: Double)
 
-  /** Batch "decode": per-partition loop (the mapInPandas analog in Scala —
-    * one tight pass per partition, no per-row closure dispatch). The real
-    * decoder would parse payload bytes; the deterministic fake derives
-    * features from the bytes themselves. */
+  /** Batch decode: per-partition loop (the mapInPandas analog in Scala —
+    * one tight pass per partition, no per-row closure dispatch; ImageIO's
+    * reader-SPI registry and the in-memory stream cache setting amortize
+    * across the partition). Decode failures are per-row data, not errors:
+    * a 100 TB media corpus always contains undecodable payloads. */
   def featurize(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // Byte-array sources must not spill through ImageIO's temp-file
+      // cache on executors (driver-less filesystem assumptions).
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         var sum = 0L; var check = 17L
         var i = 0
         while (i < m.payload.length) {
           sum += (m.payload(i) & 0xff); check = check * 31 + (m.payload(i) & 0xff); i += 1
         }
-        MediaFeature(m.id, m.payload.length, check,
-          if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length)
+        val meanByte =
+          if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length
+        val img =
+          if (m.payload.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          MediaFeature(m.id, m.payload.length, check, meanByte,
+            decoded = false, width = -1, height = -1, mean_luma = 0.0)
+        else {
+          // Rec. 601 luma over the decoded raster.
+          var luma = 0.0; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              luma += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          MediaFeature(m.id, m.payload.length, check, meanByte,
+            decoded = true, img.getWidth, img.getHeight, luma / n)
+        }
       }
     }
   }

@@ -21,6 +21,10 @@ object Streams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** A document arriving on an ingest stream (curationChain input row). */
+  final case class DocEvent(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
   /** Tumbling-window counts with a watermark: events later than 10 minutes
@@ -100,6 +104,25 @@ object Streams {
     df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
       batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
     }
+
+  /** End-to-end streaming curation: the ingest shape of a training-data
+    * pipeline run as micro-batches — watermark-bounded dedup on doc_id,
+    * the Gopher quality gate, and deterministic hash split assignment.
+    * The quality and split expressions are the SAME column trees as the
+    * oracle-checked batch operators (`graft.llm.Curation.gopherPass` /
+    * `splitAssign`), so batch parity holds by construction and is
+    * asserted over the corpus in StreamingSpec.
+    *
+    * Scale: dedup state is bounded by the watermark; the gate and split
+    * are stateless map-side expressions — per-micro-batch cost is one
+    * pass, no shuffle beyond dedup's key exchange. */
+  def curationChain(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .filter(graft.llm.Curation.gopherPass(length(col("text"))))
+      .withColumn("split", graft.llm.Curation.splitAssign(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("split"))
 
   /** Arbitrary stateful processing: per-user running (count, sum) emitted on
     * every update — the `flatMapGroupsWithState` shape used for custom

@@ -35,8 +35,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).n_bytes == 5)
     assert(math.abs(feats(1L).mean_byte - 3.0) < 1e-12)
     assert(feats(3L).n_bytes == 0 && feats(3L).mean_byte == 0.0)
+    // none of these payloads is a real image — the codec must say so
+    assert(feats.values.forall(f => !f.decoded && f.width == -1))
     val again = Multimodal.featurize(media).collect().map(f => f.id -> f).toMap
     assert(feats == again)
+  }
+
+  /** Deterministic RGB test image: pixel (x, y) of image `id` is a fixed
+    * function of (id, x, y). */
+  private def pattern(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+    val b = ((id * 11 + x * 19 + y * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pattern(id, x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("featurize decodes real PNG payloads: dimensions and luma exact") {
+    import spark.implicits._
+    val dims = Seq(1L -> (16, 9), 2L -> (7, 7), 3L -> (1, 1))
+    val ds = dims.map { case (id, (w, h)) =>
+      MediaRow(id, pngBytes(id, w, h), "image/png", w, h)
+    }.toDS().repartition(3) // decode must work per-partition, not per-driver
+    val feats = Multimodal.featurize(ds).collect().map(f => f.id -> f).toMap
+    dims.foreach { case (id, (w, h)) =>
+      val f = feats(id)
+      assert(f.decoded, s"PNG $id did not decode")
+      assert(f.width == w && f.height == h, s"dims of $id: ${f.width}x${f.height}")
+      // PNG is lossless: decoded pixels are bit-identical to the pattern,
+      // so the Rec. 601 mean luma matches the reference computation exactly.
+      var luma = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = pattern(id, x, y)
+        luma += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      }
+      assert(math.abs(f.mean_luma - luma / (w.toLong * h)) < 1e-9,
+        s"luma of $id: ${f.mean_luma}")
+    }
+  }
+
+  test("a corrupt image payload degrades to decoded=false, not a task failure") {
+    import spark.implicits._
+    val good = pngBytes(9L, 4, 4)
+    val corrupt = good.take(20) ++ Array.fill[Byte](30)(0) // valid magic, broken body
+    val ds = Seq(
+      MediaRow(1L, good, "image/png", 4, 4),
+      MediaRow(2L, corrupt, "image/png", 4, 4)).toDS()
+    val feats = Multimodal.featurize(ds).collect().map(f => f.id -> f).toMap
+    assert(feats(1L).decoded)
+    assert(!feats(2L).decoded && feats(2L).n_bytes == 50)
   }
 
   test("sampleChunks keeps every stride-th chunk") {

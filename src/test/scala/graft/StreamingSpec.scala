@@ -215,6 +215,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming curation chain (dedup → quality gate → split) matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    // Batch truth: the oracle-checked gopher gate decides which docs pass;
+    // the shared splitAssign expression labels them.
+    val batch = SparkEntry.queries("q_quality_gopher")(spark, TestSpark.sf)
+      .filter(col("pass")).select("doc_id")
+      .join(Tables(spark, TestSpark.sf, "documents"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        graft.llm.Curation.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.nonEmpty, "quality gate passed nothing — test corpus broken")
+    // Stream side: the same corpus fed in three micro-batches with
+    // duplicate doc_ids injected across batches (well inside the
+    // watermark), through the full chain.
+    val corpus = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        Streams.DocEvent(r.getLong(0), ts(i % 30), r.getString(1), r.getString(2))
+      }
+    val thirds = corpus.grouped((corpus.length + 2) / 3).toSeq
+    val mem = MemoryStream[Streams.DocEvent]
+    val out = Streams.curationChain(mem.toDF(), "2 hours")
+    val q = out.writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    try {
+      mem.addData(thirds(0).toIndexedSeq)
+      q.processAllAvailable()
+      // re-deliver some batch-1 docs alongside batch 2 (ingest retries)
+      mem.addData((thirds(1) ++ thirds(0).take(20)).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData((thirds(2) ++ thirds(1).take(20)).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curation").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(streamed.length == streamed.distinct.length,
+        "duplicate doc survived the watermarked dedup")
+      assert(streamed.toSet == batch,
+        s"batch-only=${(batch -- streamed.toSet).take(3)} " +
+          s"stream-only=${(streamed.toSet -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
