@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale-factor corpus from an existing one by
+  * unioning `copies` key-shifted replicas — the empirical scale-validation
+  * harness. Usage: `runMain graft.ScaleGen <srcDir> <dstDir> <copies>`.
+  *
+  * Shape choices (what "10x more data" means per table):
+  *   - Dimensions (region..part) keep their natural size — fact/dim ratio
+  *     grows, exactly the direction a real corpus scales, and broadcast
+  *     joins must stay broadcasts.
+  *   - orders/lineitem replicate with the ORDER key shifted so the
+  *     order⋈lineitem FK structure is preserved per replica and key
+  *     cardinality grows 10x (no artificial hot keys).
+  *   - events shift event_id AND user_id: per-user event density stays
+  *     constant, so session/window state per key is unchanged while the
+  *     key count grows 10x.
+  *   - documents shift doc_id and suffix every TOKEN with the replica id
+  *     (k>0): near-dup structure is preserved WITHIN a replica but no
+  *     shingle/minhash/simhash collisions happen ACROSS replicas — corpus
+  *     growth means new content, not 10 literal clones of every doc
+  *     (which would explode pair counts quadratically instead of
+  *     linearly). n_chars is recomputed over the rewritten text.
+  *   - embeddings shift vec_id, vectors unchanged (ANN/IVF bucket
+  *     populations scale 10x).
+  *
+  * events.ts is read RAW (nanosAsLong ⇒ LongType) so replicas round-trip
+  * the ns-epoch column without the Tables µs conversion.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def raw(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
+
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+        suffixText: Boolean = false): DataFrame =
+      (0 until copies).map { k =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(k * off))
+        }
+        if (suffixText && k > 0)
+          shifted
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))), " "))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else shifted
+      }.reduce(_ unionAll _)
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(n => write(raw(n), n))
+    write(replicate(raw("orders"), Map("o_orderkey" -> 100000000L)), "orders")
+    write(replicate(raw("lineitem"), Map("l_orderkey" -> 100000000L)), "lineitem")
+    write(replicate(raw("events"),
+      Map("event_id" -> 100000000L, "user_id" -> 10000000L)), "events")
+    write(replicate(raw("documents"), Map("doc_id" -> 10000000L),
+      suffixText = true), "documents")
+    write(replicate(raw("embeddings"), Map("vec_id" -> 10000000L)), "embeddings")
+    spark.stop()
+  }
+}
