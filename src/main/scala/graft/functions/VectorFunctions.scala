@@ -233,6 +233,22 @@ object VectorFunctions {
       "hyperplane_sig",
       exprs => HyperplaneSig(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    // Spark ships a distributed bloom-filter sketch pair (used internally
+    // by runtime join filtering) that it does NOT expose in the public
+    // registry: BloomFilterAggregate builds the sketch as a tree-reduced
+    // aggregate; BloomFilterMightContain probes it (requires the sketch as
+    // a scalar subquery or literal). Registering them gives the membership
+    // primitive for sketch-based ingest dedup (q_dedup_bloom) without
+    // collecting the filter to the driver.
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)

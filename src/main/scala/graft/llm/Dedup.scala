@@ -227,6 +227,51 @@ object Dedup {
         WHERE CAST(c AS DOUBLE) / (nb + nc - c) >= 0.3
         ORDER BY new_doc, dup_of""")),
 
+    // ----------------------------------------------------------------
+    // Sketch-based ingest membership dedup: the standing corpus (90% of
+    // docs) tree-aggregates into ONE bloom-filter binary (KBs) via Spark's
+    // internal BloomFilterAggregate; the ingest batch (10%) probes it as a
+    // scalar subquery — the batch is never joined against the corpus at
+    // all, which is the cheapest possible "have I seen this exact text"
+    // gate at 100 TB: one corpus scan to (re)build or load the sketch,
+    // then pure map-side probing of every arriving row. Bloom semantics
+    // give the contract: NO false negatives ever (every exact duplicate
+    // is flagged — checked row by row against the exact semi-join), and a
+    // false-positive rate bounded by the sketch sizing (400k bits for
+    // ≤5k distinct texts ⇒ fpp ≪ 1%; asserted ≤ max(5 rows, 5%)).
+    // ----------------------------------------------------------------
+    "q_dedup_bloom" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        graft.Tables.registerViews(s, d)
+        s.sql("""
+          WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+          batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          probed AS (
+            SELECT doc_id,
+                   graft_might_contain(
+                     (SELECT graft_bloom_agg(xxhash64(text), 5000L, 400000L) FROM corpus),
+                     xxhash64(text)) AS hit,
+                   text IN (SELECT text FROM corpus) AS dup
+            FROM batch)
+          SELECT COUNT(*) AS n_batch,
+                 SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_exact_dup,
+                 every(hit OR NOT dup) AS no_false_negatives,
+                 (SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN dup THEN 1 ELSE 0 END))
+                   <= greatest(5L, CAST(0.05 * (COUNT(*)
+                        - SUM(CASE WHEN dup THEN 1 ELSE 0 END)) AS BIGINT)) AS fpr_ok
+          FROM probed""")
+      },
+      oracle = Some("""
+        WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT COUNT(*) AS n_batch,
+               CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+               true AS no_false_negatives,
+               true AS fpr_ok
+        FROM batch""")),
+
     // MinHash (64 perms) + LSH (32 bands × 2 rows) candidate generation over
     // 3-gram shingle sets (token sets don't discriminate in a small-vocab
     // corpus), then exact shingle-set Jaccard re-check ≥ 0.3.

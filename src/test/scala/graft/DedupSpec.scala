@@ -151,6 +151,34 @@ class DedupSpec extends AnyFunSuite {
     assert(gotPairs == bruteJac(corpus, 0.3).keySet)
   }
 
+  test("bloom ingest gate probes map-side: no join, no shuffle of the batch") {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.registerViews(spark, TestSpark.sf)
+    // the production shape: flag arrivals against the standing corpus's
+    // sketch — corpus collapses to one binary via a scalar subquery, the
+    // batch never joins anything (q_dedup_bloom adds exact-truth columns
+    // for the oracle contract, which do join; this is the shipped probe)
+    val probe = spark.sql("""
+      SELECT doc_id,
+             graft_might_contain(
+               (SELECT graft_bloom_agg(xxhash64(text), 5000L, 400000L)
+                FROM documents WHERE doc_id % 10 <> 0),
+               xxhash64(text)) AS hit
+      FROM documents WHERE doc_id % 10 = 0""")
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), "probe plan must not contain any join")
+    // bloom guarantee: zero false negatives vs the exact duplicate set
+    val hits = probe.collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val exact = spark.sql("""
+      SELECT b.doc_id FROM documents b
+      WHERE b.doc_id % 10 = 0 AND b.text IN
+        (SELECT text FROM documents WHERE doc_id % 10 <> 0)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(hits),
+      s"false negatives from the bloom probe: ${(exact -- hits).take(5)}")
+  }
+
   test("simhash pigeonhole banding finds EVERY pair within hamming <= 3") {
     graft.functions.VectorFunctions.register(spark)
     val sigs = Tables(spark, TestSpark.sf, "documents")
