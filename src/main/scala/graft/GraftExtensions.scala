@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hyperplane_sig"), info("hyperplane_sig"),
       (exprs: Seq[Expression]) => HyperplaneSig(exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("md5_lower64"), info("md5_lower64"),
+      (exprs: Seq[Expression]) => Md5Lower64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("token_pairs"), info("token_pairs"),
+      (exprs: Seq[Expression]) => TokenPairs(exprs.head)))
+    // Spark's internal bloom sketch pair (see VectorFunctions.register).
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"), info("graft_bloom_agg"),
+      (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("graft_might_contain"), info("graft_might_contain"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -40,4 +40,34 @@ class EngineSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(cfg.topN == 7)
   }
+
+  test("GraftExtensions injects the function library at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val base = TestSpark.spark // ensures a SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a STATIC conf, unreadable once a context
+      // exists in this JVM — inject through the public withExtensions
+      // builder hook instead, which exercises the same
+      // GraftExtensions.apply injection path the --conf route loads.
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne base, "expected a fresh session with extensions applied")
+      val r = s2.sql("""
+        SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+               md5_lower64('split-1') AS h,
+               graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(x), 10L, 1000L)
+                  FROM VALUES ('a'), ('b') t(x)),
+                 xxhash64('a')) AS hit""").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getLong(1) != 0L)
+      assert(r.getBoolean(2), "bloom probe of a present element must hit")
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
