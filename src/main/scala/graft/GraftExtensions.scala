@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_might_contain"), info("graft_might_contain"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
   }
 }

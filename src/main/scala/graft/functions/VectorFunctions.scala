@@ -184,6 +184,29 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Point-estimate probe of a serialized Spark `CountMinSketch` binary
+    * (the missing read half of the public `count_min_sketch` aggregate —
+    * Spark can build the sketch in SQL but ships no SQL probe). Left:
+    * sketch binary (scalar subquery / broadcast), right: long key.
+    * Deserialization is cached per task thread (VectorKernels). */
+  case class CmsEstimate(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cms_estimate"
+
+    override def nullSafeEval(sk: Any, v: Any): Any =
+      VectorKernels.cmsEstimateLong(sk.asInstanceOf[Array[Byte]],
+        v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.cmsEstimateLong($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_sig"
@@ -249,6 +272,8 @@ object VectorFunctions {
       "graft_might_contain",
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)

@@ -164,4 +164,27 @@ object VectorKernels {
     }
     bucket
   }
+
+  /** Per-thread one-entry deserialization cache for count-min-sketch
+    * probes: the sketch arrives as ONE scalar-subquery binary reused by
+    * every probe row in the task, so keying on the byte-array reference
+    * makes re-deserialization per row free. */
+  private val cmsTL: ThreadLocal[(AnyRef, org.apache.spark.util.sketch.CountMinSketch)] =
+    new ThreadLocal[(AnyRef, org.apache.spark.util.sketch.CountMinSketch)] {
+      override def initialValue() = (null, null)
+    }
+
+  /** Point estimate from a serialized Spark CountMinSketch for a long key. */
+  def cmsEstimateLong(sketch: Array[Byte], v: Long): Long = {
+    val cached = cmsTL.get()
+    val cms =
+      if (cached._1 eq sketch) cached._2
+      else {
+        val fresh = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketch))
+        cmsTL.set((sketch, fresh))
+        fresh
+      }
+    cms.estimateCount(java.lang.Long.valueOf(v))
+  }
 }

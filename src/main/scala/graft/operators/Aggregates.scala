@@ -131,6 +131,40 @@ object Aggregates {
                true AS within_band
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Count-min-sketch heavy-hitter estimation — the frequency member of
+    // the sketch family (HLL = distincts, bloom = membership, GK =
+    // quantiles, CMS = counts). One pass, fixed-size state (depth x width
+    // counters), map-side combine; Spark exposes the build aggregate
+    // (`count_min_sketch`) in SQL but no probe, so the read half is the
+    // graft `cms_estimate` expression (VectorFunctions). Probes the 5
+    // hottest part keys; contract = the CMS guarantees: never
+    // underestimates, overestimate <= eps*N (eps=0.001) with prob 0.99 —
+    // asserted at 3x slack. Exact counts ride along hash-checked; the
+    // (exact DESC, k) order is total so the top-5 boundary is
+    // deterministic on both engines.
+    "q_agg_cms" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        graft.Tables.registerViews(s, d)
+        s.sql("""
+          WITH sk AS (SELECT count_min_sketch(l_partkey, 0.001d, 0.99d, 42) AS s,
+                             COUNT(*) AS n
+                      FROM lineitem),
+          probes AS (SELECT l_partkey AS k, COUNT(*) AS exact FROM lineitem
+                     GROUP BY 1 ORDER BY exact DESC, k ASC LIMIT 5)
+          SELECT k, exact,
+                 cms_estimate((SELECT s FROM sk), k) >= exact
+                   AS no_underestimate,
+                 cms_estimate((SELECT s FROM sk), k)
+                   <= exact + CAST(3 * 0.001 * (SELECT n FROM sk) AS BIGINT)
+                   AS overestimate_bounded
+          FROM probes ORDER BY exact DESC, k ASC""")
+      },
+      oracle = Some("""
+        SELECT l_partkey AS k, COUNT(*) AS exact,
+               true AS no_underestimate, true AS overestimate_bounded
+        FROM lineitem GROUP BY 1 ORDER BY exact DESC, k ASC LIMIT 5""")),
+
     // Pairwise correlation matrix over the fact table's numeric columns —
     // ONE scan, one agg row carrying all 6 pairs (each corr is a partial-
     // merge aggregate), unpivoted to (col_a, col_b, r) rows via stack.

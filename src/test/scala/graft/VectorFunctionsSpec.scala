@@ -60,4 +60,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("cms_estimate never underestimates and respects the eps*N bound") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // skewed corpus: key k appears k times, 1..100 (N = 5050)
+    val rows = (1L to 100L).flatMap(k => Seq.fill(k.toInt)(k))
+    rows.toDF("k").createOrReplaceTempView("cms_corpus")
+    val out = spark.sql("""
+      SELECT k, COUNT(*) AS exact,
+             cms_estimate((SELECT count_min_sketch(k, 0.001d, 0.99d, 42)
+                           FROM cms_corpus), k) AS est
+      FROM cms_corpus GROUP BY k""").collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated key ${r.getLong(0)}")
+      assert(est <= exact + math.ceil(3 * 0.001 * 5050).toLong,
+        s"CMS overestimate out of bound for key ${r.getLong(0)}: $est vs $exact")
+    }
+  }
 }
