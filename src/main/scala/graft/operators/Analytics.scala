@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,7 +13,47 @@ import org.apache.spark.sql.types._
   */
 object Analytics {
 
+  /** Morton (z-order) value interleaving the low `bits` bits of two
+    * columns: bit i of `a` lands at z-bit 2i, bit i of `b` at 2i+1. Pure
+    * unrolled shift/mask arithmetic — whole-stage codegen, identical
+    * formula in the DuckDB oracle. */
+  private[graft] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   val qs: Map[String, Q] = Map(
+
+    // Multi-dimensional data layout: z-order (Morton) clustering key over
+    // (l_partkey, l_suppkey) low bytes. Sorting/write-partitioning a 100 TB
+    // fact table by this key makes parquet row-group min/max stats prune
+    // range predicates on EITHER dimension (a single-column sort prunes
+    // only its own column — the worst-case scan for the other dim is the
+    // whole table; LayoutSpec measures the block-touch asymmetry). The
+    // z computation itself is stateless map-side bit math.
+    "q_layout_zorder" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(256L)).as("pa"),
+            pmod(col("l_suppkey"), lit(256L)).as("pb"))
+          .withColumn("z", zValue(col("pa"), col("pb"), 8))
+          .select("l_orderkey", "l_linenumber", "pa", "pb", "z")
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+          .limit(1000),
+      oracle = Some({
+        val terms = (0 until 8).map(i =>
+          s"(((pa >> $i) & 1) << ${2 * i}) + (((pb >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""
+        SELECT l_orderkey, l_linenumber, pa, pb, $terms AS z
+        FROM (SELECT l_orderkey, l_linenumber,
+                     l_partkey % 256 AS pa, l_suppkey % 256 AS pb
+              FROM lineitem)
+        ORDER BY z, l_orderkey, l_linenumber LIMIT 1000"""
+      })),
 
     // Resample to an hourly grid per event_type: missing buckets appear
     // with n=0, plus a forward-filled "last seen total". The grid is
