@@ -260,6 +260,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming (readStream.parquet) agrees with the batch scan") {
+    import org.apache.spark.sql.functions._
+    // the production source path — a real parquet stream source with
+    // schema pinned from the batch reader, not a MemoryStream
+    val batchDf = Tables(spark, TestSpark.sf, "documents")
+    val expected = batchDf.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stream sources are directories of arriving files — lay the corpus
+    // out as 3 parquet files so maxFilesPerTrigger=1 yields 3 micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    batchDf.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filesrc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
