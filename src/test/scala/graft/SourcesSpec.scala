@@ -20,6 +20,43 @@ class SourcesSpec extends AnyFunSuite {
       .sameElements(region.orderBy("r_regionkey").collect()))
   }
 
+  test("corrupt CSV records: PERMISSIVE captures, DROPMALFORMED drops, counts reconcile") {
+    import org.apache.spark.sql.types._
+    // 20 rows, every 7th malformed (wrong arity / non-numeric id)
+    val lines = (0 until 20).map { i =>
+      if (i % 7 == 3) s"bad_row_$i,oops"
+      else s"$i,name_$i,${i * 1.5}"
+    }
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the default): malformed rows land null-padded with the
+    // raw line preserved in the corrupt-record column — an audit trail a
+    // 100 TB raw-landing ingest keeps instead of failing the job
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    val nBad = permissive.filter(col("_corrupt_record").isNotNull).count()
+    val nGood = permissive.filter(col("_corrupt_record").isNull).count()
+    assert(nBad == 3 && nGood == 17, s"got $nGood good / $nBad bad")
+    // DROPMALFORMED: only clean rows survive. Caveat worth pinning: a bare
+    // count() prunes ALL columns, the parser never materializes fields,
+    // and malformed rows are NOT detected (Spark counts 20 here) — any
+    // malformed-row accounting must read at least one data column.
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    val ids = dropped.select("id").collect().map(_.getLong(0))
+    assert(ids.length == 17)
+    assert(ids.sum == (0 until 20).filter(_ % 7 != 3).sum.toLong)
+    permissive.unpersist()
+  }
+
   test("json round trip preserves rows") {
     val nation = Tables(spark, TestSpark.sf, "nation")
     val dir = Files.createTempDirectory("graft_json").toString
