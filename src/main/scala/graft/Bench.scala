@@ -10,7 +10,9 @@ object Bench {
     "q_topn_flagship", "q_tpch_q3", "q_tpch_q5", "q_join_inner",
     "q_agg_hash", "q_window_rank", "q_topk", "q_session_window",
     "q_dedup_fuzzy", "q_dedup_ngram", "q_text_cooccur",
-    "q_similarity_topk", "q_histogram_equidepth", "q_scan_parquet")
+    "q_similarity_topk", "q_histogram_equidepth", "q_scan_parquet",
+    "q_dedup_ngram_capped", "q_dedup_bloom", "q_agg_cms",
+    "q_layout_zorder", "q_pipeline_e2e", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

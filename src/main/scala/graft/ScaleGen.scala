@@ -32,7 +32,6 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesStr) = args
-    val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +41,11 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, src, dst, copiesStr.toInt)
+    finally spark.stop()
+  }
 
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def raw(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
@@ -70,6 +73,5 @@ object ScaleGen {
     write(replicate(raw("documents"), Map("doc_id" -> 10000000L),
       suffixText = true), "documents")
     write(replicate(raw("embeddings"), Map("vec_id" -> 10000000L)), "embeddings")
-    spark.stop()
   }
 }
