@@ -74,6 +74,50 @@ object Multimodal {
     }
   }
 
+  /** Re-encoded media row: resized payload + its new dimensions. */
+  case class ResizedRow(id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  /** Batch resize: decode → bilinear-scale onto a target box (aspect
+    * preserved, longest edge = `maxEdge`) → re-encode PNG. Same
+    * per-partition batch-decode shape as featurize; rows whose payload no
+    * codec accepts pass through unchanged (format flagged) rather than
+    * failing the task — at 100 TB scale resize is the canonical
+    * normalize-before-embed step and must tolerate dirty payloads. */
+  def resize(media: Dataset[MediaRow], maxEdge: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          if (m.payload.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          ResizedRow(m.id, m.payload, "undecodable", m.width, m.height)
+        else {
+          val scale = maxEdge.toDouble / math.max(img.getWidth, img.getHeight)
+          val (w, h) =
+            if (scale >= 1.0) (img.getWidth, img.getHeight)
+            else (math.max(1, math.round(img.getWidth * scale).toInt),
+              math.max(1, math.round(img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedRow(m.id, bos.toByteArray, "image/png", w, h)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: keep every `stride`-th chunk of `chunkBytes` from the
     * payload (stand-in for video frame extraction; pure column exprs). */
   def sampleChunks(df: DataFrame, chunkBytes: Int, stride: Int): DataFrame =

@@ -83,6 +83,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize scales the longest edge, preserves aspect, and re-decodes") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, pngBytes(1L, 64, 32), "image/png", 64, 32),
+      MediaRow(2L, pngBytes(2L, 8, 8), "image/png", 8, 8),     // under target
+      MediaRow(3L, Array[Byte](1, 2, 3), "junk", 0, 0))        // undecodable
+      .toDS().repartition(2)
+    val out = Multimodal.resize(ds, maxEdge = 16).collect().map(r => r.id -> r).toMap
+    assert(out(1L).width == 16 && out(1L).height == 8, "aspect not preserved")
+    assert(out(2L).width == 8 && out(2L).height == 8, "upscaling must not happen")
+    assert(out(3L).format == "undecodable" &&
+      java.util.Arrays.equals(out(3L).payload, Array[Byte](1, 2, 3)),
+      "dirty payloads pass through unchanged")
+    // re-encoded payloads are themselves decodable at the new dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+  }
+
   test("a corrupt image payload degrades to decoded=false, not a task failure") {
     import spark.implicits._
     val good = pngBytes(9L, 4, 4)

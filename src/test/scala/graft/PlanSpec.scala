@@ -154,6 +154,13 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("q_layout_zorder plans TakeOrderedAndProject over map-side bit math — no join, no window") {
+    val p = planOf("q_layout_zorder")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "z-value computation must stay stateless map-side")
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
