@@ -21,7 +21,75 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** PQ codebook component: centroid coordinate for (subspace m, centroid
+    * k, dim j), uniform in [-1, 1) from md5-lower-64 of the parameter
+    * triple. Computed at PLAN time into literals; every step (53-bit shift,
+    * power-of-two divide, subtract 1) is exact dyadic arithmetic that
+    * DuckDB's `md5_number_lower`-based oracle reproduces bit-for-bit. */
+  private def pqCentroid(m: Int, k: Int, j: Int): Double =
+    (graft.functions.VectorKernels.md5Lower64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"pq-$m-$k-$j"))
+      >>> 11) / 4503599627370496.0 - 1.0
+
   val qs: Map[String, Q] = Map(
+
+    // Product quantization (PQ) encoding — the compression member of the
+    // ANN family (exact top-k / LSH / IVF / PQ): each 64-dim embedding is
+    // split into 4 subspaces of 16 dims; each subspace is assigned its
+    // nearest of 16 hash-derived centroids (argmin of squared L2,
+    // tie-break by centroid id), compressing the vector to 4 small codes
+    // (16 bytes -> 4 nibbles; asymmetric-distance search then scans codes,
+    // not floats). Everything is stateless map-side expression math over
+    // plan-time literal centroids — no shuffle, no state; at 100 TB the
+    // encode pass is embarrassingly parallel and the codebook is bytes.
+    // Distances sum (x-c)^2 in INDEX ORDER on both engines (Scala reduce /
+    // DuckDB list_reduce), so d2 is bit-identical and the argmin —
+    // hash-checked per row — must agree exactly.
+    "q_similarity_pq" -> Q(
+      fn = (s, d) => {
+        val (mSub, kCent, dSub) = (4, 16, 16)
+        val v = col("embedding")
+        val codes = (0 until mSub).map { m =>
+          val cands = array((0 until kCent).map { k =>
+            val d2 = (0 until dSub).map { j =>
+              val x = element_at(v, m * dSub + j + 1).cast(DoubleType)
+              val c = lit(pqCentroid(m, k, j))
+              (x - c) * (x - c)
+            }.reduce(_ + _)
+            struct(d2.as("d2"), lit(k).as("k"))
+          }: _*)
+          array_sort(cands).getItem(0).getField("k")
+            .cast(LongType).as(s"code_$m")
+        }
+        Tables(s, d, "embeddings")
+          .select(col("vec_id") +: codes: _*)
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH dists AS (
+          SELECT vec_id, m, k,
+                 list_reduce(
+                   list_transform(generate_series(0, 15), j ->
+                     (CAST(embedding[m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||m||'-'||k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))
+                     * (CAST(embedding[m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||m||'-'||k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))),
+                   (a, b) -> a + b) AS d2
+          FROM embeddings, range(4) t(m), range(16) u(k)),
+        best AS (
+          SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM dists)
+          WHERE rn = 1)
+        SELECT vec_id,
+               MAX(CASE WHEN m = 0 THEN k END) AS code_0,
+               MAX(CASE WHEN m = 1 THEN k END) AS code_1,
+               MAX(CASE WHEN m = 2 THEN k END) AS code_2,
+               MAX(CASE WHEN m = 3 THEN k END) AS code_3
+        FROM best GROUP BY vec_id ORDER BY vec_id""")),
 
     // Exact top-5 cosine neighbors for query vectors (vec_id < 10), via the
     // codegen'd CosineSimilarity expression; tie-break by vec_id.

@@ -72,4 +72,29 @@ class SimilaritySpec extends AnyFunSuite {
     val got = exact // from q_similarity_topk (top 3 of query 0)
     assert(got(0L) == expected.take(3))
   }
+
+  test("PQ codes are the true argmin per subspace (brute recompute)") {
+    import org.apache.spark.sql.functions._
+    def cent(m: Int, k: Int, j: Int): Double =
+      (graft.functions.VectorKernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"pq-$m-$k-$j"))
+        >>> 11) / 4503599627370496.0 - 1.0
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = SparkEntry.queries("q_similarity_pq")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(codes.size == vecs.size)
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until 4).map { m =>
+        (0 until 16).map { k =>
+          val d2 = (0 until 16).map { j =>
+            val diff = v(m * 16 + j) - cent(m, k, j); diff * diff
+          }.sum
+          (d2, k)
+        }.min._2.toLong
+      }
+      assert(codes(id) == expected, s"vec $id: ${codes(id)} vs $expected")
+    }
+  }
 }
