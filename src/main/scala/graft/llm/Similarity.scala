@@ -91,6 +91,112 @@ object Similarity {
                MAX(CASE WHEN m = 3 THEN k END) AS code_3
         FROM best GROUP BY vec_id ORDER BY vec_id""")),
 
+    // PQ asymmetric-distance search (ADC) — the end-to-end use of the PQ
+    // codes: each query computes its per-(subspace, centroid) distance
+    // table against the PLAN-TIME literal codebook (4x16 entries), then
+    // every corpus vector is scored by 4 table lookups on its codes —
+    // floats are never touched on the corpus side at query time, which is
+    // the whole point of PQ at 100 TB (scan 2 B of codes, not 256 B of
+    // floats; queries broadcast; top-k via rank pushdown). Exactness:
+    // per-subspace partial sums then a left-assoc total reproduce the
+    // identical rounding in DuckDB, so the full ranking (adc, vec_id) is
+    // hash-checked, not just a recall bound.
+    "q_similarity_pq_search" -> Q(
+      fn = (s, d) => {
+        val (mSub, kCent, dSub) = (4, 16, 16)
+        val corpusCodes = {
+          val v = col("embedding")
+          val codes = (0 until mSub).map { m =>
+            val cands = array((0 until kCent).map { k =>
+              val d2 = (0 until dSub).map { j =>
+                val x = element_at(v, m * dSub + j + 1).cast(DoubleType)
+                val c = lit(pqCentroid(m, k, j))
+                (x - c) * (x - c)
+              }.reduce(_ + _)
+              struct(d2.as("d2"), lit(k).as("k"))
+            }: _*)
+            array_sort(cands).getItem(0).getField("k").as(s"code_$m")
+          }
+          Tables(s, d, "embeddings").select(col("vec_id") +: codes: _*)
+        }
+        val queries = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("qv"))
+        // dtable(m, k) for the query row; ADC = Σ_m dtable(m, code_m),
+        // with code_m selecting from a 16-literal centroid-distance array
+        val adc = (0 until mSub).map { m =>
+          val perK = array((0 until kCent).map { k =>
+            (0 until dSub).map { j =>
+              val x = element_at(col("qv"), m * dSub + j + 1)
+              val c = lit(pqCentroid(m, k, j))
+              (x - c) * (x - c)
+            }.reduce(_ + _)
+          }: _*)
+          element_at(perK, col(s"code_$m").cast(IntegerType) + 1)
+        }.reduce(_ + _)
+        corpusCodes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("adc", adc)
+          .withColumn("rnk", rank().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adc").asc, col("vec_id").asc)).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc")
+          .orderBy("q_id", "rnk", "vec_id")
+      },
+      oracle = Some("""
+        WITH dists AS (
+          SELECT vec_id, m, k,
+                 list_reduce(
+                   list_transform(generate_series(0, 15), j ->
+                     (CAST(embedding[m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||m||'-'||k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))
+                     * (CAST(embedding[m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||m||'-'||k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))),
+                   (a, b) -> a + b) AS d2
+          FROM embeddings, range(4) t(m), range(16) u(k)),
+        codes AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM dists)
+          WHERE rn = 1),
+        qd AS (
+          SELECT q.vec_id AS q_id, d.m, d.k,
+                 list_reduce(
+                   list_transform(generate_series(0, 15), j ->
+                     (CAST(q.embedding[d.m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||d.m||'-'||d.k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))
+                     * (CAST(q.embedding[d.m*16 + j + 1] AS DOUBLE)
+                       - (CAST(md5_number_lower('pq-'||d.m||'-'||d.k||'-'||j) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0))),
+                   (a, b) -> a + b) AS d2
+          FROM (SELECT DISTINCT m, k FROM dists) d,
+               (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q),
+        scored AS (
+          SELECT c0.q_id, c0.vec_id,
+                 ((c0.d2 + c1.d2) + c2.d2) + c3.d2 AS adc
+          FROM (SELECT qd.q_id, codes.vec_id, qd.d2 FROM codes
+                JOIN qd ON qd.m = codes.m AND qd.k = codes.code
+                WHERE codes.m = 0 AND codes.vec_id <> qd.q_id) c0
+          JOIN (SELECT qd.q_id, codes.vec_id, qd.d2 FROM codes
+                JOIN qd ON qd.m = codes.m AND qd.k = codes.code
+                WHERE codes.m = 1) c1 ON c1.q_id = c0.q_id AND c1.vec_id = c0.vec_id
+          JOIN (SELECT qd.q_id, codes.vec_id, qd.d2 FROM codes
+                JOIN qd ON qd.m = codes.m AND qd.k = codes.code
+                WHERE codes.m = 2) c2 ON c2.q_id = c0.q_id AND c2.vec_id = c0.vec_id
+          JOIN (SELECT qd.q_id, codes.vec_id, qd.d2 FROM codes
+                JOIN qd ON qd.m = codes.m AND qd.k = codes.code
+                WHERE codes.m = 3) c3 ON c3.q_id = c0.q_id AND c3.vec_id = c0.vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, adc,
+                 rank() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT q_id, rnk, vec_id, adc FROM ranked WHERE rnk <= 5
+        ORDER BY q_id, rnk, vec_id""")),
+
     // Exact top-5 cosine neighbors for query vectors (vec_id < 10), via the
     // codegen'd CosineSimilarity expression; tie-break by vec_id.
     "q_similarity_topk" -> Q(
