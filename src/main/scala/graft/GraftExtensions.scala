@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
+      (exprs: Seq[Expression]) => PqEncode(exprs.head)))
+    e.injectFunction((FunctionIdentifier("pq_dtable"), info("pq_dtable"),
+      (exprs: Seq[Expression]) => PqDtable(exprs.head)))
   }
 }

@@ -207,6 +207,35 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** PQ codes (4 longs) of a 64-dim double vector — see
+    * VectorKernels.pqEncode for the codebook contract. */
+  case class PqEncode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.pqEncode(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.pqEncode($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ADC distance table (64 doubles, [m*16+k]) of a 64-dim query vector. */
+  case class PqDtable(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_dtable"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.pqDtable(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.pqDtable($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_sig"
@@ -274,6 +303,10 @@ object VectorFunctions {
         .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "pq_dtable", exprs => PqDtable(exprs.head), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
@@ -287,4 +320,6 @@ object VectorFunctions {
   def tokenPairs(tokens: Column): Column = call_function("token_pairs", tokens)
   def hyperplaneSig(v: Column, planes: Int): Column =
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))
+  def pqEncode(v: Column): Column = call_function("pq_encode", v)
+  def pqDtable(v: Column): Column = call_function("pq_dtable", v)
 }

@@ -165,6 +165,72 @@ object VectorKernels {
     bucket
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization kernels. Geometry fixed at 64-dim vectors,
+  // M=4 subspaces x D=16 dims, K=16 centroids: the codebook derives from
+  // md5Lower64("pq-m-k-j") (uniform [-1,1) dyadic — bit-identical to the
+  // DuckDB oracle's md5_number_lower arithmetic) and is memoized once per
+  // JVM. A tight loop kernel instead of unrolled column expressions: the
+  // 4x16x16-term projection exceeds janino's 64KB method cap and fell
+  // back to interpreted eval with an ERROR per compile attempt.
+  // ------------------------------------------------------------------
+  private val PqM = 4; private val PqK = 16; private val PqD = 16
+
+  private lazy val pqCodebook: Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqK, PqD) { (m, k, j) =>
+      (md5Lower64(UTF8String.fromString(s"pq-$m-$k-$j")) >>> 11) /
+        4503599627370496.0 - 1.0
+    }
+
+  /** d2(m, k) = Σ_j (v[m*16+j] - c[m][k][j])², summed in index order
+    * (left-assoc from 0.0 — bit-identical to DuckDB's list_reduce chain,
+    * since 0.0 + x == x exactly for the non-negative first term). */
+  private def pqD2(v: ArrayData, m: Int, k: Int): Double = {
+    val c = pqCodebook(m)(k)
+    var d2 = 0.0
+    var j = 0
+    while (j < PqD) {
+      val diff = v.getDouble(m * PqD + j) - c(j)
+      d2 += diff * diff
+      j += 1
+    }
+    d2
+  }
+
+  /** PQ codes: per subspace, the argmin-of-d2 centroid id (ties keep the
+    * smaller id — the (d2, k) lexicographic minimum). Returns 4 longs. */
+  def pqEncode(v: ArrayData): ArrayData = {
+    val out = new Array[Long](PqM)
+    var m = 0
+    while (m < PqM) {
+      var bestK = 0
+      var bestD = pqD2(v, m, 0)
+      var k = 1
+      while (k < PqK) {
+        val d2 = pqD2(v, m, k)
+        if (d2 < bestD) { bestD = d2; bestK = k }
+        k += 1
+      }
+      out(m) = bestK.toLong
+      m += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC distance table for a QUERY vector: flat [m*16 + k] -> d2(m, k),
+    * 64 doubles — computed once per query row, then corpus vectors are
+    * scored by 4 lookups on their codes. */
+  def pqDtable(v: ArrayData): ArrayData = {
+    val out = new Array[Double](PqM * PqK)
+    var m = 0
+    while (m < PqM) {
+      var k = 0
+      while (k < PqK) { out(m * PqK + k) = pqD2(v, m, k); k += 1 }
+      m += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Per-thread one-entry deserialization cache for count-min-sketch
     * probes: the sketch arrives as ONE scalar-subquery binary reused by
     * every probe row in the task, so keying on the byte-array reference

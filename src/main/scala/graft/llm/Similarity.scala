@@ -21,15 +21,9 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** PQ codebook component: centroid coordinate for (subspace m, centroid
-    * k, dim j), uniform in [-1, 1) from md5-lower-64 of the parameter
-    * triple. Computed at PLAN time into literals; every step (53-bit shift,
-    * power-of-two divide, subtract 1) is exact dyadic arithmetic that
-    * DuckDB's `md5_number_lower`-based oracle reproduces bit-for-bit. */
-  private def pqCentroid(m: Int, k: Int, j: Int): Double =
-    (graft.functions.VectorKernels.md5Lower64(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s"pq-$m-$k-$j"))
-      >>> 11) / 4503599627370496.0 - 1.0
+  // PQ codebook contract: centroid (m, k, j) = uniform [-1, 1) dyadic from
+  // md5-lower-64 of "pq-m-k-j" — derived in VectorKernels.pqCodebook and
+  // reproduced bit-for-bit by the DuckDB oracles' md5_number_lower math.
 
   val qs: Map[String, Q] = Map(
 
@@ -47,22 +41,13 @@ object Similarity {
     // hash-checked per row — must agree exactly.
     "q_similarity_pq" -> Q(
       fn = (s, d) => {
-        val (mSub, kCent, dSub) = (4, 16, 16)
-        val v = col("embedding")
-        val codes = (0 until mSub).map { m =>
-          val cands = array((0 until kCent).map { k =>
-            val d2 = (0 until dSub).map { j =>
-              val x = element_at(v, m * dSub + j + 1).cast(DoubleType)
-              val c = lit(pqCentroid(m, k, j))
-              (x - c) * (x - c)
-            }.reduce(_ + _)
-            struct(d2.as("d2"), lit(k).as("k"))
-          }: _*)
-          array_sort(cands).getItem(0).getField("k")
-            .cast(LongType).as(s"code_$m")
-        }
+        VectorFunctions.register(s)
+        val codes = VectorFunctions.pqEncode(
+          transform(col("embedding"), _.cast(DoubleType)))
         Tables(s, d, "embeddings")
-          .select(col("vec_id") +: codes: _*)
+          .withColumn("codes", codes)
+          .select(col("vec_id") +:
+            (0 until 4).map(m => element_at(col("codes"), m + 1).as(s"code_$m")): _*)
           .orderBy("vec_id")
       },
       oracle = Some("""
@@ -103,36 +88,23 @@ object Similarity {
     // hash-checked, not just a recall bound.
     "q_similarity_pq_search" -> Q(
       fn = (s, d) => {
-        val (mSub, kCent, dSub) = (4, 16, 16)
-        val corpusCodes = {
-          val v = col("embedding")
-          val codes = (0 until mSub).map { m =>
-            val cands = array((0 until kCent).map { k =>
-              val d2 = (0 until dSub).map { j =>
-                val x = element_at(v, m * dSub + j + 1).cast(DoubleType)
-                val c = lit(pqCentroid(m, k, j))
-                (x - c) * (x - c)
-              }.reduce(_ + _)
-              struct(d2.as("d2"), lit(k).as("k"))
-            }: _*)
-            array_sort(cands).getItem(0).getField("k").as(s"code_$m")
-          }
-          Tables(s, d, "embeddings").select(col("vec_id") +: codes: _*)
-        }
+        VectorFunctions.register(s)
+        val corpusCodes = Tables(s, d, "embeddings")
+          .withColumn("codes", VectorFunctions.pqEncode(
+            transform(col("embedding"), _.cast(DoubleType))))
+          .select(col("vec_id") +:
+            (0 until 4).map(m =>
+              element_at(col("codes"), m + 1).as(s"code_$m")): _*)
+        // the 4x16 distance table is computed ONCE per query row
+        // (pq_dtable kernel), not per candidate pair; the pair expression
+        // is 4 array lookups + 3 adds
         val queries = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"),
-            transform(col("embedding"), _.cast(DoubleType)).as("qv"))
-        // dtable(m, k) for the query row; ADC = Σ_m dtable(m, code_m),
-        // with code_m selecting from a 16-literal centroid-distance array
-        val adc = (0 until mSub).map { m =>
-          val perK = array((0 until kCent).map { k =>
-            (0 until dSub).map { j =>
-              val x = element_at(col("qv"), m * dSub + j + 1)
-              val c = lit(pqCentroid(m, k, j))
-              (x - c) * (x - c)
-            }.reduce(_ + _)
-          }: _*)
-          element_at(perK, col(s"code_$m").cast(IntegerType) + 1)
+            VectorFunctions.pqDtable(
+              transform(col("embedding"), _.cast(DoubleType))).as("dt"))
+        val adc = (0 until 4).map { m =>
+          element_at(col("dt"),
+            (lit(m * 16) + col(s"code_$m").cast(IntegerType) + 1))
         }.reduce(_ + _)
         corpusCodes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .withColumn("adc", adc)
