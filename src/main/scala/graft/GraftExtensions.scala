@@ -44,8 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"), info("graft_might_contain"),
-      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => GraftMightContain(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),

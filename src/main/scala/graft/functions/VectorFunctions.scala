@@ -189,6 +189,28 @@ object VectorFunctions {
     * Spark can build the sketch in SQL but ships no SQL probe). Left:
     * sketch binary (scalar subquery / broadcast), right: long key.
     * Deserialization is cached per task thread (VectorKernels). */
+  /** Bloom-filter membership probe (sketch binary, long key) — graft-owned
+    * replacement for Spark's internal BloomFilterMightContain, whose
+    * codegen trips a janino parse bug on constant-folded negative probe
+    * values (see VectorKernels.bloomMightContainLong). */
+  case class GraftMightContain(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_might_contain"
+
+    override def nullSafeEval(sk: Any, v: Any): Any =
+      VectorKernels.bloomMightContainLong(sk.asInstanceOf[Array[Byte]],
+        v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.bloomMightContainLong($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class CmsEstimate(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -285,13 +307,14 @@ object VectorFunctions {
       "hyperplane_sig",
       exprs => HyperplaneSig(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
-    // Spark ships a distributed bloom-filter sketch pair (used internally
-    // by runtime join filtering) that it does NOT expose in the public
+    // Spark ships a distributed bloom-filter aggregate (used internally by
+    // runtime join filtering) that it does NOT expose in the public
     // registry: BloomFilterAggregate builds the sketch as a tree-reduced
-    // aggregate; BloomFilterMightContain probes it (requires the sketch as
-    // a scalar subquery or literal). Registering them gives the membership
-    // primitive for sketch-based ingest dedup (q_dedup_bloom) without
-    // collecting the filter to the driver.
+    // aggregate. The probe half is graft-owned (GraftMightContain) — same
+    // public serialized format — because Spark's internal probe expression
+    // miscompiles constant-folded negative probe values (janino parse).
+    // Together they give the membership primitive for sketch-based ingest
+    // dedup (q_dedup_bloom) without collecting the filter to the driver.
     reg.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -299,8 +322,7 @@ object VectorFunctions {
         .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+      exprs => GraftMightContain(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

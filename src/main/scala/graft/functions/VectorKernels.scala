@@ -240,6 +240,34 @@ object VectorKernels {
       override def initialValue() = (null, null)
     }
 
+  /** Per-thread one-entry cache for bloom-filter probes — same contract as
+    * the CMS cache below: one scalar-subquery binary per task, keyed by
+    * reference. */
+  private val bloomTL: ThreadLocal[(AnyRef, org.apache.spark.util.sketch.BloomFilter)] =
+    new ThreadLocal[(AnyRef, org.apache.spark.util.sketch.BloomFilter)] {
+      override def initialValue() = (null, null)
+    }
+
+  /** Membership probe of a serialized Spark BloomFilter for a long key.
+    * A graft-owned kernel (rather than Spark's internal
+    * BloomFilterMightContain) because that expression's codegen emits
+    * `(Long)<literal>` for a constant-folded probe value; janino parses a
+    * negative literal there as `java.lang.Long - x` and fails the whole
+    * projection into interpreted mode. A plain method argument has no such
+    * parse ambiguity. */
+  def bloomMightContainLong(sketch: Array[Byte], v: Long): Boolean = {
+    val cached = bloomTL.get()
+    val bf =
+      if (cached._1 eq sketch) cached._2
+      else {
+        val fresh = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(sketch))
+        bloomTL.set((sketch, fresh))
+        fresh
+      }
+    bf.mightContainLong(v)
+  }
+
   /** Point estimate from a serialized Spark CountMinSketch for a long key. */
   def cmsEstimateLong(sketch: Array[Byte], v: Long): Long = {
     val cached = cmsTL.get()

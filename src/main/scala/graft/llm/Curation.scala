@@ -351,6 +351,48 @@ object Curation {
                  '[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
                  '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', '<CARD>', 'g')) AS redacted_md5
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // Model-based quality filtering — the fastText-classifier-shaped gate
+    // (score each doc with a linear model over token features, keep
+    // positives) that pipelines run after the rule-based passes. Weights
+    // are hash-derived per token (md5-lower-64 → dyadic uniform in [-1,1),
+    // the q_sample_weighted construction — a stand-in for trained weights
+    // that keeps the whole model cross-engine bit-exact); the logit is the
+    // MEAN token weight, reduced left-assoc in token order on both engines
+    // (aggregate HOF here ≡ DuckDB list_reduce — 0.0 + x is exact), so the
+    // raw double and the keep decision are deterministic with no rounding.
+    // Pure map-side column math: zero shuffles, the scan IS the classifier;
+    // at 100 TB a real weight table would broadcast and element-lookup the
+    // same shape.
+    "q_quality_classifier" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val w = (t: Column) =>
+          shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+            concat(lit("w-"), t)), 11).cast(DoubleType) /
+            lit(4503599627370496.0) - lit(1.0)
+        val logit = aggregate(transform(toks, w), lit(0.0), (acc, x) => acc + x) /
+          size(toks)
+        docs(s, d)
+          .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+            logit.as("logit"))
+          .withColumn("keep", col("logit") > 0.0)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                 list_transform(string_split(text, ' '),
+                   t -> CAST(md5_number_lower('w-' || t) >> 11 AS DOUBLE)
+                        / 4503599627370496.0 - 1.0),
+                 (a, b) -> a + b) / len(string_split(text, ' ')) AS logit,
+               list_reduce(
+                 list_transform(string_split(text, ' '),
+                   t -> CAST(md5_number_lower('w-' || t) >> 11 AS DOUBLE)
+                        / 4503599627370496.0 - 1.0),
+                 (a, b) -> a + b) / len(string_split(text, ' ')) > 0.0 AS keep
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -424,5 +424,101 @@ object TextAnalysis {
           GROUP BY doc_id, t)
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
                CAST(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS DOUBLE) AS entropy
-        FROM tc GROUP BY doc_id ORDER BY doc_id""")))
+        FROM tc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Inverted-index build — token → sorted posting list of containing
+    // docs, for the top-50 tokens by document frequency. The search-index
+    // materialization a retrieval layer runs over the corpus: one explode +
+    // one hash agg keyed by token; posting lists are sorted inside the
+    // aggregate (array_sort of collect_list — deterministic), and the
+    // top-50 boundary is a total order (df desc, token asc). At 100 TB a
+    // posting list for a stopword-class token is the scale risk: the df
+    // column computed in the same pass is exactly the signal to shard such
+    // lists ((token, bucket) key) — the hot-key diagnosis costs nothing
+    // extra here.
+    "q_text_inverted_index" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token")).distinct()
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            array_sort(collect_list(col("doc_id"))).as("postings"))
+          .orderBy(col("df").desc, col("token").asc)
+          .limit(50),
+      oracle = Some("""
+        WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+        SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        FROM dt GROUP BY token
+        ORDER BY df DESC, token ASC LIMIT 50""")),
+
+    // BM25 ranked retrieval over the inverted-index statistics — the
+    // scoring function actual search/RAG retrieval uses (k1=1.2, b=0.75,
+    // Robertson +1 idf). Every input to the score is an exact integer
+    // (tf, df, doclen) or an exact ratio of integer aggregates (N, avgdl
+    // as sum/count — NOT a float avg(), whose partial-merge order differs
+    // per engine); ln is the only transcendental, the q_text_tfidf-proven
+    // path. Per-doc totals add the (≤3) per-term scores through conditional
+    // single-value aggregates in fixed term order — no cross-row double
+    // accumulation anywhere. Corpus stats broadcast; the candidate set
+    // shuffles once, keyed by doc.
+    "q_text_bm25" -> Q(
+      fn = (s, d) => {
+        val qterms = Seq("table", "query", "vector")
+        // Single-scan shape (the q_text_tfidf pattern): ONE explode + one
+        // (doc_id, token) exchange feeds tf, doclen (Σ tf per doc — equal
+        // to size(split) by construction), df, and the corpus stats.
+        val tfAll = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val tf = tfAll.filter(col("token").isin(qterms.map(lit): _*))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("s",
+            col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        val perTerm = qterms.zipWithIndex.map { case (t, i) =>
+          max(when(col("token") === t, col("s"))).as(s"s_$i")
+        }
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+          .withColumn("score",
+            r4(qterms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+              .reduce(_ + _)))
+          .select("doc_id", "n_terms", "score")
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH tf_all AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+               GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, token, tf FROM tf_all
+               WHERE token IN ('table', 'query', 'vector')),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+          FROM tf JOIN df ON tf.token = df.token
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats)
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(ROUND(coalesce(MAX(CASE WHEN token = 'table' THEN s END), 0.0)
+                        + coalesce(MAX(CASE WHEN token = 'query' THEN s END), 0.0)
+                        + coalesce(MAX(CASE WHEN token = 'vector' THEN s END), 0.0), 4)
+                    AS DOUBLE) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100""")))
 }

@@ -335,5 +335,48 @@ object Analytics {
         FROM orders LEFT JOIN pts
           ON pts.day >= o_orderdate
          AND pts.day < o_orderdate + INTERVAL 3 DAY
-        GROUP BY o_orderkey ORDER BY o_orderkey""")))
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // Robust (median/MAD) outlier gate — the companion to q_outlier_zscore
+    // for heavy-tailed metrics where mean/stddev are themselves dragged by
+    // the outliers. metric = mean chars per token; a doc is flagged when
+    // |m - median| > 3 · 1.4826 · MAD (the Gaussian-consistent MAD scale).
+    // Two grouped interpolated-percentile aggs (5 rows each) broadcast back
+    // over the scan — the corpus is never shuffled, same shape as zscore.
+    // Both engines interpolate the median identically (lo + (hi-lo)·frac on
+    // the two neighbors, the q_agg_percentile-proven path); the comparison
+    // operands are built by the identical expression tree, so the flag
+    // decision is deterministic cross-engine.
+    "q_outlier_mad" -> Q(
+      fn = (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars").cast(DoubleType) /
+              size(split(col("text"), " "))).as("m"))
+        val med = docs.groupBy("lang")
+          .agg(expr("percentile(m, 0.5)").as("med"))
+        val devs = docs.join(broadcast(med), "lang")
+          .withColumn("dev", abs(col("m") - col("med")))
+        val mad = devs.groupBy("lang")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        devs.join(broadcast(mad), "lang")
+          .filter(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .select(col("lang"), col("doc_id"), col("m"),
+            r4(col("dev") / col("mad")).as("mad_score"))
+          .orderBy("lang", "doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS m
+          FROM documents),
+        med AS (SELECT lang, quantile_cont(m, 0.5) AS med FROM t GROUP BY lang),
+        d AS (SELECT t.lang, doc_id, m, abs(m - med) AS dev
+              FROM t JOIN med ON t.lang = med.lang),
+        mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY lang)
+        SELECT d.lang, doc_id, m,
+               CAST(ROUND(dev / mad, 4) AS DOUBLE) AS mad_score
+        FROM d JOIN mad ON d.lang = mad.lang
+        WHERE dev > 3.0 * 1.4826 * mad
+        ORDER BY d.lang, doc_id""")))
 }

@@ -84,6 +84,41 @@ object EventTime {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
+    // Exponential moving average over the trailing 8 events per user — the
+    // time-series smoothing member of the window family. α = 1/2, so every
+    // weight 2^-(i+1) is a power of two: each product value·w is EXACT in
+    // IEEE doubles (exponent shift only), and the 8-term sum is one fixed
+    // expression tree evaluated identically by both engines — the raw
+    // double is bit-exact cross-engine with no rounding step. One keyed
+    // window, lag-only frame: shuffle keyed by user, state bounded by the
+    // 8-row lag depth regardless of corpus size.
+    "q_window_ema" -> Q(
+      fn = (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val ema = (0 until 8).map { i =>
+          val term = if (i == 0) col("value") else coalesce(lag(col("value"), i).over(w), lit(0.0))
+          term * lit(math.pow(0.5, i + 1))
+        }.reduce(_ + _)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("ema", ema)
+          .orderBy("event_id")
+      },
+      oracle = Some({
+        val terms = (0 until 8).map { i =>
+          val v = if (i == 0) "value" else s"coalesce(lag(value, $i) OVER w, 0.0)"
+          s"$v * ${math.pow(0.5, i + 1)}"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts, value
+                   FROM events)
+        SELECT event_id, user_id, ts, value, $terms AS ema
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ORDER BY event_id"""
+      })),
+
     // Null-aware window navigation: defaults, IGNORE NULLS skipping,
     // forward fill, guarded percent change — the missing-data toolkit a
     // time-series consumer of the engine needs.

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force and invariant checks for the retrieval/robust-stats family:
+  * inverted index, BM25 scoring, the linear quality classifier, the dyadic
+  * EMA window, and the median/MAD outlier gate.
+  */
+class TextRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("inverted index: df equals posting length and every posting doc contains the token") {
+    val out = SparkEntry.queries("q_text_inverted_index")(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val byDoc = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.foreach { r =>
+      val token = r.getString(0)
+      val df = r.getLong(1)
+      val postings = r.getSeq[Long](2)
+      assert(postings.length == df, s"$token: df $df != postings ${postings.length}")
+      assert(postings == postings.sorted, s"$token postings unsorted")
+      postings.foreach(d => assert(byDoc(d).contains(token), s"doc $d lacks '$token'"))
+    }
+  }
+
+  test("bm25: returned docs contain a query term; higher tf at equal dl scores higher") {
+    val out = SparkEntry.queries("q_text_bm25")(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val qterms = Set("table", "query", "vector")
+    val byDoc = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { r =>
+      val (doc, nTerms, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val matched = byDoc(doc).toSet.intersect(qterms)
+      assert(matched.nonEmpty, s"doc $doc matches no query term")
+      assert(matched.size == nTerms, s"doc $doc n_terms $nTerms != ${matched.size}")
+      assert(score > 0.0)
+    }
+    // Monotonicity in tf: synthesize two docs with identical length, one
+    // repeating the term twice — its per-term BM25 component must be larger
+    // (k1 damping shrinks but never reverses the gain).
+    val k1 = 1.2; val b = 0.75
+    def s(tf: Int, dl: Int, avgdl: Double, n: Double, df: Double): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(s(2, 40, 40.0, 500, 100) > s(1, 40, 40.0, 500, 100))
+    assert(s(1, 20, 40.0, 500, 100) > s(1, 80, 40.0, 500, 100)) // shorter doc wins
+  }
+
+  test("quality classifier: logit is the mean hash weight, run-deterministic, keep = logit>0") {
+    val out1 = SparkEntry.queries("q_quality_classifier")(spark, TestSpark.sf).collect()
+    val out2 = SparkEntry.queries("q_quality_classifier")(spark, TestSpark.sf).collect()
+    assert(out1.sameElements(out2), "classifier must be run-deterministic")
+    assert(out1.nonEmpty)
+    out1.foreach { r =>
+      val (logit, keep) = (r.getDouble(2), r.getBoolean(3))
+      assert(logit >= -1.0 && logit < 1.0, s"logit $logit out of weight range")
+      assert(keep == (logit > 0.0))
+    }
+    // both classes must actually occur on the corpus (a degenerate
+    // all-keep/all-drop gate would be useless as a filter)
+    assert(out1.exists(_.getBoolean(3)) && out1.exists(!_.getBoolean(3)))
+  }
+
+  test("dyadic EMA matches a brute-force recomputation per user") {
+    val rows = SparkEntry.queries("q_window_ema")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // brute force: for each user, events in (ts, event_id) order — the
+    // query emits ordered by event_id, and event ids are assigned in ts
+    // order per the corpus, so recompute from the emitted (value) sequence
+    // grouped by user in emitted order.
+    val byUser = Tables(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+          r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (u, xs) =>
+        val ordered = xs.map(_._2).sortBy(t => (t._1, t._2))
+        u -> ordered.zipWithIndex.map { case ((_, eid, _), i) =>
+          val window = ordered.slice(math.max(0, i - 7), i + 1).map(_._3).reverse
+          val ema = window.zipWithIndex.map { case (v, j) => v * math.pow(0.5, j + 1) }.sum
+          eid -> ema
+        }.toMap
+      }
+    rows.foreach { case (eid, uid, _, ema) =>
+      val expect = byUser(uid)(eid)
+      assert(math.abs(ema - expect) < 1e-9, s"event $eid: $ema != $expect")
+    }
+  }
+
+  test("MAD gate flags a planted far outlier and not the bulk") {
+    import spark.implicits._
+    val vals = (1 to 99).map(i => ("x", i.toLong, 10.0 + (i % 5))) :+ (("x", 100L, 500.0))
+    val df = vals.toDF("lang", "doc_id", "m")
+    val med = df.groupBy("lang").agg(expr("percentile(m, 0.5)").as("med"))
+    val dev = df.join(med, "lang").withColumn("dev", abs(col("m") - col("med")))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad"))
+    val flagged = dev.join(mad, "lang")
+      .filter(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100L), s"flagged $flagged")
+    // and the corpus-level operator runs non-degenerately
+    val nDocs = Tables(spark, TestSpark.sf, "documents").count()
+    val out = SparkEntry.queries("q_outlier_mad")(spark, TestSpark.sf).collect()
+    assert(out.length < nDocs / 2, "MAD gate must not flag the bulk of the corpus")
+  }
+}
