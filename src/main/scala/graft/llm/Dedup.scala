@@ -426,7 +426,44 @@ object Dedup {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-        ORDER BY a.label, va, vb""")))
+        ORDER BY a.label, va, vb""")),
+
+    // Repeated-SPAN detection — the exact-substring member of the dedup
+    // family (the Lee et al. 2022 "Deduplicating Training Data" signal at
+    // span rather than suffix-array granularity): 16-token windows at
+    // stride 8 across every document; a span seen in >1 distinct doc is
+    // boilerplate/template material that survives document-level dedup
+    // because the surrounding text differs. Bounded explode (n/8 spans per
+    // doc), one hash agg keyed by the span — no self-join anywhere; at
+    // 100 TB the group key becomes the span's 64-bit rolling hash and the
+    // span text never crosses the exchange (the md5 emitted here stands in
+    // for exactly that fingerprint).
+    "q_dedup_span" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 16)
+          .select(col("doc_id"), col("t"), explode(sequence(lit(0),
+            floor((size(col("t")) - 16) / 8).cast(IntegerType))).as("k"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("k") * 8 + 1, lit(16))).as("span"))
+          .groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("ndocs"),
+            count(lit(1)).as("n_occur"), min(col("doc_id")).as("first_doc"))
+          .filter(col("ndocs") > 1)
+          .select(md5(to_binary(col("span"), lit("utf-8"))).as("span_fp"),
+            col("ndocs"), col("n_occur"), col("first_doc"))
+          .orderBy("span_fp"),
+      oracle = Some("""
+        WITH sp AS (
+          SELECT doc_id, array_to_string(t[k*8+1 : k*8+16], ' ') AS span
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 16),
+               LATERAL (SELECT unnest(generate_series(0, (len(t)-16)//8)) AS k))
+        SELECT md5(span) AS span_fp, COUNT(DISTINCT doc_id) AS ndocs,
+               COUNT(*) AS n_occur, MIN(doc_id) AS first_doc
+        FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
+        ORDER BY span_fp""")))
 
   /** Connected components over an undirected edge list `(a, b)` by
     * min-label propagation: every node's label converges to the smallest

@@ -520,5 +520,84 @@ object TextAnalysis {
                         + coalesce(MAX(CASE WHEN token = 'vector' THEN s END), 0.0), 4)
                     AS DOUBLE) AS score
         FROM scored GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC LIMIT 100""")))
+        ORDER BY score DESC, doc_id ASC LIMIT 100""")),
+
+    // TextRank keyword extraction — PageRank over the token co-occurrence
+    // graph (Mihalcea & Tarau 2004), the graph-analytics member of the
+    // text family. Determinism is the interesting part: the whole
+    // iteration runs in FIXED-POINT INTEGER arithmetic (rank scaled by
+    // 1e6; damping 0.85 as ×17 ÷20 integral ops; per-neighbor share as
+    // integral division by degree), so 10 iterations are bit-exact
+    // cross-engine with no float accumulation anywhere. Edges are token
+    // pairs co-occurring in ≥20% of docs (ndocs·5 ≥ N — integer compare);
+    // the bounded per-doc pair expansion (token_pairs kernel) keeps
+    // candidate generation linear, and each iteration is one keyed
+    // join + hash agg over the (tiny) edge relation — the same
+    // localCheckpoint-per-iteration shape as connected components, with
+    // superseded generations unpersisted.
+    "q_text_rank" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val docs = Tables(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val pairs = docs
+          .select(col("doc_id"),
+            explode(graft.functions.VectorFunctions.tokenPairs(
+              array_sort(array_distinct(toks)))).as("p"))
+          .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
+        val edges = pairs.crossJoin(broadcast(nDocs))
+          .filter(col("ndocs") * 5 >= col("n_docs"))
+          .select("ta", "tb")
+        val und = edges.select(col("ta").as("src"), col("tb").as("dst"))
+          .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+        // Degree attaches to the edge list ONCE; each iteration then joins
+        // the (nodes-sized) rank table in as a BROADCAST — the edge
+        // relation, the big side at scale, is never reshuffled across the
+        // 10 iterations, and the only per-iteration exchange is the
+        // |nodes|-row share aggregation.
+        val adj = und.join(und.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+          .localCheckpoint()
+        var pr = adj.select(col("src").as("token")).distinct()
+          .select(col("token"), lit(1000000L).as("pr"))
+          .localCheckpoint()
+        for (_ <- 1 to 10) {
+          val next = adj
+            .join(broadcast(pr.select(col("token").as("src"), col("pr"))), "src")
+            .select(col("dst").as("token"), expr("pr div deg").as("share"))
+            .groupBy("token")
+            .agg((lit(150000L) + expr("(sum(share) * 17) div 20")).as("pr"))
+            .localCheckpoint()
+          pr.unpersist(false)
+          pr = next
+        }
+        pr.orderBy(col("pr").desc, col("token").asc).limit(50)
+      },
+      oracle = Some({
+        val iters = (1 to 10).map { i =>
+          s"""pr$i AS (
+            SELECT und.dst AS token,
+                   150000 + (SUM(p.pr // g.deg) * 17) // 20 AS pr
+            FROM und JOIN pr${i - 1} p ON und.src = p.token
+            JOIN deg g ON und.src = g.src
+            GROUP BY und.dst)"""
+        }.mkString(",\n")
+        s"""
+        WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+        pairs AS (
+          SELECT a.token AS ta, b.token AS tb, COUNT(*) AS ndocs
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY ta, tb),
+        edges AS (
+          SELECT ta, tb FROM pairs
+          WHERE ndocs * 5 >= (SELECT COUNT(*) FROM documents)),
+        und AS (SELECT ta AS src, tb AS dst FROM edges
+                UNION ALL SELECT tb, ta FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+        pr0 AS (SELECT src AS token, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        $iters
+        SELECT token, CAST(pr AS BIGINT) AS pr FROM pr10
+        ORDER BY pr DESC, token ASC LIMIT 50"""
+      })))
 }

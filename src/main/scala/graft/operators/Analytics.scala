@@ -378,5 +378,62 @@ object Analytics {
                CAST(ROUND(dev / mad, 4) AS DOUBLE) AS mad_score
         FROM d JOIN mad ON d.lang = mad.lang
         WHERE dev > 3.0 * 1.4826 * mad
-        ORDER BY d.lang, doc_id""")))
+        ORDER BY d.lang, doc_id""")),
+
+    // Declarative data-quality validation (the Deequ/expectations shape):
+    // a rule suite evaluated in ONE scan of the fact table — every
+    // not-null / range / set-membership / positivity rule is a conditional
+    // sum in a single wide aggregate (bounded 1-row state, map-side
+    // combine), uniqueness is a countDistinct in the same pass, and the
+    // one rule that genuinely needs a second relation (orphaned FK) is a
+    // keyed anti-join counted into one row. Integer counts throughout —
+    // exact cross-engine. At 100 TB the scan IS the validation; nothing
+    // is collected and no rule adds a pass.
+    "q_expectations" -> Q(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val scanRules = li.agg(
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("r_notnull_orderkey"),
+          sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("r_quantity_range"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("r_price_positive"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("r_returnflag_domain"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("r_discount_range"),
+          (count(lit(1)) - countDistinct(struct(liKey: _*))).as("r_row_unique"))
+        val fkOrphans = li.join(Tables(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("r_fk_orders"))
+        scanRules.crossJoin(broadcast(fkOrphans))
+          .select(explode(array(
+            Seq("r_notnull_orderkey", "r_quantity_range", "r_price_positive",
+              "r_returnflag_domain", "r_discount_range", "r_row_unique",
+              "r_fk_orders").map(r =>
+              struct(lit(r).as("rule"), col(r).as("violations"))): _*)).as("e"))
+          .select(col("e.rule").as("rule"), col("e.violations").as("violations"),
+            (col("e.violations") === 0L).as("pass"))
+          .orderBy("rule")
+      },
+      oracle = Some(s"""
+        WITH scan AS (
+          SELECT
+            SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS r_notnull_orderkey,
+            SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS r_quantity_range,
+            SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS r_price_positive,
+            SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS r_returnflag_domain,
+            SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS r_discount_range,
+            COUNT(*) - COUNT(DISTINCT ($liKeySql)) AS r_row_unique
+          FROM lineitem),
+        fk AS (
+          SELECT COUNT(*) AS r_fk_orders FROM lineitem
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        rules AS (
+          SELECT 'r_notnull_orderkey' AS rule, r_notnull_orderkey AS violations FROM scan
+          UNION ALL SELECT 'r_quantity_range', r_quantity_range FROM scan
+          UNION ALL SELECT 'r_price_positive', r_price_positive FROM scan
+          UNION ALL SELECT 'r_returnflag_domain', r_returnflag_domain FROM scan
+          UNION ALL SELECT 'r_discount_range', r_discount_range FROM scan
+          UNION ALL SELECT 'r_row_unique', r_row_unique FROM scan
+          UNION ALL SELECT 'r_fk_orders', r_fk_orders FROM fk)
+        SELECT rule, CAST(violations AS BIGINT) AS violations,
+               violations = 0 AS pass
+        FROM rules ORDER BY rule""")))
 }

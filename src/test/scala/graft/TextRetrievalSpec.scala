@@ -95,6 +95,93 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("textrank: fixed-point PageRank matches a brute-force integer recomputation") {
+    val out = SparkEntry.queries("q_text_rank")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // rebuild the graph + 10 fixed-point iterations in plain Scala
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val nDocs = docs.length
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      val sorted = ts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    // .toSeq first: collect on a Map rebuilding key-value tuples would
+    // dedupe edges by their first token
+    val edges = pairCounts.toSeq.collect { case ((a, b), n) if n * 5 >= nDocs => (a, b) }
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10) {
+      val shares = und.groupBy(_._2).map { case (dst, ins) =>
+        dst -> ins.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = shares.map { case (t, s) => t -> (150000L + s * 17 / 20) }
+    }
+    val expectTop = pr.toSeq.sortBy { case (t, r) => (-r, t) }.take(50).toMap
+    out.foreach { case (t, r) =>
+      assert(expectTop(t) == r, s"$t: got $r expected ${expectTop(t)}")
+    }
+  }
+
+  test("expectations: planted violations are counted exactly") {
+    import spark.implicits._
+    // 3 rows: one clean, one with quantity out of range, one duplicated key
+    val df = Seq(
+      (1L, 1, 5.0, 100.0, 0.05, "A"),
+      (2L, 1, 99.0, -10.0, 0.5, "X"),
+      (3L, 1, 5.0, 100.0, 0.05, "N"),
+      (3L, 1, 5.0, 100.0, 0.05, "N"))
+      .toDF("k", "ln", "qty", "price", "disc", "flag")
+    val out = df.agg(
+      sum(when(!col("qty").between(1, 50), 1L).otherwise(0L)).as("qty_bad"),
+      sum(when(col("price") <= 0, 1L).otherwise(0L)).as("price_bad"),
+      sum(when(!col("flag").isin("A", "N", "R"), 1L).otherwise(0L)).as("flag_bad"),
+      sum(when(col("disc") < 0 || col("disc") > 0.1, 1L).otherwise(0L)).as("disc_bad"),
+      (count(lit(1)) - countDistinct(struct(col("k"), col("ln"), col("qty"),
+        col("price"), col("disc"), col("flag")))).as("dup")).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((1L, 1L, 1L, 1L, 1L)))
+    // corpus-level suite runs and emits one row per rule with pass flags
+    val rules = SparkEntry.queries("q_expectations")(spark, TestSpark.sf).collect()
+    assert(rules.length == 7)
+    rules.foreach(r => assert(r.getBoolean(2) == (r.getLong(1) == 0L)))
+  }
+
+  test("dedup_span: every reported span really occurs in >1 doc, brute-forced") {
+    val out = SparkEntry.queries("q_dedup_span")(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val spanOccur = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { case (id, t) =>
+      if (t.length >= 16) {
+        // mirror the query: k in 0..floor((n-16)/8)
+        (0 to (t.length - 16) / 8).foreach { k =>
+          val span = t.slice(k * 8, k * 8 + 16).mkString(" ")
+          spanDocs(span) = spanDocs.getOrElse(span, Set.empty) + id
+          spanOccur(span) = spanOccur.getOrElse(span, 0) + 1
+        }
+      }
+    }
+    val expected = spanDocs.filter(_._2.size > 1)
+    assert(out.length == expected.size, s"${out.length} != ${expected.size}")
+    val md5Of = expected.map { case (span, ids) =>
+      java.security.MessageDigest.getInstance("MD5").digest(
+        span.getBytes("UTF-8")).map("%02x".format(_)).mkString ->
+        (ids.size.toLong, spanOccur(span).toLong, ids.min)
+    }
+    out.foreach { r =>
+      val (fp, nd, no, first) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(md5Of(fp) == ((nd, no, first)), s"span $fp mismatch")
+    }
+  }
+
   test("MAD gate flags a planted far outlier and not the bulk") {
     import spark.implicits._
     val vals = (1 to 99).map(i => ("x", i.toLong, 10.0 + (i % 5))) :+ (("x", 100L, 500.0))
