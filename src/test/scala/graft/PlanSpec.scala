@@ -161,6 +161,31 @@ class PlanSpec extends AnyFunSuite {
       "z-value computation must stay stateless map-side")
   }
 
+  test("q_quality_classifier plans no join, no aggregate, no shuffle before the output sort") {
+    val p = SparkEntry.queries("q_quality_classifier")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the range partitioning of the final
+    // deterministic ORDER BY — scoring itself is pure map-side projection
+    assert(!p.contains("hashpartitioning"), "classifier scoring must not shuffle:\n" + p.take(1200))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
+  test("q_expectations reads lineitem once for the six scan rules") {
+    val p = SparkEntry.queries("q_expectations")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // three scans total: the wide rule agg, the FK anti-join probe side,
+    // and orders — the six scan rules must share a single scan
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected <=3 scans (rules+FK probe+orders), got $scans:\n" + p.take(1200))
+  }
+
+  test("bm25 corpus stats and df arrive by broadcast; one doc-keyed shuffle chain") {
+    val p = planOf("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "stats/df must broadcast, not shuffle-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
