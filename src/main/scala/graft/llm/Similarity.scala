@@ -267,7 +267,47 @@ object Similarity {
                  rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
           FROM (SELECT DISTINCT q_id, vec_id, cos FROM scored))
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 3
-        ORDER BY q_id, rnk, vec_id""")))
+        ORDER BY q_id, rnk, vec_id""")),
+
+    // INT8 scalar quantization — the simplest compression member of the
+    // vector family (PQ's counterpart for on-disk embedding stores):
+    // per-vector symmetric scale = max|x|/127, code_i = round(x_i/scale),
+    // plus the reconstruction MSE as the quality metric. Stateless
+    // map-side; every step is a single IEEE op on identical operands
+    // (division, round-half-away, multiply) so codes are bit-exact
+    // cross-engine and the error sum reduces left-assoc in index order.
+    // A zero vector degrades to scale=0 / all-zero codes via an identical
+    // CASE on both engines.
+    "q_vector_quantize" -> Q(
+      fn = (s, d) => {
+        val v = transform(col("embedding"), _.cast(DoubleType))
+        val scale = array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))) / lit(127.0)
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"), scale.as("scale"))
+          .select(col("vec_id"), col("scale"),
+            when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+              .otherwise(transform(col("v"),
+                x => round(x / col("scale")).cast(LongType))).as("codes"),
+            r4(when(col("scale") === 0.0, lit(0.0)).otherwise(
+              aggregate(transform(col("v"), x => {
+                val e = x - round(x / col("scale")) * col("scale")
+                e * e
+              }), lit(0.0), (acc, e) => acc + e) / size(col("v")))).as("mse"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+          FROM embeddings)
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS codes,
+               CAST(ROUND(CASE WHEN scale = 0.0 THEN 0.0 ELSE
+                 list_reduce(list_transform(v,
+                   x -> (x - round(x / scale) * scale) * (x - round(x / scale) * scale)),
+                   (a, b) -> a + b) / len(v) END, 4) AS DOUBLE) AS mse
+        FROM e ORDER BY vec_id""")))
 
   /** Exact brute-force cosine top-k for the query set (vec_id < 10) —
     * the ground truth the approximate paths are validated against.

@@ -599,5 +599,41 @@ object TextAnalysis {
         $iters
         SELECT token, CAST(pr AS BIGINT) AS pr FROM pr10
         ORDER BY pr DESC, token ASC LIMIT 50"""
-      })))
+      })),
+
+    // Unigram-LM quality scoring — the CCNet-perplexity-style filter with
+    // the corpus itself as the language model: score(d) = Σ c·ln(p(t)) / n
+    // where p(t) = corpus frequency of t over total tokens. Low (very
+    // negative) scores = rare-token soup; high = common fluent text. The
+    // same single-scan derivation chain as bm25 (one explode/(doc,token)
+    // exchange feeds per-doc tf, corpus freqs AND the total), frequencies
+    // broadcast back (vocab ≪ corpus — at 100 TB the freq table is the
+    // bounded side by construction), and the per-doc Σ c·ln(p) is the
+    // q_text_entropy aggregation shape.
+    "q_text_lm_score" -> Q(
+      fn = (s, d) => {
+        val tfAll = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        val freq = tfAll.groupBy("token").agg(sum(col("c")).as("cf"))
+        val total = freq.agg(sum(col("cf")).cast(DoubleType).as("n_total"))
+        tfAll.join(broadcast(freq), "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c").cast(DoubleType) * log(col("cf") / col("n_total"))).as("lp"))
+          .select(col("doc_id"), col("n_tokens"),
+            r4(col("lp") / col("n_tokens")).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tf AS (SELECT doc_id, token, COUNT(*) AS c FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+               GROUP BY doc_id, token),
+        freq AS (SELECT token, SUM(c) AS cf FROM tf GROUP BY token),
+        total AS (SELECT CAST(SUM(cf) AS DOUBLE) AS n_total FROM freq)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(ROUND(SUM(c * ln(cf / n_total)) / SUM(c), 4) AS DOUBLE) AS avg_logprob
+        FROM tf JOIN freq USING (token) CROSS JOIN total
+        GROUP BY doc_id ORDER BY doc_id""")))
 }

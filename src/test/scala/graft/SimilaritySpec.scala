@@ -97,4 +97,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(codes(id) == expected, s"vec $id: ${codes(id)} vs $expected")
     }
   }
+
+  test("int8 quantization: codes fit [-127,127], brute recompute, bounded error") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_vector_quantize")(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val raw = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    out.foreach { r =>
+      val (id, scale, codes, mse) =
+        (r.getLong(0), r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))
+      val v = raw(id)
+      val expScale = v.map(math.abs).max / 127.0
+      assert(scale == expScale, s"vec $id scale")
+      codes.foreach(c => assert(c >= -127 && c <= 127, s"vec $id code $c out of int8"))
+      val expCodes = v.map(x => math.round(x / expScale))
+      // java round is half-up (toward +inf) vs Spark/BigDecimal half-away;
+      // compare values not ties — differences only possible at exact .5
+      codes.zip(expCodes).zip(v).foreach { case ((got, exp), x) =>
+        assert(math.abs(got - exp) <= (if ((x / expScale * 2) % 1 == 0) 1 else 0),
+          s"vec $id: code $got vs $exp for $x")
+      }
+      // reconstruction error must be far below the quantization step bound
+      assert(mse <= (expScale / 2) * (expScale / 2) + 1e-9, s"vec $id mse $mse")
+    }
+  }
 }

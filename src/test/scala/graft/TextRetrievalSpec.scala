@@ -182,6 +182,27 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("lm_score: brute-force unigram log-prob agrees per doc") {
+    val out = SparkEntry.queries("q_text_lm_score")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = freq.values.sum.toDouble
+    docs.foreach { case (id, ts) =>
+      val n = ts.length
+      val lp = ts.groupBy(identity).map { case (t, xs) =>
+        xs.length * math.log(freq(t) / total)
+      }.sum
+      val (gotN, gotScore) = out(id)
+      assert(gotN == n, s"doc $id n_tokens")
+      assert(math.abs(gotScore - lp / n) < 1e-3, s"doc $id: $gotScore vs ${lp / n}")
+      assert(gotScore < 0.0, "log-prob of a non-trivial doc must be negative")
+    }
+  }
+
   test("MAD gate flags a planted far outlier and not the bulk") {
     import spark.implicits._
     val vals = (1 to 99).map(i => ("x", i.toLong, 10.0 + (i % 5))) :+ (("x", 100L, 500.0))
