@@ -238,7 +238,84 @@ object SetSort {
         Tables.registerViews(s, d)
         s.sql(subquerySql)
       },
-      oracle = Some(subquerySql)))
+      oracle = Some(subquerySql)),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-order top-2
+    // lineitems by price WITHOUT a window function: the SQL-standard
+    // "top-k per key" shape (Spark ≥4 decorrelates the limited lateral
+    // into a ranked join). Emitted columns are value-deterministic under
+    // boundary ties because tied rows are identical in every projected
+    // column.
+    "q_lateral_topk" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+          FROM orders o JOIN LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l ON true
+          ORDER BY o_orderkey, l.l_extendedprice DESC, l.l_linenumber""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        ORDER BY o_orderkey, l.l_extendedprice DESC, l.l_linenumber""")),
+
+    // WITH RECURSIVE (Spark ≥4's recursive CTE surface): min-hop
+    // reachability from a seed token over the ≥20%-co-occurrence graph,
+    // depth-bounded. The recursion itself enumerates bounded paths (UNION
+    // ALL + hop guard); the MIN(hops) aggregate collapses them — the same
+    // closure semantics the DataFrame side implements iteratively in
+    // Dedup.connectedComponents, here as one declarative statement on both
+    // engines.
+    "q_recursive_cte" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH RECURSIVE
+          dt AS (SELECT DISTINCT doc_id, token FROM (
+                   SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
+          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2),
+          edges AS (SELECT ta AS src, tb AS dst FROM pairs
+                    WHERE n * 5 >= (SELECT COUNT(*) FROM documents)
+                    UNION ALL
+                    SELECT tb, ta FROM pairs
+                    WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
+          reach(token, hops) AS (
+            SELECT 'table', 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.token
+            WHERE r.hops < 2)
+          SELECT token, CAST(MIN(hops) AS BIGINT) AS hops
+          FROM reach GROUP BY token ORDER BY hops, token""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                  GROUP BY 1, 2),
+        edges AS (SELECT ta AS src, tb AS dst FROM pairs
+                  WHERE n * 5 >= (SELECT COUNT(*) FROM documents)
+                  UNION ALL
+                  SELECT tb, ta FROM pairs
+                  WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
+        reach(token, hops) AS (
+          SELECT 'table', 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.token
+          WHERE r.hops < 2)
+        SELECT token, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY token ORDER BY hops, token""")))
 
   private lazy val subquerySql: String = """
     SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -8,6 +8,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class MiscOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("lateral top-2 returns at most 2 rows per order, each beating every excluded lineitem") {
+    val out = SparkEntry.queries("q_lateral_topk")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val byOrder = out.groupBy(_._1)
+    assert(byOrder.values.forall(_.length <= 2))
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).groupBy(_._1)
+    byOrder.foreach { case (ok, rows) =>
+      val prices = li(ok).map(_._2).sortBy(-_)
+      val expectTop = prices.take(2)
+      val gotPrices = rows.map(_._3).sortBy(-_)
+      assert(gotPrices.toSeq == expectTop.toSeq, s"order $ok: $gotPrices vs $expectTop")
+    }
+    // every order that has lineitems appears
+    assert(byOrder.keySet == li.keySet)
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")

@@ -182,6 +182,30 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("recursive CTE reachability agrees with a Scala BFS over the same graph") {
+    val out = SparkEntry.queries("q_recursive_cte")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out("table") == 0L)
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val nDocs = docs.length
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      val sorted = ts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val adj = pairCounts.toSeq.collect { case ((a, b), n) if n * 5 >= nDocs => Seq(a -> b, b -> a) }
+      .flatten.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    // BFS from 'table', depth <= 2 (matching the query's hop guard)
+    var frontier = Set("table"); var seen = Map("table" -> 0L)
+    for (hop <- 1 to 2) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(seen.keySet)
+      seen ++= frontier.map(_ -> hop.toLong)
+    }
+    assert(out == seen, s"reachability mismatch: ${out.size} vs ${seen.size}")
+  }
+
   test("lm_score: brute-force unigram log-prob agrees per doc") {
     val out = SparkEntry.queries("q_text_lm_score")(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
