@@ -361,5 +361,80 @@ object Scalars {
                CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ',' ||
                  CAST(CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DECIMAL(15,2)) AS VARCHAR) AS vs,
                CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
-        FROM events ORDER BY event_id""")))
+        FROM events ORDER BY event_id""")),
+
+    // Spark 4 VARIANT: semi-structured ingestion without a declared schema —
+    // the shredded binary encoding makes repeated path extraction O(field)
+    // rather than O(re-parse), which is the 100-TB answer to JSON-string
+    // event payloads (parse once at ingest, extract many times downstream).
+    // Row-level: events.props parsed to variant + typed path extraction; a
+    // constructed nested document exercises array-index and object-chain
+    // paths. Oracle extracts the same paths with DuckDB's JSON operators.
+    "q_variant_json" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .select(
+            col("event_id"),
+            col("event_type"),
+            parse_json(col("props")).as("v"),
+            parse_json(concat(
+              lit("{\"a\":["), get_json_object(col("props"), "$.k"),
+              lit(",2],\"b\":{\"c\":\""), col("event_type"), lit("\"}}"))).as("nested"))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            variant_get(col("v"), "$.k", "bigint").as("k_int"),
+            variant_get(col("v"), "$.k", "string").as("k_str"),
+            variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
+            is_variant_null(variant_get(col("v"), "$.k", "variant")).as("k_is_json_null"),
+            variant_get(col("nested"), "$.a[1]", "bigint").as("a1"),
+            variant_get(col("nested"), "$.b.c", "string").as("bc"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id, event_type,
+               CAST(props->>'$.k' AS BIGINT) AS k_int,
+               props->>'$.k' AS k_str,
+               CAST(props->>'$.missing' AS BIGINT) AS k_missing,
+               COALESCE(json_type(props, '$.k') = 'NULL', false) AS k_is_json_null,
+               CAST(('{"a":[' || (props->>'$.k') || ',2],"b":{"c":"' || event_type || '"}}')
+                 ->>'$.a[1]' AS BIGINT) AS a1,
+               ('{"a":[' || (props->>'$.k') || ',2],"b":{"c":"' || event_type || '"}}')
+                 ->>'$.b.c' AS bc
+        FROM events ORDER BY event_id""")),
+
+    // Unicode canonicalization (graft NfcNormalize / StripAccents
+    // expressions vs DuckDB nfc_normalize / strip_accents): a decomposed
+    // raw string (base letter + U+0301 combining acute, synthesized
+    // deterministically from the corpus) composes under NFC iff a
+    // precomposed codepoint exists, and accent-strip recovers the original
+    // on either path. len_raw/len_nfc expose the composition in char
+    // counts. Canonical composition is stability-frozen, so JDK and
+    // utf8proc agree byte for byte.
+    "q_text_normalize" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val nfc = call_function("nfc_normalize", col("raw"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), concat(
+            substring(col("text"), 1, 1), lit("\u0301"),
+            substring(col("text"), 2, 8)).as("raw"))
+          .select(
+            col("doc_id"),
+            col("raw"),
+            nfc.as("nfc"),
+            call_function("strip_accents", nfc).as("ascii"),
+            length(col("raw")).cast(LongType).as("len_raw"),
+            length(nfc).cast(LongType).as("len_nfc"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, raw,
+               nfc_normalize(raw) AS nfc,
+               strip_accents(nfc_normalize(raw)) AS ascii,
+               length(raw) AS len_raw,
+               length(nfc_normalize(raw)) AS len_nfc
+        FROM (SELECT doc_id,
+                     substr(text, 1, 1) || chr(769) || substr(text, 2, 8) AS raw
+              FROM documents)
+        ORDER BY doc_id""")))
 }

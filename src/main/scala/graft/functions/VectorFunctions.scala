@@ -164,6 +164,38 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Unicode NFC normalization (q_text_normalize) — Spark ships no unicode
+    * normalizer; this wraps the JDK one as a codegen'd expression so text
+    * canonicalization (the first step of any cross-source corpus merge)
+    * stays inside whole-stage codegen. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.nfcNormalize($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Diacritic removal (NFD → drop marks → NFC), matching DuckDB
+    * `strip_accents` on Latin inputs. */
+  case class StripAccents(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "strip_accents"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.stripAccents(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.stripAccents($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 8-bit random-hyperplane LSH signature of a double vector: bit p is the
     * sign of the dot product with pseudo-plane p, whose component j is a
     * hash-derived value in [-1, 1] (deterministic across runs — no stored
@@ -329,6 +361,10 @@ object VectorFunctions {
       "pq_encode", exprs => PqEncode(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "pq_dtable", exprs => PqDtable(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)

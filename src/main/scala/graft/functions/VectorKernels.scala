@@ -281,4 +281,30 @@ object VectorKernels {
       }
     cms.estimateCount(java.lang.Long.valueOf(v))
   }
+
+  /** Unicode NFC (canonical composition). Canonical (de)composition is
+    * frozen by the Unicode stability policy, so JDK Normalizer output
+    * matches utf8proc-based engines (DuckDB `nfc_normalize`) byte for byte.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Diacritic strip: NFD-decompose, drop non-spacing marks, re-compose.
+    * Matches DuckDB `strip_accents` on Latin text with combining marks
+    * (both reduce to the base letter).
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
 }

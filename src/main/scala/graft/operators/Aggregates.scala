@@ -376,6 +376,40 @@ object Aggregates {
                CAST(ROUND(median(l_quantity), 4) AS DOUBLE) AS med
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Typed Aggregator (the Dataset-API custom-UDAF surface): an exact
+    // (sum-of-cents, count) pair over long cents, registered via
+    // `functions.udaf`. Long adds are associative+commutative so partial
+    // buffers merge exactly in any order; the quotient is emitted as ONE
+    // IEEE division of identical operands on both engines. This is the
+    // API-completeness row — the ObjectHashAggregate it runs on is slower
+    // than a codegen'd built-in sum/count, which remains the production
+    // path (the spec asserts value parity between the two).
+    "q_agg_typed" -> Q(
+      fn = (s, d) => {
+        val stats = udaf(CentsStats, org.apache.spark.sql.Encoders.scalaLong)
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"))
+          .groupBy("l_returnflag")
+          .agg(stats(col("cents")).as("st"))
+          .select(
+            col("l_returnflag"),
+            col("st._1").as("sum_cents"),
+            col("st._2").as("n"),
+            (col("st._1").cast(DoubleType) /
+              (col("st._2").cast(DoubleType) * 100.0)).as("avg_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0) AS avg_price
+        FROM (SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+              FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // String aggregation with deterministic element order.
     "q_agg_stringagg" -> Q(
       fn = (s, d) =>
@@ -503,4 +537,22 @@ object Aggregates {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")))
+}
+
+/** Exact (sum, count) over long inputs as a typed
+  * [[org.apache.spark.sql.expressions.Aggregator]] — the Dataset-API way to
+  * ship a custom aggregate (q_agg_typed). Top-level object so the closure
+  * serializer ships a stable singleton reference to executors.
+  */
+object CentsStats
+    extends org.apache.spark.sql.expressions.Aggregator[Long, (Long, Long), (Long, Long)] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), a: Long): (Long, Long) = (b._1 + a, b._2 + 1L)
+  override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (Long, Long)): (Long, Long) = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+  override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] = bufferEncoder
 }

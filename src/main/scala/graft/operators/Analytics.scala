@@ -238,6 +238,38 @@ object Analytics {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev DESC, n_name ASC""")),
 
+    // TPC-H Q10 (returned item reporting): revenue lost to returned
+    // lineitems per customer over one quarter, top 20. Selective date +
+    // returnflag filters push into the scans; nation broadcasts; the
+    // customer-grain agg shuffles once on the grouping key; the final
+    // top-20 is a TakeOrderedAndProject, never a global sort.
+    "q_tpch_q10" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "customer")
+          .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+                  col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+          .join(Tables(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dec4(sum(revenue)).as("rev"))
+          .orderBy(col("rev").desc, col("c_custkey").asc)
+          .limit(20),
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM($revenueSql) AS DOUBLE) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY rev DESC, c_custkey ASC
+        LIMIT 20""")),
+
     // Retention cohorts: users grouped by the week of their FIRST event,
     // crossed with the weeks they were active — the classic triangular
     // retention matrix. Two hash aggs + one join; cohort assignment

@@ -315,7 +315,33 @@ object SetSort {
           FROM reach r JOIN edges e ON e.src = r.token
           WHERE r.hops < 2)
         SELECT token, CAST(MIN(hops) AS BIGINT) AS hops
-        FROM reach GROUP BY token ORDER BY hops, token""")))
+        FROM reach GROUP BY token ORDER BY hops, token""")),
+
+    // DISTRIBUTE BY / SORT BY (the SQL spelling of repartition +
+    // sortWithinPartitions): per-partition clustering without a global
+    // sort — the write-preparation shape (co-locate by key, locally order
+    // for run-length/dictionary encoding) where a full ORDER BY would add
+    // a range-exchange barrier. Values are row-identical to the plain
+    // relation; the outer total ORDER BY exists for the gate's determinism
+    // only. PlanSpec asserts the hash exchange + partition-local sort.
+    "q_distribute_by" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT * FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_quantity, l_extendedprice, l_shipdate
+            FROM lineitem WHERE l_quantity > 45
+            DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_extendedprice)
+          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_quantity, l_extendedprice, l_shipdate""")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_quantity, l_extendedprice, l_shipdate""")))
 
   private lazy val subquerySql: String = """
     SELECT l_orderkey, l_linenumber, l_extendedprice

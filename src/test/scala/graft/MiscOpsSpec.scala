@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,6 +26,52 @@ class MiscOpsSpec extends AnyFunSuite {
     }
     // every order that has lineitems appears
     assert(byOrder.keySet == li.keySet)
+  }
+
+  test("variant extraction matches get_json_object and schema_of_variant sees the shape") {
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT schema_of_variant(parse_json('{"k": 69}')) AS sch,
+                variant_get(parse_json('{"k": 69}'), '$.k', 'bigint') AS k,
+                variant_get(parse_json('{"a":[1,2,3]}'), '$.a[2]', 'int') AS a2,
+                is_variant_null(variant_get(parse_json('{"k": null}'), '$.k', 'variant')) AS isn
+      """).head()
+    assert(row.getString(0).contains("k: BIGINT"))
+    assert(row.getLong(1) == 69L && row.getInt(2) == 3)
+    assert(row.getBoolean(3), "JSON null must read as variant null")
+    // the registered query agrees with get_json_object over the corpus
+    val out = SparkEntry.queries("q_variant_json")(spark, TestSpark.sf)
+      .select("event_id", "k_int").as[(Long, Long)].collect().toMap
+    val ref = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(out == ref)
+  }
+
+  test("typed Aggregator totals equal the codegen'd built-in sum/count") {
+    val typed = SparkEntry.queries("q_agg_typed")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val builtin = Tables(spark, TestSpark.sf, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("l_returnflag").agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(typed == builtin, "Aggregator path must agree with built-in aggregates")
+  }
+
+  test("nfc normalization composes iff a precomposed codepoint exists; strip recovers base") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT nfc_normalize('e' || '́') AS comp,
+                nfc_normalize('b' || '́') AS nocomp,
+                strip_accents(nfc_normalize('e' || '́')) AS se,
+                strip_accents(nfc_normalize('b' || '́')) AS sb,
+                nfc_normalize(nfc_normalize('e' || '́')) AS idem""").head()
+    assert(r.getString(0) == "é" && r.getString(0).length == 1)
+    assert(r.getString(1).length == 2, "b+acute has no precomposed form")
+    assert(r.getString(2) == "e" && r.getString(3) == "b")
+    assert(r.getString(4) == r.getString(0), "NFC must be idempotent")
   }
 
   test("intersectAll and exceptAll keep multiplicity") {

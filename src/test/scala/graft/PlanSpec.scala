@@ -186,6 +186,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
   }
 
+  test("DISTRIBUTE BY / SORT BY plans a hash exchange + partition-local sort") {
+    // The registered q_distribute_by wraps this in a total ORDER BY for the
+    // oracle, under which Catalyst correctly eliminates the now-redundant
+    // local sort — so the shape is asserted on the bare statement.
+    Tables.registerViews(spark, TestSpark.sf)
+    val p = spark.sql(
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+         WHERE l_quantity > 45
+         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_extendedprice""")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(l_orderkey"),
+      "DISTRIBUTE BY must hash-partition on the key")
+    // SORT BY = a Sort node with global=false → "Arguments: [...], false, 0"
+    assert(p.contains("false, 0"), "SORT BY must plan a partition-local sort")
+  }
+
+  test("q_tpch_q10 broadcasts nation and top-20s via TakeOrderedAndProject") {
+    val p = planOf("q_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter must push to scan")
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
