@@ -635,5 +635,29 @@ object TextAnalysis {
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(ROUND(SUM(c * ln(cf / n_total)) / SUM(c), 4) AS DOUBLE) AS avg_logprob
         FROM tf JOIN freq USING (token) CROSS JOIN total
-        GROUP BY doc_id ORDER BY doc_id""")))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // BPE merge induction, step 1 (the tokenizer-training primitive): count
+    // adjacent character pairs inside words across the corpus; the top pair
+    // is the first merge a byte-pair encoder would learn. One explode chain
+    // into a hash agg keyed by the 2-char pair (bounded key space ≤ 26²) —
+    // map-side partials absorb the skew, top-20 is a TakeOrderedAndProject.
+    // Iterating (re-segment on the merged vocab, recount) is the same job
+    // per round; the heavy lifting is this count.
+    "q_bpe_merges" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20),
+      oracle = Some("""
+        WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+                  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+                        FROM words WHERE length(w) >= 2))
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")))
 }

@@ -341,7 +341,35 @@ object SetSort {
                l_quantity, l_extendedprice, l_shipdate
         FROM lineitem WHERE l_quantity > 45
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                 l_quantity, l_extendedprice, l_shipdate""")))
+                 l_quantity, l_extendedprice, l_shipdate""")),
+
+    // The NOT IN null trap vs NOT EXISTS, side by side: the subquery maps
+    // negative-balance customers to NULL, so `NOT IN` — three-valued
+    // logic — can never be TRUE (0 rows), while `NOT EXISTS` — which a
+    // planner compiles to a null-tolerant anti join — counts orders whose
+    // custkey matches no non-negative-balance customer. Both engines
+    // implement SQL-standard semantics, so both numbers hash-match; the
+    // pair documents why production anti-joins must never be spelled
+    // NOT IN against a nullable key.
+    "q_subquery_notin" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql(notInSql)
+      },
+      oracle = Some(notInSql)))
+
+  private lazy val notInSql: String = """
+    SELECT 'not_exists' AS variant, COUNT(*) AS n
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END) = o.o_custkey)
+    UNION ALL
+    SELECT 'not_in', COUNT(*)
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END FROM customer)
+    ORDER BY variant"""
 
   private lazy val subquerySql: String = """
     SELECT l_orderkey, l_linenumber, l_extendedprice

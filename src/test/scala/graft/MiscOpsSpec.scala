@@ -74,6 +74,30 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(r.getString(4) == r.getString(0), "NFC must be idempotent")
   }
 
+  test("NOT IN against a nullable key is never satisfied; NOT EXISTS matches brute force") {
+    val out = SparkEntry.queries("q_subquery_notin")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_in") == 0L, "three-valued logic: NOT IN with a NULL in the set")
+    val goodCust = Tables(spark, TestSpark.sf, "customer")
+      .filter(col("c_acctbal") >= 0).select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expected = Tables(spark, TestSpark.sf, "orders")
+      .select("o_custkey").collect().count(r => !goodCust(r.getLong(0)))
+    assert(out("not_exists") == expected.toLong && expected > 0)
+  }
+
+  test("bpe pair counts: brute-force adjacent-char tally agrees on the top 20") {
+    val out = SparkEntry.queries("q_bpe_merges")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables(spark, TestSpark.sf, "documents").select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += 1L)
+      }
+    }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq == top, s"got ${out.take(3).toSeq} want ${top.take(3)}")
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")
