@@ -275,23 +275,33 @@ object SetSort {
     "q_recursive_cte" -> Q(
       fn = (s, d) => {
         Tables.registerViews(s, d)
+        // The edge list is materialized ONCE before the recursion: Spark
+        // inlines CTEs, so leaving `edges` inside the WITH would re-run the
+        // quadratic token-pair join on every UnionLoop iteration (and the
+        // two-branch UNION ALL direction split doubled it again — 2.3 s at
+        // sf0.1, vs ~1 s materialized). localCheckpoint is the same
+        // iterative-Spark shape as the connected-components loop; the edge
+        // relation is the bounded object here (hot pairs ≪ corpus).
         s.sql("""
-          WITH RECURSIVE
-          dt AS (SELECT DISTINCT doc_id, token FROM (
-                   SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
+          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
           pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
                     FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
-                    GROUP BY 1, 2),
-          edges AS (SELECT ta AS src, tb AS dst FROM pairs
-                    WHERE n * 5 >= (SELECT COUNT(*) FROM documents)
-                    UNION ALL
-                    SELECT tb, ta FROM pairs
-                    WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
+                    GROUP BY 1, 2)
+          SELECT e.src, e.dst FROM (
+            SELECT explode(array(named_struct('src', ta, 'dst', tb),
+                                 named_struct('src', tb, 'dst', ta))) AS e
+            FROM pairs
+            WHERE n * 5 >= (SELECT COUNT(*) FROM documents))""")
+          .localCheckpoint()
+          .createOrReplaceTempView("graft_cooccur_edges")
+        s.sql("""
+          WITH RECURSIVE
           reach(token, hops) AS (
             SELECT 'table', 0
             UNION ALL
             SELECT e.dst, r.hops + 1
-            FROM reach r JOIN edges e ON e.src = r.token
+            FROM reach r JOIN graft_cooccur_edges e ON e.src = r.token
             WHERE r.hops < 2)
           SELECT token, CAST(MIN(hops) AS BIGINT) AS hops
           FROM reach GROUP BY token ORDER BY hops, token""")
