@@ -393,6 +393,72 @@ object Curation {
                    t -> CAST(md5_number_lower('w-' || t) >> 11 AS DOUBLE)
                         / 4503599627370496.0 - 1.0),
                  (a, b) -> a + b) / len(string_split(text, ' ')) > 0.0 AS keep
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // k-anonymity release (k=5): generalize the quasi-identifier tuple
+    // (nation, $1000 balance band, segment), publish only cohorts of
+    // size >= k, collapse the rest into one '*' row — the
+    // generalize-then-suppress step a privacy-constrained data release
+    // runs after PII redaction. Two hash aggs (cohort count, then
+    // re-group after suppression); nothing row-level leaves the
+    // executors, so it scales as a pair of keyed aggregations.
+    // ----------------------------------------------------------------
+    "q_k_anonymity" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql(kAnonSql)
+      },
+      oracle = Some(kAnonSql)),
+
+    // ----------------------------------------------------------------
+    // Differentially-private counts (eps = 1, sensitivity 1): Laplace
+    // noise by inverse CDF over the repo's deterministic dyadic uniform
+    // (md5-lower-64 of the salted group key), so the "noise" is
+    // reproducible cross-engine and the release is hash-checkable. The
+    // noise column is per-GROUP, not per-row — one hash agg, noise
+    // applied map-side to the 6-row result.
+    // ----------------------------------------------------------------
+    "q_dp_counts" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+          u AS (SELECT event_type, n,
+                  (CAST(shiftrightunsigned(md5_lower64('dp-' || event_type), 11) AS DOUBLE)
+                    + 1.0) / 9007199254740992.0 AS u
+                FROM c)
+          SELECT event_type, n,
+                 CAST(ROUND(n + (CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                                      ELSE -ln(2.0 - 2.0 * u) END), 4) AS DOUBLE) AS noisy_n
+          FROM u ORDER BY event_type""")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        u AS (SELECT event_type, n,
+                (CAST(md5_number_lower('dp-' || event_type) >> 11 AS DOUBLE)
+                  + 1.0) / 9007199254740992.0 AS u
+              FROM c)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(ROUND(n + (CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                                    ELSE -ln(2.0 - 2.0 * u) END), 4) AS DOUBLE) AS noisy_n
+        FROM u ORDER BY event_type"""))
   )
+
+  /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on
+    * both engines: floor/CASE/SUM are semantics-aligned). */
+  private lazy val kAnonSql: String = """
+    WITH cohorts AS (
+      SELECT n_name,
+             CAST(floor(c_acctbal / 5000) * 5000 AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, bal_band, CAST(SUM(n) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN n >= 5 THEN n_name ELSE '*' END AS nation,
+                 CASE WHEN n >= 5 THEN bal_band END AS bal_band, n
+          FROM cohorts)
+    GROUP BY 1, 2
+    ORDER BY nation, bal_band NULLS FIRST"""
 }

@@ -19,6 +19,37 @@ class CurationSpec extends AnyFunSuite {
   private def fiveGrams(t: Seq[String]): Set[String] =
     t.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
 
+  test("k-anonymity: every published cohort has n >= 5 and totals are preserved") {
+    val rows = run("q_k_anonymity").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    val (supp, pub) = rows.partition(_._1 == "*")
+    assert(pub.forall(_._3 >= 5L), "published cohort below k")
+    assert(supp.length <= 1 && supp.forall(_._2.isEmpty), "suppressed row leaks a band")
+    val total = Tables(spark, TestSpark.sf, "customer").count()
+    assert(rows.map(_._3).sum == total, "suppression must not drop records from the totals")
+    // brute-force the cohort counts
+    val brute = Tables(spark, TestSpark.sf, "customer")
+      .join(Tables(spark, TestSpark.sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (floor(col("c_acctbal") / 5000) * 5000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expPub = brute.filter(_._2 >= 5L).map { case ((n, b), c) => (n, Some(b), c) }.toSet
+    assert(pub.toSet == expPub)
+  }
+
+  test("dp counts: deterministic, unbiased-shape noise, all groups published") {
+    val a = run("q_dp_counts").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val b = run("q_dp_counts").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, "noise must be deterministic across runs")
+    assert(a.length == Tables(spark, TestSpark.sf, "events")
+      .select("event_type").distinct().count())
+    a.foreach { case (t, n, noisy) =>
+      assert(noisy != n.toDouble, s"$t: noise degenerated to zero")
+      assert(math.abs(noisy - n) < 25.0, s"$t: |Laplace(b=1)| sample implausibly large")
+    }
+  }
+
   test("decontaminate matches brute-force 5-gram overlap vs the eval split") {
     val evalGrams = docTokens.collect {
       case (id, t) if id % 97 == 0 => fiveGrams(t)
