@@ -165,6 +165,25 @@ object Aggregates {
                true AS no_underestimate, true AS overestimate_bounded
         FROM lineitem GROUP BY 1 ORDER BY exact DESC, k ASC LIMIT 5""")),
 
+    // Spark 4.1 approx_top_k (Datasketches frequent-items): the one-call
+    // heavy-hitter summary completing the sketch family (HLL distincts /
+    // bloom membership / CMS point counts / this, set-valued). Fixed-size
+    // sketch state, map-side combine, one row out. The tracked-item budget
+    // here exceeds the key cardinality, so the sketch is exact and the
+    // oracle is the exact top-3 — the output is re-sorted on (n, item)
+    // because the sketch's own tie order is not part of the contract.
+    "q_agg_approx_topk" -> Q(
+      fn = (s, d) => {
+        graft.Tables.registerViews(s, d)
+        s.sql("""
+          SELECT t.item AS item, t.count AS n FROM (
+            SELECT explode(approx_top_k(event_type, 3)) AS t FROM events)
+          ORDER BY n DESC, item""")
+      },
+      oracle = Some("""
+        SELECT event_type AS item, COUNT(*) AS n FROM events
+        GROUP BY 1 ORDER BY n DESC, item LIMIT 3""")),
+
     // Pairwise correlation matrix over the fact table's numeric columns —
     // ONE scan, one agg row carrying all 6 pairs (each corr is a partial-
     // merge aggregate), unpivoted to (col_a, col_b, r) rows via stack.

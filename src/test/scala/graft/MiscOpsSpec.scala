@@ -98,6 +98,18 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.toSeq == top, s"got ${out.take(3).toSeq} want ${top.take(3)}")
   }
 
+  test("approx_top_k at k >= cardinality returns the exact frequency table") {
+    Tables.registerViews(spark, TestSpark.sf)
+    val est = spark.sql(
+      """SELECT t.item, t.count FROM (
+           SELECT explode(approx_top_k(event_type, 10)) AS t FROM events)""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, TestSpark.sf, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact, "sketch must be exact when it tracks every distinct item")
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")
