@@ -31,6 +31,22 @@ object Sources {
           .orderBy("n_nationkey")
       },
       oracle = Some("SELECT * FROM nation ORDER BY n_nationkey")),
+    // XML round trip (Spark 4 built-in XML datasource, rowTag framing).
+    // Doubles survive because Java's Double.toString is
+    // shortest-round-trippable and the explicit read schema restores
+    // types; the oracle is the original parquet relation.
+    "q_source_xml" -> graft.Q(
+      fn = (s, d) => {
+        val part = s.read.parquet(s"$d/part.parquet")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_xml_part_").toString
+        part.write.mode(SaveMode.Overwrite)
+          .option("rowTag", "part").format("xml").save(path)
+        s.read.schema(part.schema).option("rowTag", "part")
+          .format("xml").load(path)
+          .orderBy("p_partkey")
+      },
+      oracle = Some("SELECT * FROM part ORDER BY p_partkey")),
     "q_source_json" -> graft.Q(
       fn = (s, d) => {
         val supplier = s.read.parquet(s"$d/supplier.parquet")
