@@ -57,6 +57,54 @@ class SourcesSpec extends AnyFunSuite {
     permissive.unpersist()
   }
 
+  test("xml round trip preserves rows through the rowTag framing") {
+    val nation = Tables(spark, TestSpark.sf, "nation")
+    val dir = Files.createTempDirectory("graft_xml").toString
+    nation.write.mode("overwrite").option("rowTag", "nation").format("xml").save(dir)
+    val back = spark.read.schema(nation.schema).option("rowTag", "nation")
+      .format("xml").load(dir)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(nation.orderBy("n_nationkey").collect()))
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val srcs = before.select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(srcs.length >= 2)
+    val (replaced, untouched) = (srcs.head, srcs.last)
+    // Rewrite ONE partition's rows (negated ids); static mode would drop
+    // every other partition, dynamic must keep them.
+    docs.filter(col("source") === replaced)
+      .withColumn("doc_id", -col("doc_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("source") === untouched).count() ==
+      before.filter(col("source") === untouched).count(),
+      "dynamic overwrite must not clobber unwritten partitions")
+    assert(after.filter(col("source") === replaced)
+      .agg(max(col("doc_id"))).head().getLong(0) <= 0L,
+      "written partition must hold only the new rows")
+  }
+
+  test("Observation API collects row-count/sum metrics without a second scan") {
+    val obs = new org.apache.spark.sql.Observation("li_metrics")
+    val out = Tables(spark, TestSpark.sf, "lineitem")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("l_quantity")).as("qty"))
+      .filter(col("l_quantity") > 25)
+    val kept = out.count()
+    val m = obs.get
+    val total = m("rows").asInstanceOf[Long]
+    assert(total > kept && kept > 0, "metrics see pre-filter rows")
+    assert(m("qty").asInstanceOf[Double] > 0.0)
+  }
+
   test("json round trip preserves rows") {
     val nation = Tables(spark, TestSpark.sf, "nation")
     val dir = Files.createTempDirectory("graft_json").toString
