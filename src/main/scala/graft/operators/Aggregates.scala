@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Grouped aggregation family (SURVEY.md §2.2). All run as Catalyst hash
@@ -183,6 +183,50 @@ object Aggregates {
       oracle = Some("""
         SELECT event_type AS item, COUNT(*) AS n FROM events
         GROUP BY 1 ORDER BY n DESC, item LIMIT 3""")),
+
+    // Grouped least-squares trend (the regr_slope/regr_intercept family):
+    // slope/intercept assembled from EXACT decimal power sums (n, Σx, Σy,
+    // Σxy, Σx²) — one hash agg, map-side partials, order-independent where
+    // the built-in regr_* float accumulators are not — then two IEEE
+    // divisions on identical operands per group. MiscOpsSpec checks the
+    // assembled slope against Spark's own regr_slope to float tolerance.
+    "q_agg_linreg" -> Q(
+      fn = (s, d) => {
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_extendedprice"))
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * y).cast(DecimalType(28, 4))).as("sxy"),
+            sum((x * x).cast(DecimalType(28, 4))).as("sxx"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+              .as("slope"),
+            ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+                * col("sx")).cast(DoubleType) / col("n").cast(DoubleType))
+              .as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS sxy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS sxx
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               CAST(sy - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sx AS DOUBLE) / CAST(n AS DOUBLE) AS intercept
+        FROM s ORDER BY l_returnflag""")),
 
     // Pairwise correlation matrix over the fact table's numeric columns —
     // ONE scan, one agg row carrying all 6 pairs (each corr is a partial-

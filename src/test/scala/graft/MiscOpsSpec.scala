@@ -110,6 +110,21 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(est == exact, "sketch must be exact when it tracks every distinct item")
   }
 
+  test("decimal-sum linreg agrees with Spark's regr_slope/regr_intercept") {
+    val ours = SparkEntry.queries("q_agg_linreg")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (k, (s, i)) =>
+      val (rs, ri) = ref(k)
+      assert(math.abs(s - rs) < 1e-6 * math.abs(rs).max(1.0), s"$k slope $s vs $rs")
+      assert(math.abs(i - ri) < 1e-6 * math.abs(ri).max(1.0), s"$k intercept $i vs $ri")
+    }
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")
