@@ -659,5 +659,42 @@ object TextAnalysis {
                   FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
                         FROM words WHERE length(w) >= 2))
         SELECT pair, COUNT(*) AS n FROM pairs
-        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
+    // Triangle enumeration on the >=20% co-occurrence token graph — the
+    // clustering-coefficient / community-density primitive beyond
+    // reachability (q_recursive_cte) and centrality (q_text_rank). The
+    // canonical a<b<c orientation makes each triangle appear exactly once
+    // and bounds the join: two hash joins over the (tiny) thresholded edge
+    // relation, never over the corpus.
+    "q_graph_triangles" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
+          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2),
+          ed AS (SELECT ta AS a, tb AS b FROM pairs
+                 WHERE n * 5 >= (SELECT COUNT(*) FROM documents))
+          SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM ed e1
+          JOIN ed e2 ON e2.a = e1.b
+          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+          ORDER BY a, b, c""")
+      },
+      oracle = Some("""
+        WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                  GROUP BY 1, 2),
+        ed AS (SELECT ta AS a, tb AS b FROM pairs
+               WHERE n * 5 >= (SELECT COUNT(*) FROM documents))
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+        ORDER BY a, b, c""")))
 }

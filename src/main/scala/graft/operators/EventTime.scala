@@ -190,5 +190,38 @@ object EventTime {
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM sess GROUP BY user_id, sid
-        ORDER BY user_id, session_start""")))
+        ORDER BY user_id, session_start""")),
+
+    // Sequence-pattern detection (the MATCH_RECOGNIZE shape Spark doesn't
+    // ship, expressed as a lead window): per user, count immediate
+    // click→purchase successions and the time of the first one. One keyed
+    // window (shuffle by user, O(1) state per row via lead) + one hash
+    // agg — the complex-event-processing primitive at corpus scale. The
+    // (ts, event_id) order key is total, so the "next event" is
+    // deterministic under timestamp ties.
+    "q_window_pattern" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   lead(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events)
+          SELECT user_id, COUNT(*) AS n_matches, MIN(ts) AS first_match_ts
+          FROM seq WHERE event_type = 'click' AND nxt = 'purchase'
+          GROUP BY user_id ORDER BY user_id""")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          date_trunc('milliseconds', ts) AS ts, event_type
+                   FROM events),
+        seq AS (
+          SELECT user_id, ts, event_type,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM e)
+        SELECT user_id, COUNT(*) AS n_matches, MIN(ts) AS first_match_ts
+        FROM seq WHERE event_type = 'click' AND nxt = 'purchase'
+        GROUP BY user_id ORDER BY user_id""")))
 }

@@ -125,6 +125,19 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence pattern: brute-force per-user click→purchase scan agrees") {
+    val out = SparkEntry.queries("q_window_pattern")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Tables(spark, TestSpark.sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues { evs =>
+        val ordered = evs.sortBy(e => (e._2.toString, e._3)).map(_._4)
+        ordered.sliding(2).count(p => p.length == 2 && p.head == "click" && p(1) == "purchase")
+      }.filter(_._2 > 0).toMap
+    assert(out == brute.map { case (k, v) => k -> v.toLong })
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")

@@ -206,6 +206,29 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(out == seen, s"reachability mismatch: ${out.size} vs ${seen.size}")
   }
 
+  test("graph triangles: every emitted triple is a real triangle and none is missed") {
+    val out = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val nDocs = docs.length
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      val sorted = ts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    // .toSeq first: collect-ing (a, b) pairs straight off the Map would
+    // rebuild a Map keyed by `a` and silently drop all but one edge per key
+    val edges = pairCounts.toSeq.collect { case ((a, b), n) if n * 5 >= nDocs => (a, b) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)).toSet
+    assert(out == expected, s"${out.size} vs ${expected.size} triangles")
+  }
+
   test("lm_score: brute-force unigram log-prob agrees per doc") {
     val out = SparkEntry.queries("q_text_lm_score")(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
