@@ -396,6 +396,58 @@ object Curation {
         FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // URL canonicalization + URL-level dedup (the web-corpus ingest
+    // step before any content hashing): deterministic synthetic URLs
+    // (host case noise, utm_* tracking params, fragments) normalize by
+    // fragment strip → tracking-param strip → host lowercasing (path
+    // case preserved); survivors are min-doc_id per canonical URL. All
+    // map-side regex (Java∩RE2 subset, the q_text_pii discipline) + one
+    // keyed window on the canonical key.
+    // ----------------------------------------------------------------
+    "q_url_canonicalize" -> Q(
+      fn = (s, d) => {
+        val id50 = (col("doc_id") % 50).cast(StringType)
+        val raw = concat(
+          lit("https://WWW."), col("source"), lit(".COM/Doc"), id50,
+          lit("?id="), id50,
+          lit("&utm_source=feed&utm_campaign=c"), col("doc_id").cast(StringType),
+          lit("#sec"), col("doc_id").cast(StringType))
+        val noFrag = regexp_replace(raw, "#.*$", "")
+        val noUtm = regexp_replace(noFrag, "(&|\\?)utm_[^&#]*", "")
+        val host = regexp_extract(noUtm, "^https://([^/]*)", 1)
+        val rest = regexp_extract(noUtm, "^https://[^/]*(.*)$", 1)
+        val canon = concat(lit("https://"), lower(host), rest)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+        docs(s, d)
+          .select(col("doc_id"), raw.as("url_raw"), canon.as("url_canon"))
+          .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://WWW.' || source || '.COM/Doc' || (doc_id % 50) ||
+                   '?id=' || (doc_id % 50) ||
+                   '&utm_source=feed&utm_campaign=c' || doc_id ||
+                   '#sec' || doc_id AS url_raw
+          FROM documents),
+        c AS (
+          SELECT doc_id, url_raw,
+                 'https://' ||
+                 lower(regexp_extract(
+                   regexp_replace(regexp_replace(url_raw, '#.*$', ''),
+                                  '(&|[?])utm_[^&#]*', '', 'g'),
+                   '^https://([^/]*)', 1)) ||
+                 regexp_extract(
+                   regexp_replace(regexp_replace(url_raw, '#.*$', ''),
+                                  '(&|[?])utm_[^&#]*', '', 'g'),
+                   '^https://[^/]*(.*)$', 1) AS url_canon
+          FROM u)
+        SELECT doc_id, url_raw, url_canon,
+               doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep
+        FROM c ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // k-anonymity release (k=5): generalize the quasi-identifier tuple
     // (nation, $1000 balance band, segment), publish only cohorts of
     // size >= k, collapse the rest into one '*' row — the
