@@ -209,6 +209,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter must push to scan")
   }
 
+  test("cache() plans an InMemoryTableScan and unpersist restores the file scan") {
+    val df = Tables(spark, TestSpark.sf, "region")
+    df.cache()
+    try {
+      df.count() // materialize
+      val p = df.filter(col("r_regionkey") > 1)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), "cached relation must serve the scan")
+    } finally df.unpersist()
+    val p2 = df.filter(col("r_regionkey") > 1)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("InMemoryTableScan"))
+  }
+
+  test("ANALYZE TABLE records catalog row-count/size stats the optimizer can read") {
+    Tables.registerViews(spark, TestSpark.sf)
+    val loc = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    spark.sql("DROP TABLE IF EXISTS graft_stats_nation")
+    spark.sql(
+      s"CREATE TABLE graft_stats_nation USING parquet LOCATION '$loc/t' AS SELECT * FROM nation")
+    try {
+      spark.sql("ANALYZE TABLE graft_stats_nation COMPUTE STATISTICS")
+      // plan stats surface the analyzed rowCount only under CBO
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("graft_stats_nation")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"rowCount was ${stats.rowCount}")
+      assert(stats.sizeInBytes > 0)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_nation")
+    }
+  }
+
   test("registered functions are usable from plain SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
