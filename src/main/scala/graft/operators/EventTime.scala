@@ -223,5 +223,42 @@ object EventTime {
           FROM e)
         SELECT user_id, COUNT(*) AS n_matches, MIN(ts) AS first_match_ts
         FROM seq WHERE event_type = 'click' AND nxt = 'purchase'
-        GROUP BY user_id ORDER BY user_id""")))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Trailing-median smoothing (the robust companion to q_window_ema —
+    // a median filter ignores the spike the EMA drags toward): exact
+    // median over the trailing 5 rows per user. State is the 5-row
+    // frame, so the window is O(1) memory regardless of corpus size;
+    // one shuffle keyed by user. Interpolated midpoints are (a+b)/2 —
+    // exact in doubles — and both engines round identically at 4dp on
+    // this 2dp-money domain.
+    "q_window_median" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        // Spark's median/percentile reject window frames; the 5-row frame
+        // is tiny, so the median comes from a sorted collect_list of the
+        // frame — still O(frame) state, and the interpolation arithmetic
+        // matches the oracle's median() exactly.
+        s.sql("""
+          WITH f AS (
+            SELECT event_id, user_id, value,
+                   array_sort(collect_list(value) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS a
+            FROM events)
+          SELECT event_id, user_id, value,
+                 CAST(ROUND(CASE WHEN size(a) % 2 = 1
+                        THEN element_at(a, CAST((size(a) + 1) DIV 2 AS INT))
+                        ELSE (element_at(a, CAST(size(a) DIV 2 AS INT)) +
+                              element_at(a, CAST(size(a) DIV 2 + 1 AS INT))) / 2
+                        END, 4) AS DOUBLE) AS med5
+          FROM f ORDER BY event_id""")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, value,
+               CAST(ROUND(median(value) OVER
+                 (PARTITION BY user_id ORDER BY date_trunc('milliseconds', ts), event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+                 AS med5
+        FROM events ORDER BY event_id""")))
 }
