@@ -228,6 +228,68 @@ object Aggregates {
                  * sx AS DOUBLE) / CAST(n AS DOUBLE) AS intercept
         FROM s ORDER BY l_returnflag""")),
 
+    // Higher central moments (skewness, excess kurtosis) assembled from
+    // EXACT integer power sums (l_quantity is integral; every sum is
+    // < 2^53 so the long->double conversions are exact), like q_agg_linreg: Spark's skewness() is
+    // the population estimator while DuckDB's is sample-corrected, and
+    // both accumulate in floats — deriving from Σx..Σx⁴ sidesteps both
+    // the estimator mismatch and the merge-order ulps. Every double op
+    // below appears in the SAME tree shape on both engines (m2*sqrt(m2),
+    // never pow(m2,1.5) — pow differs in last ulps across libm builds),
+    // so the raw doubles are bit-exact with no rounding step.
+    "q_agg_moments" -> Q(
+      fn = (s, d) => {
+        val x = col("l_quantity").cast(LongType)
+        val nD = col("n").cast(DoubleType)
+        val mean = col("sx").cast(DoubleType) / nD
+        val m2 = col("sxx").cast(DoubleType) / nD - mean * mean
+        val m3 = col("sxxx").cast(DoubleType) / nD -
+          lit(3.0) * mean * (col("sxx").cast(DoubleType) / nD) +
+          lit(2.0) * (mean * mean * mean)
+        val m4 = col("sxxxx").cast(DoubleType) / nD -
+          lit(4.0) * mean * (col("sxxx").cast(DoubleType) / nD) +
+          lit(6.0) * (mean * mean) * (col("sxx").cast(DoubleType) / nD) -
+          lit(3.0) * ((mean * mean) * (mean * mean))
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"),
+            sum(x * x).as("sxx"),
+            sum(x * x * x).as("sxxx"),
+            sum(x * x * x * x).as("sxxxx"))
+          .select(
+            col("l_returnflag"), col("n"),
+            mean.as("mean"),
+            (m3 / (m2 * sqrt(m2))).as("skewness"),
+            (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) *
+                     CAST(l_quantity AS BIGINT)) AS sxxx,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) *
+                     CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxxxx
+          FROM lineitem GROUP BY l_returnflag),
+        m AS (
+          SELECT l_returnflag, n,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                 CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                 CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+          FROM s)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, mean,
+               (e3 - 3.0 * mean * e2 + 2.0 * (mean * mean * mean)) /
+                 ((e2 - mean * mean) * sqrt(e2 - mean * mean)) AS skewness,
+               (e4 - 4.0 * mean * e3 + 6.0 * (mean * mean) * e2
+                  - 3.0 * ((mean * mean) * (mean * mean))) /
+                 ((e2 - mean * mean) * (e2 - mean * mean)) - 3.0 AS kurtosis_excess
+        FROM m ORDER BY l_returnflag""")),
+
     // Pairwise correlation matrix over the fact table's numeric columns —
     // ONE scan, one agg row carrying all 6 pairs (each corr is a partial-
     // merge aggregate), unpivoted to (col_a, col_b, r) rows via stack.

@@ -260,5 +260,46 @@ object EventTime {
                  (PARTITION BY user_id ORDER BY date_trunc('milliseconds', ts), event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
                  AS med5
-        FROM events ORDER BY event_id""")))
+        FROM events ORDER BY event_id""")),
+
+    // Time-weighted average (TWAP): per user, each value is held until the
+    // next event, weighted by its holding duration in integer epoch
+    // milliseconds. Weights and value products stay in exact integer /
+    // decimal arithmetic (order-independent partial sums); the single
+    // emitted double is ONE division of identical operands. The last
+    // event per user has no successor and carries zero weight — the
+    // standard left-closed TWAP convention.
+    "q_window_twap" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH e AS (
+            SELECT user_id, value,
+                   unix_millis(CAST(ts AS TIMESTAMP)) AS ms,
+                   lead(unix_millis(CAST(ts AS TIMESTAMP))) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+            FROM events)
+          SELECT user_id,
+                 CAST(SUM(next_ms - ms) AS BIGINT) AS held_ms,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * (next_ms - ms))
+                        AS DECIMAL(38,2)) AS DOUBLE) /
+                   CAST(SUM(next_ms - ms) AS DOUBLE) AS twap
+          FROM e WHERE next_ms IS NOT NULL
+          GROUP BY user_id ORDER BY user_id""")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, value,
+                 epoch_ms(date_trunc('milliseconds', ts)) AS ms,
+                 lead(epoch_ms(date_trunc('milliseconds', ts))) OVER
+                   (PARTITION BY user_id ORDER BY date_trunc('milliseconds', ts), event_id)
+                   AS next_ms
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(next_ms - ms) AS BIGINT) AS held_ms,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * (next_ms - ms))
+                      AS DECIMAL(38,2)) AS DOUBLE) /
+                 CAST(SUM(next_ms - ms) AS DOUBLE) AS twap
+        FROM e WHERE next_ms IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")))
 }

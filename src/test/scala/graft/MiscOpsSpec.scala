@@ -138,6 +138,42 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out == brute.map { case (k, v) => k -> v.toLong })
   }
 
+  test("power-sum moments agree with Spark's skewness/kurtosis builtins") {
+    val ours = SparkEntry.queries("q_agg_moments")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("skewness(l_quantity)").as("s"), expr("kurtosis(l_quantity)").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (flag, (sk, ku)) =>
+      val (rs, rk) = ref(flag)
+      assert(math.abs(sk - rs) < 1e-6, s"$flag skew $sk vs $rs")
+      assert(math.abs(ku - rk) < 1e-6, s"$flag kurt $ku vs $rk")
+    }
+  }
+
+  test("twap: brute-force per-user time-weighted mean agrees") {
+    val out = SparkEntry.queries("q_window_twap")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val events = Tables(spark, TestSpark.sf, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    events.foreach { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2.toString, e._3))
+      val ms = ordered.map(e =>
+        e._2.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      if (ordered.length >= 2) {
+        val held = (1 until ordered.length).map(i => ms(i) - ms(i - 1)).sum
+        val wsum = (1 until ordered.length)
+          .map(i => BigDecimal(ordered(i - 1)._4).setScale(2) * BigDecimal(ms(i) - ms(i - 1))).sum
+        val (gotHeld, gotTwap) = out(uid)
+        assert(gotHeld == held, s"user $uid held")
+        assert(math.abs(gotTwap - (wsum / BigDecimal(held)).toDouble) < 1e-9, s"user $uid twap")
+      }
+    }
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")
