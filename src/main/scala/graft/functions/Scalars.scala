@@ -436,5 +436,62 @@ object Scalars {
         FROM (SELECT doc_id,
                      substr(text, 1, 1) || chr(769) || substr(text, 2, 8) AS raw
               FROM documents)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ANSI-mode safe arithmetic (the try_* family): malformed casts,
+    // division by zero, bigint overflow, and out-of-bounds array access
+    // all degrade to NULL instead of failing the job — the semantics a
+    // 100-TB pipeline needs when one bad row must not kill a stage. The
+    // oracle spells out the EXPECTED null/value pattern directly, so the
+    // row content is the contract.
+    "q_try_funcs" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT p_partkey,
+                 try_cast(p_name AS INT) AS bad_int,
+                 try_cast(CAST(p_size AS STRING) AS INT) AS good_int,
+                 try_divide(p_retailprice, 0.0) AS div0,
+                 try_divide(p_retailprice, 4.0) AS div4,
+                 try_add(9223372036854775807L, p_partkey) AS add_ovf,
+                 try_element_at(array(1, 2, 3), 2) AS elem2,
+                 try_element_at(array(1, 2, 3), 5) AS elem_oob
+          FROM part ORDER BY p_partkey""")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               CAST(NULL AS INT) AS bad_int,
+               p_size AS good_int,
+               CAST(NULL AS DOUBLE) AS div0,
+               p_retailprice / 4.0 AS div4,
+               CASE WHEN p_partkey = 0 THEN 9223372036854775807 END AS add_ovf,
+               2 AS elem2,
+               CAST(NULL AS INT) AS elem_oob
+        FROM part ORDER BY p_partkey""")),
+
+    // Spark 4 string collations: case-insensitive grouping via
+    // UNICODE_CI, demonstrated on a synthetically case-noised type
+    // column. For this ASCII domain the CI equivalence classes coincide
+    // with lower(), which is how the oracle states the expected result;
+    // the point is the engine-level collation surface (comparisons and
+    // GROUP BY keys honoring the collation, no manual normalization in
+    // the grouping).
+    "q_collation_ci" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH t AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                                 ELSE p_type END AS tm
+                     FROM part)
+          SELECT lower(k) AS t_ci, n FROM (
+            SELECT collate(tm, 'UNICODE_CI') AS k, COUNT(*) AS n
+            FROM t GROUP BY collate(tm, 'UNICODE_CI'))
+          ORDER BY t_ci""")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                               ELSE p_type END AS tm
+                   FROM part)
+        SELECT lower(tm) AS t_ci, COUNT(*) AS n
+        FROM t GROUP BY lower(tm) ORDER BY t_ci""")))
 }

@@ -301,5 +301,56 @@ object EventTime {
                       AS DECIMAL(38,2)) AS DOUBLE) /
                  CAST(SUM(next_ms - ms) AS DOUBLE) AS twap
         FROM e WHERE next_ms IS NOT NULL
-        GROUP BY user_id ORDER BY user_id""")))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Rolling z-score anomaly flag: each event scored against the mean/std
+    // of its user's trailing 20 events (the streaming-style counterpart to
+    // the global q_outlier_zscore). Frame sums stay exact in decimal, so
+    // mean and variance are identical double op-trees on both engines and
+    // the raw z is bit-exact; population variance (N divisor) by
+    // construction. Frame-bounded state, one shuffle keyed by user.
+    "q_window_zscore" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH f AS (
+            SELECT event_id, user_id, value,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) *
+                                 CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,4)))
+                        OVER w AS DOUBLE) AS svv,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT event_id, user_id, value,
+                 CASE WHEN n >= 5.0 AND svv / n - (sv / n) * (sv / n) > 0.0
+                      THEN (value - sv / n) /
+                           sqrt(svv / n - (sv / n) * (sv / n)) END AS z,
+                 CASE WHEN n >= 5.0 AND svv / n - (sv / n) * (sv / n) > 0.0
+                      THEN abs((value - sv / n) /
+                           sqrt(svv / n - (sv / n) * (sv / n))) > 2.5 END AS anomaly
+          FROM f ORDER BY event_id""")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id,
+                          date_trunc('milliseconds', ts) AS ts, value FROM events),
+        f AS (
+          SELECT event_id, user_id, value,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sv,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) *
+                               CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,4)))
+                      OVER w AS DOUBLE) AS svv,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, value,
+               CASE WHEN n >= 5.0 AND svv / n - (sv / n) * (sv / n) > 0.0
+                    THEN (value - sv / n) /
+                         sqrt(svv / n - (sv / n) * (sv / n)) END AS z,
+               CASE WHEN n >= 5.0 AND svv / n - (sv / n) * (sv / n) > 0.0
+                    THEN abs((value - sv / n) /
+                         sqrt(svv / n - (sv / n) * (sv / n))) > 2.5 END AS anomaly
+        FROM f ORDER BY event_id""")))
 }
