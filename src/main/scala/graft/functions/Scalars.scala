@@ -493,5 +493,33 @@ object Scalars {
                                ELSE p_type END AS tm
                    FROM part)
         SELECT lower(tm) AS t_ci, COUNT(*) AS n
-        FROM t GROUP BY lower(tm) ORDER BY t_ci""")))
+        FROM t GROUP BY lower(tm) ORDER BY t_ci""")),
+
+    // Dynamic data masking (the column-level redaction a governed release
+    // applies on read): Spark's mask() replaces character classes
+    // (upper→X, lower→x, digit→n by default, custom replacements
+    // supported), preserving length and structure. The oracle reproduces
+    // the class mapping with global regex replaces.
+    "q_mask" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT p_partkey,
+                 mask(p_name) AS m_name,
+                 mask(p_brand) AS m_brand,
+                 mask(p_brand, 'X', 'x', '9') AS m_custom
+          FROM part ORDER BY p_partkey""")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                 p_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                 AS m_name,
+               regexp_replace(regexp_replace(regexp_replace(
+                 p_brand, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                 AS m_brand,
+               regexp_replace(regexp_replace(regexp_replace(
+                 p_brand, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
+                 AS m_custom
+        FROM part ORDER BY p_partkey""")))
 }

@@ -366,7 +366,20 @@ object SetSort {
         Tables.registerViews(s, d)
         s.sql(notInSql)
       },
-      oracle = Some(notInSql)))
+      oracle = Some(notInSql)),
+
+    // Snapshot reconciliation (table diff): the added/removed/changed
+    // report between two versions of a table — the operational primitive
+    // behind CDC validation, backfill audits, and migration sign-off. ONE
+    // full outer join keyed on the primary key; at 100 TB both sides
+    // shuffle once on that key and the diff predicate is evaluated
+    // stream-side, never materializing the unchanged majority.
+    "q_table_diff" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql(tableDiffSql)
+      },
+      oracle = Some(tableDiffSql)))
 
   private lazy val notInSql: String = """
     SELECT 'not_exists' AS variant, COUNT(*) AS n
@@ -380,6 +393,31 @@ object SetSort {
     WHERE o_custkey NOT IN (
       SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END FROM customer)
     ORDER BY variant"""
+
+  /** Shared Spark/DuckDB SQL for q_table_diff: two deterministic synthetic
+    * snapshots of orders (v1 drops keys ≡0 mod 97, v2 drops keys ≡1 mod 89
+    * and reprices keys ≡0 mod 11), reconciled by a single full outer join
+    * into added / removed / changed rows. Identical text on both engines.
+    */
+  private lazy val tableDiffSql: String = """
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST(1.50 AS DECIMAL(12,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      FROM orders WHERE o_orderkey % 89 <> 1)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS op,
+           CAST(v1.price AS DOUBLE) AS old_price,
+           CAST(v2.price AS DOUBLE) AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR v1.price <> v2.price
+    ORDER BY o_orderkey"""
 
   private lazy val subquerySql: String = """
     SELECT l_orderkey, l_linenumber, l_extendedprice
