@@ -521,5 +521,35 @@ object Scalars {
                regexp_replace(regexp_replace(regexp_replace(
                  p_brand, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
                  AS m_custom
+        FROM part ORDER BY p_partkey""")),
+
+    // XPath extraction (xpath_int / xpath_string / xpath over an XML
+    // payload column — the XML sibling of the JSON/VARIANT path family).
+    // The document is synthesized from corpus columns, so the oracle can
+    // state the expected extractions directly from the source columns;
+    // round-tripping through the XML string is what's under test.
+    "q_xpath" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH x AS (
+            SELECT p_partkey,
+                   '<part><size>' || p_size || '</size><brand>' || p_brand ||
+                   '</brand><tok>' || replace(p_name, ' ', '</tok><tok>') ||
+                   '</tok></part>' AS xml
+            FROM part)
+          SELECT p_partkey,
+                 xpath_int(xml, '/part/size') AS size_back,
+                 xpath_string(xml, '/part/brand') AS brand_back,
+                 CAST(size(xpath(xml, '/part/tok/text()')) AS BIGINT) AS n_toks,
+                 xpath_string(xml, '/part/tok[1]') AS first_tok
+          FROM x ORDER BY p_partkey""")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               p_size AS size_back,
+               p_brand AS brand_back,
+               len(string_split(p_name, ' ')) AS n_toks,
+               string_split(p_name, ' ')[1] AS first_tok
         FROM part ORDER BY p_partkey""")))
 }

@@ -471,5 +471,34 @@ object Relational {
         WHERE NOT EXISTS (SELECT 1 FROM sg
                           WHERE sg.user_id = p.user_id AND sg.signup_ts <= p.ts
                             AND sg.signup_ts >= p.ts - INTERVAL 7 DAY)
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // Blocked fuzzy join (entity resolution): match deterministically
+    // noised supplier names (3rd char deleted from odd-key names) back to
+    // the clean registry at edit distance <= 1. The equality BLOCK on
+    // (first char, name length bucket) turns the quadratic all-pairs
+    // levenshtein into a keyed hash join whose per-bucket work is bounded
+    // — the same blocked-candidate shape as the MinHash dedup family, at
+    // record-linkage granularity. levenshtein semantics agree exactly
+    // across engines.
+    "q_join_fuzzy" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql(fuzzyJoinSql)
+      },
+      oracle = Some(fuzzyJoinSql)))
+
+  /** Shared Spark/DuckDB SQL for q_join_fuzzy (identical text). */
+  private lazy val fuzzyJoinSql: String = """
+    WITH noisy AS (
+      SELECT s_suppkey AS n_key,
+             substr(s_name, 1, 2) || substr(s_name, 4) AS n_name
+      FROM supplier WHERE s_suppkey % 2 = 1),
+    clean AS (SELECT s_suppkey, s_name FROM supplier)
+    SELECT n.n_key, n.n_name, c.s_suppkey, c.s_name
+    FROM noisy n JOIN clean c
+      ON substr(n.n_name, 1, 1) = substr(c.s_name, 1, 1)
+     AND length(c.s_name) - length(n.n_name) = 1
+     AND levenshtein(n.n_name, c.s_name) <= 1
+    ORDER BY n.n_key, c.s_suppkey"""
 }
