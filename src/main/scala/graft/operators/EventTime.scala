@@ -352,5 +352,44 @@ object EventTime {
                CASE WHEN n >= 5.0 AND svv / n - (sv / n) * (sv / n) > 0.0
                     THEN abs((value - sv / n) /
                          sqrt(svv / n - (sv / n) * (sv / n))) > 2.5 END AS anomaly
-        FROM f ORDER BY event_id""")))
+        FROM f ORDER BY event_id""")),
+
+    // User-journey transition matrix (first-order Markov estimate over the
+    // event stream): P(next | current) per event-type pair, from one lead
+    // window per user + one bounded hash agg (|types|² keys). The
+    // transition probability is ONE division of exact integer counts, so
+    // the raw double is bit-exact cross-engine.
+    "q_event_transitions" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events),
+          cnt AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+                  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+          tot AS (SELECT cur, SUM(n) AS row_n FROM cnt GROUP BY cur)
+          SELECT c.cur, c.nxt, c.n,
+                 CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+          FROM cnt c JOIN tot t ON c.cur = t.cur
+          ORDER BY c.cur, c.nxt""")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          date_trunc('milliseconds', ts) AS ts, event_type
+                   FROM events),
+        seq AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM e),
+        cnt AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+                WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        tot AS (SELECT cur, SUM(n) AS row_n FROM cnt GROUP BY cur)
+        SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+               CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+        FROM cnt c JOIN tot t ON c.cur = t.cur
+        ORDER BY c.cur, c.nxt""")))
 }

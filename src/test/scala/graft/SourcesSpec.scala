@@ -105,6 +105,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(m("qty").asInstanceOf[Double] > 0.0)
   }
 
+  test("_metadata file columns surface path/size and stay consistent with partitioning") {
+    val dir = Files.createTempDirectory("graft_meta").toString
+    Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val m = spark.read.parquet(dir)
+      .select(col("doc_id"), col("lang"),
+        col("_metadata.file_path").as("fp"), col("_metadata.file_size").as("fs"))
+    val rows = m.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) > 0L))
+    // every row's file path lives under its own partition directory
+    assert(rows.forall(r => r.getString(2).contains(s"lang=${r.getString(1)}")))
+  }
+
   test("json round trip preserves rows") {
     val nation = Tables(spark, TestSpark.sf, "nation")
     val dir = Files.createTempDirectory("graft_json").toString
