@@ -119,6 +119,37 @@ object Analytics {
                COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         FROM lineitem GROUP BY bin ORDER BY bin""")),
 
+    // 2-D histogram (the heatmap/density-grid primitive behind joint
+    // distributions and correlation eyeballing): fixed-width integer
+    // binning over two columns at once. The bin key space is bounded
+    // (≤ 50 cells here), so the hash agg is one exchange of partials and
+    // row share is ONE integer-count division — bit-exact cross-engine.
+    "q_histogram_2d" -> Q(
+      fn = (s, d) => {
+        val grid = Tables(s, d, "lineitem")
+          .select(
+            least(floor(col("l_quantity") / 10).cast(LongType), lit(4L)).as("qbin"),
+            least(floor(col("l_extendedprice") / 10000).cast(LongType), lit(9L)).as("pbin"))
+          .groupBy("qbin", "pbin")
+          .agg(count(lit(1)).as("n"))
+        // Total via a 1-row broadcast agg, not an unpartitioned window
+        // (the q_mixture_resample pattern — no single-partition WindowExec,
+        // no log-noise warning, and the grid agg is 50 rows).
+        grid.crossJoin(broadcast(grid.agg(sum(col("n")).as("tot"))))
+          .select(col("qbin"), col("pbin"), col("n"),
+            (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("share"))
+          .orderBy("qbin", "pbin")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT least(CAST(floor(l_quantity / 10) AS BIGINT), 4) AS qbin,
+                 least(CAST(floor(l_extendedprice / 10000) AS BIGINT), 9) AS pbin,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY qbin, pbin)
+        SELECT qbin, pbin, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        FROM g ORDER BY qbin, pbin""")),
+
     // Equi-depth histogram, sketch-based — the 100 TB formulation. The
     // naive plan (ntile over a total order) is a single-task global sort;
     // here the decile boundaries come from ONE approx_percentile pass
