@@ -39,9 +39,21 @@ object Bench {
     // Median-of-3 per query: single-shot local timings vary ±20% with system
     // noise; the median rejects one-off outliers in either direction where
     // best-of-N hides genuine regressions behind one lucky run.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Failure-loud (round-5 verdict ask #3): a query that throws must not
+    // silently benchmark as a fast success and deflate the total. Failed
+    // keys are excluded from the total and surfaced in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            failed += name
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // Query isolation: a query that leaves cached/checkpointed blocks
       // behind (iterative loops) must not bleed memory pressure into the
@@ -52,7 +64,7 @@ object Bench {
       // plan across runs, so a truncated lineage is never re-executed.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      sec
+      if (ok) sec else Double.NaN
     }
     // Optional comma-separated filter for local single-query profiling;
     // the driver never sets it, so round benches always cover everything.
@@ -61,30 +73,41 @@ object Bench {
     val runs = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // In-battery drift control (round-5 verdict ask #5): a full GC at
+      // each query boundary stops the previous queries' garbage from being
+      // collected INSIDE the next measurement — the r5 signature where
+      // q_join_inner measured 0.445 s in-battery vs 0.267 s isolated.
+      // Outside the timed region; methodology in BENCH_NOTES.md.
+      System.gc()
       // One untimed warmup per query: the first execution of a plan absorbs
       // JIT + codegen compilation (measured up to 3.6x skew on run 1),
       // which is startup cost, not operator cost.
-      timeOnce(fn)
-      name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+      timeOnce(name, fn)
+      name -> Seq(timeOnce(name, fn), timeOnce(name, fn), timeOnce(name, fn))
     }
-    val results = runs.map { case (name, ts) => name -> ts.sorted.apply(1) }
+    val results = runs
+      .map { case (name, ts) => name -> ts.sorted.apply(1) }
+      .filter { case (name, _) => !failed.contains(name) }
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Full per-query detail goes to a file, not stdout (tail budget).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
       results.map { case (k, v) => s"\"$k\":${r3(v)}" }
         .mkString("{", ",", "}") + "\n")
-    // All three raw runs per query, for drift-vs-noise analysis.
+    // All three raw runs per query, for drift-vs-noise analysis. A failed
+    // run serializes as null (NaN is not JSON).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_RUNS.json"),
-      runs.map { case (k, ts) => s"\"$k\":[${ts.map(r3).mkString(",")}]" }
-        .mkString("{", ",", "}") + "\n")
+      runs.map { case (k, ts) =>
+        s"\"$k\":[${ts.map(t => if (t.isNaN) "null" else r3(t)).mkString(",")}]"
+      }.mkString("{", ",", "}") + "\n")
     spark.stop()
   }
 }

@@ -413,7 +413,13 @@ object Curation {
           lit("&utm_source=feed&utm_campaign=c"), col("doc_id").cast(StringType),
           lit("#sec"), col("doc_id").cast(StringType))
         val noFrag = regexp_replace(raw, "#.*$", "")
-        val noUtm = regexp_replace(noFrag, "(&|\\?)utm_[^&#]*", "")
+        // Stripping a leading `?utm_x=...` takes its '?' with it and would
+        // leave the next param dangling as `&id=...`; the second replace
+        // re-promotes the first '&' to '?' when no '?' survived (ADVICE r5
+        // — latent only, the synthetic URLs never put utm first).
+        val noUtm = regexp_replace(
+          regexp_replace(noFrag, "(&|\\?)utm_[^&#]*", ""),
+          "^([^?]*)&", "$1?")
         val host = regexp_extract(noUtm, "^https://([^/]*)", 1)
         val rest = regexp_extract(noUtm, "^https://[^/]*(.*)$", 1)
         val canon = concat(lit("https://"), lower(host), rest)
@@ -435,12 +441,16 @@ object Curation {
           SELECT doc_id, url_raw,
                  'https://' ||
                  lower(regexp_extract(
-                   regexp_replace(regexp_replace(url_raw, '#.*$', ''),
-                                  '(&|[?])utm_[^&#]*', '', 'g'),
+                   regexp_replace(
+                     regexp_replace(regexp_replace(url_raw, '#.*$', ''),
+                                    '(&|[?])utm_[^&#]*', '', 'g'),
+                     '^([^?]*)&', '\1?'),
                    '^https://([^/]*)', 1)) ||
                  regexp_extract(
-                   regexp_replace(regexp_replace(url_raw, '#.*$', ''),
-                                  '(&|[?])utm_[^&#]*', '', 'g'),
+                   regexp_replace(
+                     regexp_replace(regexp_replace(url_raw, '#.*$', ''),
+                                    '(&|[?])utm_[^&#]*', '', 'g'),
+                     '^([^?]*)&', '\1?'),
                    '^https://[^/]*(.*)$', 1) AS url_canon
           FROM u)
         SELECT doc_id, url_raw, url_canon,

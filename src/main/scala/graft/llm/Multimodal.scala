@@ -49,7 +49,13 @@ object Multimodal {
           if (m.payload.length == 0) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-            catch { case _: java.io.IOException => null }
+            catch {
+              // JDK image readers throw RuntimeExceptions (not just
+              // IOException) on corrupt headers — ArrayIndexOutOfBounds,
+              // NegativeArraySize, IllegalArgument. Any of them is per-row
+              // data on a 100 TB media corpus, not a task failure.
+              case scala.util.control.NonFatal(_) => null
+            }
         if (img == null)
           MediaFeature(m.id, m.payload.length, check, meanByte,
             decoded = false, width = -1, height = -1, mean_luma = 0.0)
@@ -93,7 +99,13 @@ object Multimodal {
           if (m.payload.length == 0) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-            catch { case _: java.io.IOException => null }
+            catch {
+              // JDK image readers throw RuntimeExceptions (not just
+              // IOException) on corrupt headers — ArrayIndexOutOfBounds,
+              // NegativeArraySize, IllegalArgument. Any of them is per-row
+              // data on a 100 TB media corpus, not a task failure.
+              case scala.util.control.NonFatal(_) => null
+            }
         if (img == null)
           ResizedRow(m.id, m.payload, "undecodable", m.width, m.height)
         else {

@@ -285,9 +285,13 @@ object Similarity {
         Tables(s, d, "embeddings")
           .select(col("vec_id"), v.as("v"), scale.as("scale"))
           .select(col("vec_id"), col("scale"),
-            when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
-              .otherwise(transform(col("v"),
-                x => round(x / col("scale")).cast(LongType))).as("codes"),
+            // Serialized codes (not raw array<bigint>): the correctness
+            // harness cannot sort/hash list cells — q_agg_collect convention.
+            concat_ws(",",
+              when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+                .otherwise(transform(col("v"),
+                  x => round(x / col("scale")).cast(LongType)))
+                .cast("array<string>")).as("codes"),
             r4(when(col("scale") === 0.0, lit(0.0)).otherwise(
               aggregate(transform(col("v"), x => {
                 val e = x - round(x / col("scale")) * col("scale")
@@ -301,8 +305,10 @@ object Similarity {
                  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
           FROM embeddings)
         SELECT vec_id, scale,
-               CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                    ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS codes,
+               array_to_string(
+                 CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END,
+                 ',') AS codes,
                CAST(ROUND(CASE WHEN scale = 0.0 THEN 0.0 ELSE
                  list_reduce(list_transform(v,
                    x -> (x - round(x / scale) * scale) * (x - round(x / scale) * scale)),

@@ -442,13 +442,17 @@ object TextAnalysis {
           .select(col("doc_id"), explode(toks).as("token")).distinct()
           .groupBy("token")
           .agg(count(lit(1)).as("df"),
-            array_sort(collect_list(col("doc_id"))).as("postings"))
+            // Serialized, not raw array<bigint>: the correctness harness
+            // sorts output columns and cannot hash list cells (the
+            // q_agg_collect convention for every list-shaped result).
+            concat_ws(",", array_sort(collect_list(col("doc_id")))).as("postings"))
           .orderBy(col("df").desc, col("token").asc)
           .limit(50),
       oracle = Some("""
         WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
                     FROM documents)
-        SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        SELECT token, COUNT(*) AS df,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         FROM dt GROUP BY token
         ORDER BY df DESC, token ASC LIMIT 50""")),
 
@@ -670,18 +674,27 @@ object TextAnalysis {
     "q_graph_triangles" -> Q(
       fn = (s, d) => {
         Tables.registerViews(s, d)
-        s.sql("""
+        // The thresholded edge relation is referenced three times (e1/e2/e3)
+        // by the triangle join; Spark inlines CTEs, so an inline `ed` would
+        // re-run the corpus-wide pairs self-join+agg once per reference.
+        // Materialize it ONCE (localCheckpoint — the q_recursive_cte /
+        // connected-components shape); the triangle joins then run over the
+        // tiny in-memory edge list, and `documents` is scanned exactly once.
+        Tables.runScopedCheckpoint("q_graph_triangles.edges", s.sql(
+          """
           WITH dt AS (SELECT DISTINCT doc_id, token FROM (
                  SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
           pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
                     FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
-                    GROUP BY 1, 2),
-          ed AS (SELECT ta AS a, tb AS b FROM pairs
-                 WHERE n * 5 >= (SELECT COUNT(*) FROM documents))
+                    GROUP BY 1, 2)
+          SELECT ta AS a, tb AS b FROM pairs
+          WHERE n * 5 >= (SELECT COUNT(*) FROM documents)"""))
+          .createOrReplaceTempView("graft_triangle_edges")
+        s.sql("""
           SELECT e1.a AS a, e1.b AS b, e2.b AS c
-          FROM ed e1
-          JOIN ed e2 ON e2.a = e1.b
-          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+          FROM graft_triangle_edges e1
+          JOIN graft_triangle_edges e2 ON e2.a = e1.b
+          JOIN graft_triangle_edges e3 ON e3.a = e1.a AND e3.b = e2.b
           ORDER BY a, b, c""")
       },
       oracle = Some("""

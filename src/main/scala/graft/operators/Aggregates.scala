@@ -175,10 +175,15 @@ object Aggregates {
     "q_agg_approx_topk" -> Q(
       fn = (s, d) => {
         graft.Tables.registerViews(s, d)
+        // The sketch budget (10) deliberately exceeds the event_type
+        // cardinality so the sketch is exact AND complete; the k=3 boundary
+        // is then cut by the deterministic (n DESC, item) sort below, not by
+        // the sketch's non-contractual tie order — a count tie at the
+        // boundary can't flip which item is emitted.
         s.sql("""
           SELECT t.item AS item, t.count AS n FROM (
-            SELECT explode(approx_top_k(event_type, 3)) AS t FROM events)
-          ORDER BY n DESC, item""")
+            SELECT explode(approx_top_k(event_type, 10)) AS t FROM events)
+          ORDER BY n DESC, item LIMIT 3""")
       },
       oracle = Some("""
         SELECT event_type AS item, COUNT(*) AS n FROM events

@@ -282,7 +282,9 @@ object SetSort {
         // sf0.1, vs ~1 s materialized). localCheckpoint is the same
         // iterative-Spark shape as the connected-components loop; the edge
         // relation is the bounded object here (hot pairs ≪ corpus).
-        s.sql("""
+        // Run-scoped: repeated bench runs unpersist the prior generation's
+        // blocks instead of piling them up (Tables.runScopedCheckpoint).
+        Tables.runScopedCheckpoint("q_recursive_cte.edges", s.sql("""
           WITH dt AS (SELECT DISTINCT doc_id, token FROM (
                  SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
           pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
@@ -292,8 +294,7 @@ object SetSort {
             SELECT explode(array(named_struct('src', ta, 'dst', tb),
                                  named_struct('src', tb, 'dst', ta))) AS e
             FROM pairs
-            WHERE n * 5 >= (SELECT COUNT(*) FROM documents))""")
-          .localCheckpoint()
+            WHERE n * 5 >= (SELECT COUNT(*) FROM documents))"""))
           .createOrReplaceTempView("graft_cooccur_edges")
         s.sql("""
           WITH RECURSIVE

@@ -106,8 +106,11 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     out.foreach { r =>
+      // codes are serialized ("3,-7,0,...") — the oracle harness cannot
+      // sort raw list cells, so the query emits the q_agg_collect string form
       val (id, scale, codes, mse) =
-        (r.getLong(0), r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))
+        (r.getLong(0), r.getDouble(1),
+          r.getString(2).split(",").map(_.toLong).toSeq, r.getDouble(3))
       val v = raw(id)
       val expScale = v.map(math.abs).max / 127.0
       assert(scale == expScale, s"vec $id scale")

@@ -19,7 +19,9 @@ class TextRetrievalSpec extends AnyFunSuite {
     out.foreach { r =>
       val token = r.getString(0)
       val df = r.getLong(1)
-      val postings = r.getSeq[Long](2)
+      // postings are serialized ("1,5,9") — the oracle harness cannot sort
+      // raw list cells, so the query emits the q_agg_collect string form
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
       assert(postings.length == df, s"$token: df $df != postings ${postings.length}")
       assert(postings == postings.sorted, s"$token postings unsorted")
       postings.foreach(d => assert(byDoc(d).contains(token), s"doc $d lacks '$token'"))

@@ -28,17 +28,27 @@ def main():
             row["ratio_100x"] = round(c[k] / a[k], 2)
             row["linear_100x"] = row["ratio_100x"] <= 120.0
         out[k] = row
-    tot_a, tot_b = sum(a.values()), sum(b.values())
+    # Totals over the INTERSECTION of keys only: if the sf1/sf10 snapshots
+    # cover a different query subset than sf0.1, summing each file
+    # independently would compare mismatched sets and silently skew the
+    # total ratio (ADVICE r5).
+    common_ab = sorted(set(a) & set(b))
+    tot_a = sum(a[k] for k in common_ab)
+    tot_b = sum(b[k] for k in common_ab)
     summary = {"queries": len(a),
+               "queries_in_totals_10x": len(common_ab),
                "total_sf0.1_sec": round(tot_a, 3),
                "total_sf1_sec": round(tot_b, 3),
                "total_ratio_10x": round(tot_b / tot_a, 2),
                "all_linear_10x": all(v["linear_10x"] for v in out.values()
                                      if v["linear_10x"] is not None)}
     if c:
-        tot_c = sum(c.values())
+        common_ac = sorted(set(a) & set(c))
+        tot_a_c = sum(a[k] for k in common_ac)
+        tot_c = sum(c[k] for k in common_ac)
+        summary["queries_in_totals_100x"] = len(common_ac)
         summary["total_sf10_sec"] = round(tot_c, 3)
-        summary["total_ratio_100x"] = round(tot_c / tot_a, 2)
+        summary["total_ratio_100x"] = round(tot_c / tot_a_c, 2)
         summary["all_linear_100x"] = all(
             v.get("linear_100x") for v in out.values() if "ratio_100x" in v)
     json.dump({"summary": summary, "per_query": out},
