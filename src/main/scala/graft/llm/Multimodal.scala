@@ -187,5 +187,93 @@ object Multimodal {
                md5(substring(text, CAST(u.idx*64+1 AS INT), 64)) AS chunk_md5
         FROM documents,
              LATERAL (SELECT unnest(range(0, greatest(CAST(ceil(length(text)/64.0) AS BIGINT), 1))) AS idx) u
-        ORDER BY doc_id, idx""")))
+        ORDER BY doc_id, idx""")),
+
+    // ORACLE-CHECKED real image decode (the end-to-end proof the featurize
+    // path's codec is correct, not just exercised): per doc_id, synthesize a
+    // W×H RGB PNG whose pixel values are pure id arithmetic, push it through
+    // the SAME javax.imageio decode the featurize operator uses, and emit
+    // the measured dimensions and integer channel sum. The DuckDB oracle
+    // never sees a byte of PNG — it recomputes the closed-form expected
+    // values from doc_id alone, so any decode defect (dimension swap, gamma
+    // shift, channel order, truncation) hash-mismatches. Rows with
+    // doc_id % 97 == 0 carry a deliberately undecodable payload and must
+    // degrade to the decoded=false row, proving the corrupt-payload contract
+    // through the oracle channel too. Integer sums throughout — exact at
+    // any scale. Map-side only (mapPartitions encode+decode, no shuffle
+    // before the output sort).
+    "q_multimodal_decode" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val w = 4 + (id % 13).toInt
+              val h = 3 + (id % 7).toInt
+              val payload: Array[Byte] =
+                if (id % 97 == 0) s"not-an-image-$id".getBytes("UTF-8")
+                else {
+                  // TYPE_INT_RGB, not TYPE_BYTE_GRAY: gray rasters pass
+                  // through a linear-gray ColorModel whose getRGB applies a
+                  // gamma transfer — RGB stores the exact v at each channel
+                  // and PNG round-trips it losslessly.
+                  val img = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  bos.toByteArray
+                }
+              val dimg =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (dimg == null) (id, false, -1, -1, 0L)
+              else {
+                var sum = 0L; var y = 0
+                while (y < dimg.getHeight) {
+                  var x = 0
+                  while (x < dimg.getWidth) {
+                    val rgb = dimg.getRGB(x, y)
+                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, true, dimg.getWidth, dimg.getHeight, sum)
+              }
+            }
+          }
+          .toDF("doc_id", "decoded", "width", "height", "channel_sum")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH probe AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 13 AS INT) AS w,
+                 CAST(3 + doc_id % 7 AS INT) AS h,
+                 (doc_id % 97 = 0) AS corrupt
+          FROM documents),
+        grid AS (SELECT x.i AS xi, y.j AS yj FROM range(16) x(i), range(9) y(j)),
+        sums AS (
+          SELECT p.doc_id, SUM((p.doc_id * 31 + 7 * g.xi + 13 * g.yj) % 256) AS s
+          FROM probe p JOIN grid g ON g.xi < p.w AND g.yj < p.h
+          GROUP BY p.doc_id)
+        SELECT p.doc_id,
+               NOT p.corrupt AS decoded,
+               CASE WHEN p.corrupt THEN -1 ELSE p.w END AS width,
+               CASE WHEN p.corrupt THEN -1 ELSE p.h END AS height,
+               CAST(CASE WHEN p.corrupt THEN 0 ELSE 3 * s.s END AS BIGINT)
+                 AS channel_sum
+        FROM probe p LEFT JOIN sums s USING (doc_id)
+        ORDER BY p.doc_id""")))
 }

@@ -709,5 +709,80 @@ object TextAnalysis {
         FROM ed e1
         JOIN ed e2 ON e2.a = e1.b
         JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
-        ORDER BY a, b, c""")))
+        ORDER BY a, b, c""")),
+
+    // Adjacent-token bigram language model (the n-gram-LM training
+    // primitive ABOVE the character level of q_bpe_merges): count ordered
+    // token successions and the conditional P(w2|w1). One explode of the
+    // per-doc adjacency (array index arithmetic, no self-join — adjacency
+    // is positional, unlike q_text_cooccur's doc-level pairs), one hash
+    // agg keyed by the pair, and the per-w1 normalizer comes from a window
+    // over the (already tiny) aggregated pair relation, never the corpus.
+    "q_text_bigrams" -> Q(
+      fn = (s, d) => {
+        val pairs = Tables(s, d, "documents")
+          .select(split(col("text"), " ").as("t"))
+          // size >= 2 guard: Spark's sequence(0, -1) would DESCEND ([0,-1])
+          // for a 1-token doc and fabricate a null-w2 pair
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p_cond",
+            r4(col("n") / sum(col("n")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("w1")))))
+          .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS a FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        adj AS (SELECT a[i] AS w1, a[i + 1] AS w2
+                FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM t)),
+        pairs AS (SELECT w1, w2, COUNT(*) AS n FROM adj GROUP BY w1, w2)
+        SELECT w1, w2, n,
+               CAST(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY w1), 4)
+                 AS DOUBLE) AS p_cond
+        FROM pairs
+        ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50""")),
+
+    // Degree distribution of the >=20% co-occurrence token graph — the
+    // structure-audit primitive alongside reachability (q_recursive_cte),
+    // centrality (q_text_rank) and triangles (q_graph_triangles). The edge
+    // relation is referenced once (both endpoints explode from the same
+    // row), so no checkpoint is needed; the corpus self-join runs exactly
+    // once and everything after it is dimension-sized.
+    "q_graph_degree" -> Q(
+      fn = (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
+          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2),
+          ed AS (SELECT ta AS a, tb AS b FROM pairs
+                 WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
+          deg AS (SELECT tok, COUNT(*) AS degree FROM (
+                    SELECT explode(array(a, b)) AS tok FROM ed)
+                  GROUP BY tok)
+          SELECT degree, COUNT(*) AS n_tokens,
+                 min(tok) AS example_token
+          FROM deg GROUP BY degree ORDER BY degree""")
+      },
+      oracle = Some("""
+        WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
+                  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+                  GROUP BY 1, 2),
+        ed AS (SELECT ta AS a, tb AS b FROM pairs
+               WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
+        deg AS (SELECT tok, COUNT(*) AS degree FROM (
+                  SELECT unnest([a, b]) AS tok FROM ed) GROUP BY tok)
+        SELECT degree, COUNT(*) AS n_tokens, min(tok) AS example_token
+        FROM deg GROUP BY degree ORDER BY degree""")))
 }

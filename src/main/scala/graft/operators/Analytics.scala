@@ -498,5 +498,104 @@ object Analytics {
           UNION ALL SELECT 'r_fk_orders', r_fk_orders FROM fk)
         SELECT rule, CAST(violations AS BIGINT) AS violations,
                violations = 0 AS pass
-        FROM rules ORDER BY rule""")))
+        FROM rules ORDER BY rule""")),
+
+    // TPC-H Q1 (pricing summary report): the canonical full-scan aggregate.
+    // One pass over the fact, six-wide aggregate state per (flag, status) —
+    // at most a handful of groups, so map-side partial aggregation absorbs
+    // essentially all input before the (tiny) shuffle. Money stays DECIMAL
+    // end to end; the scale-6 charge sum (three chained scale-2 products)
+    // exceeds dec4's exactness envelope at sf10+, so it is emitted as the
+    // exact decimal string rather than a lossy double.
+    "q_tpch_q1" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dec4(sum(dec2(col("l_quantity")))).as("sum_qty"),
+            dec4(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+            dec4(sum(revenue)).as("sum_disc_price"),
+            sum(revenue * (lit(1).cast(Dec12) + dec2(col("l_tax"))))
+              .cast(StringType).as("sum_charge"),
+            r4(avg(dec2(col("l_quantity")))).as("avg_qty"),
+            r4(avg(dec2(col("l_extendedprice")))).as("avg_price"),
+            r4(avg(dec2(col("l_discount")))).as("avg_disc"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM($revenueSql *
+                 (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS sum_charge,
+               CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_qty,
+               CAST(ROUND(AVG(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_price,
+               CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_disc,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q6 (forecasting revenue change): the selective scan-only
+    // aggregate. Every predicate (date range, discount band, quantity cap)
+    // pushes into the parquet scan — at 100 TB this query IS its row-group
+    // pruning; no join, no wide state, a single 1-row reduction.
+    "q_tpch_q6" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+                  col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+                  dec2(col("l_discount")).between(
+                    lit(0.05).cast(Dec12), lit(0.07).cast(Dec12)) &&
+                  col("l_quantity") < 24)
+          .agg(dec4(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
+            .as("revenue")),
+      oracle = Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND CAST(l_discount AS DECIMAL(12,2))
+                BETWEEN CAST(0.05 AS DECIMAL(12,2)) AND CAST(0.07 AS DECIMAL(12,2))
+          AND l_quantity < 24""")),
+
+    // TPC-H Q18 (large-volume customers): group-filter-join. The fact
+    // pre-aggregates per order FIRST (map-side partials over the bounded
+    // per-order state), the >300 filter then shrinks it to a sliver, and
+    // AQE broadcasts that sliver into the orders/customer joins — the
+    // orders table is never shuffled against the raw fact. Top-100 is a
+    // TakeOrderedAndProject.
+    "q_tpch_q18" -> Q(
+      fn = (s, d) => {
+        val big = Tables(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(dec4(sum(dec2(col("l_quantity")))).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        Tables(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), dec4(dec2(col("o_totalprice"))).as("o_totalprice"),
+            col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 100""")))
 }

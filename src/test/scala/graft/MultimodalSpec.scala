@@ -114,6 +114,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats(2L).decoded && feats(2L).n_bytes == 50)
   }
 
+  test("q_multimodal_decode: closed-form sums, corrupt rows flagged at id%97") {
+    val out = SparkEntry.queries("q_multimodal_decode")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (decoded, w, h, sum)) =>
+      if (id % 97 == 0) assert(!decoded && w == -1 && h == -1 && sum == 0L)
+      else {
+        val ew = 4 + (id % 13).toInt; val eh = 3 + (id % 7).toInt
+        assert(decoded && w == ew && h == eh, s"doc $id dims")
+        var expect = 0L
+        for (y <- 0 until eh; x <- 0 until ew)
+          expect += 3L * ((id * 31 + x * 7 + y * 13) % 256)
+        assert(sum == expect, s"doc $id channel_sum $sum vs $expect")
+      }
+    }
+  }
+
   test("sampleChunks keeps every stride-th chunk") {
     import spark.implicits._
     val df = media.toDF()

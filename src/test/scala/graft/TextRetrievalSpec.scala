@@ -252,6 +252,51 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bigrams: brute-force adjacency tally and conditional probability agree") {
+    val out = SparkEntry.queries("q_text_bigrams")(spark, TestSpark.sf).collect()
+    assert(out.length == 50)
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(split(col("text"), " ").as("t")).collect()
+      .map(_.getSeq[String](0))
+    val pairCounts = docs.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val firstCounts = pairCounts.toSeq.groupBy(_._1._1)
+      .map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    out.foreach { r =>
+      val (w1, w2, n, p) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(pairCounts((w1, w2)) == n, s"($w1,$w2): $n")
+      val expP = math.rint(n.toDouble / firstCounts(w1) * 1e4) / 1e4
+      assert(math.abs(p - expP) < 1e-9, s"($w1,$w2): p $p vs $expP")
+    }
+    // the emitted 50 are exactly the top-50 under the total (n desc, w1, w2) order
+    val top = pairCounts.toSeq.map { case ((a, b), n) => (-n, a, b) }.sorted.take(50)
+    assert(out.map(r => (-r.getLong(2), r.getString(0), r.getString(1))).toSeq == top)
+  }
+
+  test("graph degree distribution sums to token count and 2x edge count") {
+    val out = SparkEntry.queries("q_graph_degree")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val nDocs = docs.length
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      val sorted = ts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val edges = pairCounts.toSeq.collect { case ((a, b), n) if n * 5 >= nDocs => (a, b) }
+    val degs = edges.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity)
+      .map { case (_, xs) => xs.length.toLong }
+    // histogram of degrees matches
+    val hist = degs.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    assert(out.toMap == hist)
+    // sum(degree * n_tokens) = 2 |E|
+    assert(out.map { case (d, n) => d * n }.sum == 2L * edges.length)
+  }
+
   test("MAD gate flags a planted far outlier and not the bulk") {
     import spark.implicits._
     val vals = (1 to 99).map(i => ("x", i.toLong, 10.0 + (i % 5))) :+ (("x", 100L, 500.0))
