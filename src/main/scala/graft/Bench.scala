@@ -70,8 +70,19 @@ object Bench {
     // the driver never sets it, so round benches always cover everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Scale-sweep knobs (never set by the driver, so round benches keep the
+    // warmup + median-of-3 methodology): SPARK_GRAFT_RUNS=1 makes the big-SF
+    // full-battery pass affordable (a 100x corpus would otherwise execute
+    // every query 4x); SPARK_GRAFT_WARMUP=0 drops the untimed warmup;
+    // SPARK_GRAFT_SKIP excludes queries whose exact variant is
+    // test-scale-by-design (q_dedup_embed's within-label all-pairs — the
+    // documented scale path is the LSH/IVF/PQ family).
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    val warmup = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val runs = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .map { case (name, fn) =>
       // In-battery drift control (round-5 verdict ask #5): a full GC at
       // each query boundary stops the previous queries' garbage from being
@@ -82,11 +93,11 @@ object Bench {
       // One untimed warmup per query: the first execution of a plan absorbs
       // JIT + codegen compilation (measured up to 3.6x skew on run 1),
       // which is startup cost, not operator cost.
-      timeOnce(name, fn)
-      name -> Seq(timeOnce(name, fn), timeOnce(name, fn), timeOnce(name, fn))
+      if (warmup) timeOnce(name, fn)
+      name -> Seq.fill(nRuns)(timeOnce(name, fn))
     }
     val results = runs
-      .map { case (name, ts) => name -> ts.sorted.apply(1) }
+      .map { case (name, ts) => name -> ts.sorted.apply(ts.length / 2) }
       .filter { case (name, _) => !failed.contains(name) }
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
@@ -380,7 +381,46 @@ object SetSort {
         Tables.registerViews(s, d)
         s.sql(tableDiffSql)
       },
-      oracle = Some(tableDiffSql)))
+      oracle = Some(tableDiffSql)),
+
+    // 2-D skyline (Pareto frontier) per group: lineitems not dominated in
+    // (quantity, extendedprice) — the multi-criteria-optimization operator
+    // (best price AT EVERY quantity level). NOT the textbook all-pairs
+    // dominance join: aggregate max(price) per (group, qty) FIRST (hash
+    // agg with map-side partials — the only pass over the fact), then one
+    // window over the GROUP-SIZED distinct-qty relation computes the
+    // running max from strictly-higher quantities; a point survives iff
+    // its price strictly beats that. O(fact) + O(distinct keys log) — at
+    // 100 TB the window input is orders of magnitude below the fact.
+    "q_skyline_2d" -> Q(
+      fn = (s, d) => {
+        val perQty = Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(max(dec2(col("l_extendedprice"))).as("best_price"))
+        val higherQty = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perQty
+          .withColumn("rm", max(col("best_price")).over(higherQty))
+          .filter(col("rm").isNull || col("best_price") > col("rm"))
+          .select(col("l_returnflag"), col("l_quantity"),
+            dec4(col("best_price")).as("best_price"))
+          .orderBy(col("l_returnflag"), col("l_quantity").desc)
+      },
+      oracle = Some("""
+        WITH per_qty AS (
+          SELECT l_returnflag, l_quantity,
+                 MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS best_price
+          FROM lineitem GROUP BY l_returnflag, l_quantity),
+        ranked AS (
+          SELECT l_returnflag, l_quantity, best_price,
+                 MAX(best_price) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+          FROM per_qty)
+        SELECT l_returnflag, l_quantity, CAST(best_price AS DOUBLE) AS best_price
+        FROM ranked WHERE rm IS NULL OR best_price > rm
+        ORDER BY l_returnflag, l_quantity DESC""")))
 
   private lazy val notInSql: String = """
     SELECT 'not_exists' AS variant, COUNT(*) AS n

@@ -174,6 +174,30 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline: emitted points are non-dominated and every point is dominated by one") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("q_skyline_2d")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(sky.nonEmpty)
+    val pts = Tables(spark, TestSpark.sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def dominates(a: (Double, Double), b: (Double, Double)): Boolean =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    val byFlag = pts.groupBy(_._1)
+    sky.foreach { case (f, q, p) =>
+      assert(!byFlag(f).exists(x => dominates((x._2, x._3), (q, p))),
+        s"skyline point ($f,$q,$p) is dominated")
+    }
+    val skySet = sky.groupBy(_._1)
+    pts.foreach { case (f, q, p) =>
+      val onSky = skySet(f).exists { case (_, sq, sp) => sq == q && sp == p }
+      assert(onSky || skySet(f).exists { case (_, sq, sp) => dominates((sq, sp), (q, p)) },
+        s"point ($f,$q,$p) neither on skyline nor dominated")
+    }
+  }
+
   test("intersectAll and exceptAll keep multiplicity") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("x")
