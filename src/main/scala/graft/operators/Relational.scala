@@ -315,6 +315,54 @@ object Relational {
         FROM orders
         ORDER BY o_custkey, eff_from, o_orderkey""")),
 
+    // Point-in-time (temporal) lookup against the SCD2 dimension — the
+    // consumer side of q_scd2: each probe (key, ts) resolves to the ONE
+    // version whose [eff_from, eff_to) validity interval contains ts.
+    // Probes are the orders themselves shifted +1 day, so most resolve to
+    // their own version but ties and short-lived versions genuinely cross
+    // into successors. The join is an EQUI-join on the key with a residual
+    // range predicate — a plain hash join at 100 TB (per-key version
+    // chains are dimension-sized), never an unbounded interval join.
+    "q_scd2_pit" -> Q(
+      fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("eff_from").asc, col("o_orderkey").asc)
+        val versions = Tables(s, d, "orders")
+          .select(col("o_custkey").as("v_custkey"), col("o_orderkey").as("v_orderkey"),
+            col("o_orderstatus").as("v_status"), col("o_orderdate").as("eff_from"))
+          .withColumn("eff_to", lead(col("eff_from"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("v_custkey"))
+              .orderBy(col("eff_from").asc, col("v_orderkey").asc)))
+        val probes = Tables(s, d, "orders")
+          .select(col("o_orderkey").as("probe_id"), col("o_custkey"),
+            (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("pts"))
+        probes.join(versions,
+            col("o_custkey") === col("v_custkey") &&
+            col("pts") >= col("eff_from") &&
+            (col("eff_to").isNull || col("pts") < col("eff_to")))
+          .select(col("probe_id"), col("o_custkey"), col("pts"),
+            col("v_orderkey"), col("v_status"))
+          .orderBy("probe_id")
+      },
+      oracle = Some("""
+        WITH versions AS (
+          SELECT o_custkey AS v_custkey, o_orderkey AS v_orderkey,
+                 o_orderstatus AS v_status, o_orderdate AS eff_from,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS eff_to
+          FROM orders),
+        probes AS (
+          SELECT o_orderkey AS probe_id, o_custkey,
+                 o_orderdate + INTERVAL 1 DAY AS pts
+          FROM orders)
+        SELECT probe_id, o_custkey, pts, v_orderkey, v_status
+        FROM probes JOIN versions
+          ON o_custkey = v_custkey
+         AND pts >= eff_from AND (eff_to IS NULL OR pts < eff_to)
+        ORDER BY probe_id""")),
+
     // CDC changelog application — compact an ordered I/U/D change stream to
     // final state: last op per key wins, a trailing delete removes the key.
     // signup→I, purchase→U, error→D over the events stream. One keyed

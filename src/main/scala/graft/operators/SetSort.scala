@@ -210,6 +210,52 @@ object SetSort {
           ORDER BY ln(u) / w DESC, doc_id LIMIT 100)
         ORDER BY doc_id""")),
 
+    // Fixed-k per-group uniform sample (the reservoir-sampling contract,
+    // deterministic): rank rows inside each group by a cryptographic hash
+    // of the row key and keep the first k — statistically identical to
+    // reservoir sampling without replacement, but order-independent,
+    // rerun-stable and CROSS-ENGINE exact (md5-lower-64 == DuckDB
+    // md5_number_lower; both engines shift to the positive 2^53 range so
+    // signed-vs-unsigned ordering can't diverge). Deliberately NOT a
+    // row_number window: with a handful of groups, PARTITION BY lang
+    // funnels the whole corpus through |langs| reducers. The typed
+    // [[Typed.TopNAgg]] bounded aggregator keeps O(k) state and
+    // partial-aggregates MAP-SIDE, so the exchange carries only
+    // k·partitions candidates per group — the reservoir shape that
+    // survives 100 TB. (Hash ties would fall back to doc_id-string order;
+    // at 2^53 hash space they do not occur, and the oracle would flag one.)
+    "q_sample_reservoir" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        import s.implicits._
+        val h = shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+          concat(lit("resv-"), col("doc_id").cast(StringType))), 11)
+        Tables(s, d, "documents")
+          .select(col("lang"), col("doc_id"), h.as("rank_hash"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          // metric = -hash: TopNAgg keeps largest metric = smallest hash
+          .mapValues(r => Typed.Scored(r._2.toString, -r._3.toDouble))
+          .agg(new Typed.TopNAgg(20).toColumn.name("top"))
+          .flatMap { case (lang, top) =>
+            top.map(sc => (lang, sc.entity.toLong, (-sc.metric).toLong)) }
+          .toDF("lang", "doc_id", "rank_hash")
+          .orderBy("lang", "doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang, doc_id,
+                 CAST(md5_number_lower('resv-' || CAST(doc_id AS VARCHAR)) >> 11
+                      AS BIGINT) AS rank_hash
+          FROM documents),
+        ranked AS (
+          SELECT lang, doc_id, rank_hash,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY rank_hash ASC, doc_id ASC) AS rn
+          FROM t)
+        SELECT lang, doc_id, rank_hash FROM ranked WHERE rn <= 20
+        ORDER BY lang, doc_id""")),
+
     // Unpivot/melt: wide → long. Oracle spelled as UNION ALL (portable —
     // engine UNPIVOT syntaxes diverge); Spark side uses the native melt.
     "q_unpivot" -> Q(
