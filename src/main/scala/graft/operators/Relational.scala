@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 
 /** Relational core, part 1 (SURVEY.md §2.2): scans, projection, filters,
   * null semantics, and the full join family. Everything is declared through
@@ -314,6 +314,63 @@ object Relational {
                  ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
         FROM orders
         ORDER BY o_custkey, eff_from, o_orderkey""")),
+
+    // Nearest-neighbor as-of join (either direction, tie → backward) —
+    // completes the as-of family (backward / forward / tolerance / this):
+    // each purchase matches the click closest in time among the same
+    // user's clicks. Composed from the two existing single-exchange as-of
+    // passes (union + keyed window each) plus one equi-join of the two
+    // 1-row-per-probe results — never a |left|x|right| candidate blowup.
+    "q_join_asof_nearest" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events") // ts already ms-truncated NTZ
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        def clicks(tsName: String, idName: String) =
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as(idName), col("user_id"),
+              col("ts").as(tsName))
+        val bwd = AsOf.joinBackward(purchases, clicks("ts_b", "id_b"),
+            key = "user_id", leftTime = "ts", rightTime = "ts_b",
+            rightTieBreak = "id_b")
+          .select("event_id", "user_id", "ts", "ts_b", "id_b")
+        val fwd = AsOf.joinForward(purchases, clicks("ts_f", "id_f"),
+            key = "user_id", leftTime = "ts", rightTime = "ts_f",
+            rightTieBreak = "id_f")
+          .select(col("event_id").as("event_id_f"), col("ts_f"), col("id_f"))
+        def ms(c: org.apache.spark.sql.Column) = unix_millis(c.cast(TimestampType))
+        val useB = col("ts_b").isNotNull &&
+          (col("ts_f").isNull ||
+            (ms(col("ts")) - ms(col("ts_b"))) <= (ms(col("ts_f")) - ms(col("ts"))))
+        bwd.join(fwd, col("event_id") === col("event_id_f"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(useB, col("ts_b")).otherwise(col("ts_f")).as("click_ts"),
+            when(useB, col("id_b")).otherwise(col("id_f")).as("click_id"),
+            when(col("ts_b").isNull && col("ts_f").isNull, lit(null).cast(StringType))
+              .when(useB, lit("backward")).otherwise(lit("forward")).as("direction"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id,
+                     date_trunc('milliseconds', ts) AS click_ts
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id,
+                     CASE WHEN c.click_ts > p.ts THEN 'forward'
+                          ELSE 'backward' END AS direction,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY
+                       abs(epoch_ms(p.ts) - epoch_ms(c.click_ts)) ASC,
+                       CASE WHEN c.click_ts > p.ts THEN 1 ELSE 0 END ASC,
+                       CASE WHEN c.click_ts > p.ts THEN c.click_id
+                            ELSE -c.click_id END ASC) AS rn
+              FROM p JOIN c ON p.user_id = c.user_id)
+        SELECT event_id, user_id, ts, click_ts, click_id, direction
+        FROM j WHERE rn = 1
+        UNION ALL
+        SELECT p.event_id, p.user_id, p.ts, NULL, NULL, NULL FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
+        ORDER BY event_id""")),
 
     // Point-in-time (temporal) lookup against the SCD2 dimension — the
     // consumer side of q_scd2: each probe (key, ts) resolves to the ONE
