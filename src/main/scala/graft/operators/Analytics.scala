@@ -597,5 +597,92 @@ object Analytics {
         JOIN orders ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey ASC
-        LIMIT 100""")))
+        LIMIT 100""")),
+
+    // TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    // Date filter pushes into the fact scan, `part` broadcasts, one 1-row
+    // conditional aggregate — both sums exact decimal, ONE emitted
+    // division. (Corpus p_type domain is exact labels, so the predicate is
+    // equality rather than TPC-H's LIKE 'PROMO%'.)
+    "q_tpch_q14" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+                  col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+          .join(broadcast(Tables(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(r4(lit(100.0) *
+            dec4(sum(when(col("p_type") === "PROMO", revenue)
+              .otherwise(lit(0).cast(Dec12)))) /
+            dec4(sum(revenue))).as("promo_revenue_pct")),
+      oracle = Some(s"""
+        SELECT CAST(ROUND(100.0 *
+                 CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+                 CAST(SUM($revenueSql) AS DOUBLE), 4) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'""")),
+
+    // TPC-H Q16 (parts/supplier relationship): distinct suppliers able to
+    // supply qualifying parts per (brand, type, size) — lineitem stands in
+    // for partsupp as the part↔supplier relation (the corpus has no
+    // partsupp table). The complaint-supplier exclusion is a NOT IN
+    // against a deterministic key class, compiled to a null-safe anti
+    // join; `part` broadcasts into the fact, the countDistinct shuffles
+    // once on the bounded (brand, type, size) grid.
+    "q_tpch_q16" -> Q(
+      fn = (s, d) => {
+        val excluded = Tables(s, d, "supplier")
+          .filter(col("s_suppkey") % 7 === 0).select(col("s_suppkey"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 15, 23))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+            col("p_type").asc, col("p_size").asc)
+      },
+      oracle = Some("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 15, 23)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_suppkey % 7 = 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""")),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    // brand/size/quantity conjunction arms OR'd together — the classic
+    // disjunctive-pushdown shape: each arm's part predicate prunes the
+    // broadcast build side and the residual OR evaluates stream-side in
+    // one pass; no union-of-three-scans rewrite.
+    "q_tpch_q19" -> Q(
+      fn = (s, d) => {
+        val arm1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val arm2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val arm3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(dec4(sum(revenue)).as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")))
 }
