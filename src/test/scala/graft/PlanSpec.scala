@@ -209,6 +209,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter must push to scan")
   }
 
+  test("q_tpch_q1/q6 filters push to the fact scan; q6 reads no join") {
+    val p1 = planOf("q_tpch_q1")
+    assert(p1.contains("LessThanOrEqual(l_shipdate,"), "Q1 date filter must push")
+    assert(p1.contains("HashAggregate"), "Q1 must hash-aggregate")
+    val p6 = planOf("q_tpch_q6")
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate,") &&
+      p6.contains("LessThan(l_shipdate,"), "Q6 date range must push to scan")
+    assert(p6.contains("LessThan(l_quantity,24.0)"), "Q6 quantity cap must push")
+    assert(!p6.contains("Join"), "Q6 is scan-only")
+  }
+
+  test("q_tpch_q18 pre-aggregates the fact, then broadcasts the big-order sliver") {
+    val p = planOf("q_tpch_q18")
+    // the per-order aggregate must appear BELOW the joins (pre-agg first) —
+    // with AQE the filtered sliver then broadcasts into orders/customer
+    assert(p.contains("HashAggregate"), "per-order pre-agg missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q_tpch_q19 evaluates the disjunction in one pass — one lineitem scan, broadcast part") {
+    val p = planOf("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    val liScans = "Scan parquet".r.findAllIn(p).length
+    assert(liScans <= 2, s"disjunction must not rewrite to a union of scans: $liScans scans")
+  }
+
+  test("q_sample_reservoir partial-aggregates map-side (no corpus-wide window)") {
+    val p = planOf("q_sample_reservoir")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      "reservoir must not be a row_number window over the corpus")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed TopNAgg aggregate missing")
+  }
+
+  test("q_skyline_2d plans agg + window over the aggregated relation, no join") {
+    val p = planOf("q_skyline_2d")
+    assert(p.contains("HashAggregate"), "per-key max aggregate missing")
+    assert(p.contains("Window"), "running-max window missing")
+    assert(!p.contains("Join"), "skyline must not plan a dominance join")
+  }
+
+  test("q_graph_degree scans documents exactly once") {
+    val p = planOf("q_graph_degree")
+    val docScans = "Scan parquet".r.findAllIn(p).count(_ => true)
+    assert(docScans == 1, s"expected one documents scan, saw $docScans")
+  }
+
   test("cache() plans an InMemoryTableScan and unpersist restores the file scan") {
     val df = Tables(spark, TestSpark.sf, "region")
     df.cache()
