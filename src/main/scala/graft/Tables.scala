@@ -12,24 +12,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as LongType
-    * nanos; this converts to a microsecond TimestampType (floor division —
-    * same truncation Spark applies to µs-representable nanos elsewhere).
+  /** `events.ts` has shipped in two physical types across driver corpus
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into LongType
+    * nanos — and plain TIMESTAMP(MICROS). Both normalize here to a
+    * millisecond-truncated TIMESTAMP_NTZ, the contract every events oracle
+    * assumes (SURVEY §7.4 rule 4 — oracle SQL compares
+    * `date_trunc('milliseconds', ts)`), so the engine/oracle comparison is
+    * independent of which corpus generation is on disk.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // ns → millisecond-truncated TIMESTAMP_NTZ, via integer `div` (a
-      // double division would lose µs precision at ns-epoch magnitudes).
-      // NTZ matches how the other corpus timestamps load
-      // (inferTimestampNTZ), so outputs round-trip parquet without the
-      // isAdjustedToUTC flag; ms truncation matches SURVEY §7.4 rule 4 —
-      // oracle SQL compares date_trunc('milliseconds', ts).
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_millis(ts div 1000000) AS TIMESTAMP_NTZ)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // ns → ms via integer `div` (a double division would lose µs
+          // precision at ns-epoch magnitudes). NTZ matches how the other
+          // corpus timestamps load (inferTimestampNTZ), so outputs
+          // round-trip parquet without the isAdjustedToUTC flag.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "CAST(timestamp_millis(ts div 1000000) AS TIMESTAMP_NTZ)"))
+        case _ =>
+          // µs-native read (TIMESTAMP_NTZ): same ms truncation, in place.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "CAST(date_trunc('MILLISECOND', ts) AS TIMESTAMP_NTZ)"))
+      }
     else df
   }
 
