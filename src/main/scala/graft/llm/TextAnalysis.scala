@@ -751,27 +751,37 @@ object TextAnalysis {
 
     // Degree distribution of the >=20% co-occurrence token graph — the
     // structure-audit primitive alongside reachability (q_recursive_cte),
-    // centrality (q_text_rank) and triangles (q_graph_triangles). The edge
-    // relation is referenced once (both endpoints explode from the same
-    // row), so no checkpoint is needed; the corpus self-join runs exactly
-    // once and everything after it is dimension-sized.
+    // centrality (q_text_rank) and triangles (q_graph_triangles).
+    //
+    // Scale design: the oracle phrases co-occurrence as a (doc,token)
+    // self-join, but within one doc the pair set is just the 2-combinations
+    // of its distinct tokens — generated INTRA-ROW from the sorted distinct
+    // token array (map-side, no shuffle, no join; the r6 inline-CTE version
+    // re-executed the corpus self-join 6x). The only exchange left is the
+    // pair-keyed aggregation; everything after it is dimension-sized. The
+    // >=20%-of-corpus threshold needs the doc count once — a build-time
+    // zero-column count (parquet row-group metadata speed), folded in as a
+    // literal so the final plan scans `documents` exactly once (PlanSpec).
     "q_graph_degree" -> Q(
       fn = (s, d) => {
-        Tables.registerViews(s, d)
-        s.sql("""
-          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
-                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
-          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
-                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
-                    GROUP BY 1, 2),
-          ed AS (SELECT ta AS a, tb AS b FROM pairs
-                 WHERE n * 5 >= (SELECT COUNT(*) FROM documents)),
-          deg AS (SELECT tok, COUNT(*) AS degree FROM (
-                    SELECT explode(array(a, b)) AS tok FROM ed)
-                  GROUP BY tok)
-          SELECT degree, COUNT(*) AS n_tokens,
-                 min(tok) AS example_token
-          FROM deg GROUP BY degree ORDER BY degree""")
+        val docs = Tables(s, d, "documents")
+        val total = docs.count()
+        docs
+          .select(array_sort(array_distinct(split(col("text"), " "))).as("t"))
+          // (x at index i) pairs with every later element: slice is
+          // 1-based, so successors of 0-based i start at position i + 2
+          .select(explode(expr(
+            """flatten(transform(t, (x, i) ->
+              |  transform(slice(t, i + 2, size(t)), y -> struct(x AS a, y AS b))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .filter(col("n") * 5 >= lit(total))
+          .select(explode(array(col("a"), col("b"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("degree"))
+          .groupBy("degree")
+          .agg(count(lit(1)).as("n_tokens"), min(col("tok")).as("example_token"))
+          .orderBy("degree")
       },
       oracle = Some("""
         WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

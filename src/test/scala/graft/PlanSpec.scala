@@ -231,8 +231,14 @@ class PlanSpec extends AnyFunSuite {
   test("q_tpch_q19 evaluates the disjunction in one pass — one lineitem scan, broadcast part") {
     val p = planOf("q_tpch_q19")
     assert(p.contains("BroadcastHashJoin"), "part must broadcast")
-    val liScans = "Scan parquet".r.findAllIn(p).length
-    assert(liScans <= 2, s"disjunction must not rewrite to a union of scans: $liScans scans")
+    // formatted mode lists each operator twice (tree + detail header);
+    // count only the numbered detail headers — the r6 version counted the
+    // raw substring and read the correct 2-scan plan as 4
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2, s"disjunction must not rewrite to a union of scans: $scans scans")
+    // each arm's derived predicates must still reach both scans
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And("),
+      "derived quantity disjunction not pushed to the lineitem scan")
   }
 
   test("q_sample_reservoir partial-aggregates map-side (no corpus-wide window)") {
@@ -250,10 +256,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "skyline must not plan a dominance join")
   }
 
-  test("q_graph_degree scans documents exactly once") {
+  test("q_graph_degree scans documents exactly once, with no self-join") {
     val p = planOf("q_graph_degree")
-    val docScans = "Scan parquet".r.findAllIn(p).count(_ => true)
+    // count numbered detail headers only (formatted mode shows each
+    // operator in both the tree and the detail section)
+    val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
     assert(docScans == 1, s"expected one documents scan, saw $docScans")
+    // pairs are generated intra-row from the token array — a join node
+    // means the plan regressed to the corpus (doc,token) self-join
+    assert(!p.contains("Join"), "co-occurrence pairs must not plan a self-join")
   }
 
   test("cache() plans an InMemoryTableScan and unpersist restores the file scan") {
