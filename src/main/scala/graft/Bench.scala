@@ -97,7 +97,13 @@ object Bench {
       name -> Seq.fill(nRuns)(timeOnce(name, fn))
     }
     val results = runs
-      .map { case (name, ts) => name -> ts.sorted.apply(ts.length / 2) }
+      .map { case (name, ts) =>
+        // true median: average the two middle elements for even run
+        // counts (upper-middle alone biases even-run sweeps upward)
+        val s = ts.sorted
+        val mid = s.length / 2
+        name -> (if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0)
+      }
       .filter { case (name, _) => !failed.contains(name) }
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))

@@ -70,19 +70,35 @@ object Tables {
     * runs (the round-5 q_graph_triangles signature: runs degrading
     * 1.0→4.6 s). This keeps ONE live checkpoint per key: invoking it again
     * under the same key eagerly unpersists the previous run's blocks first
-    * (safe — the previous run's result has been consumed by then).
+    * (safe — the previous run's result has been consumed by then; its
+    * lineage is truncated, so it must not be re-read either way).
+    *
+    * Dataset.unpersist would be a NO-OP here: it only clears CacheManager
+    * (InMemoryRelation) entries, while localCheckpoint persists the
+    * internal RDD directly (ADVICE r6). So the persisted RDD ids are
+    * captured by diffing sparkContext.getPersistentRDDs around the
+    * checkpoint call and those RDDs are unpersisted directly. The id set
+    * is only meaningful within its own SparkContext (ids restart at 0 per
+    * context — test suites churn sessions), hence the `eq` guard; blocks
+    * of a stopped context died with it.
     */
+  private final case class Chk(
+      sc: org.apache.spark.SparkContext, rddIds: Set[Int])
   private val checkpoints =
     java.util.Collections.synchronizedMap(
-      new java.util.HashMap[String, DataFrame]())
+      new java.util.HashMap[String, Chk]())
   def runScopedCheckpoint(key: String, df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
     val prev = checkpoints.get(key)
-    // The previous frame may belong to a stopped session (test suites churn
-    // sessions) — unpersist on it throws; dropping the reference is enough
-    // there, the blocks died with the context.
-    if (prev != null) scala.util.Try(prev.unpersist())
+    if (prev != null && (prev.sc eq sc))
+      scala.util.Try {
+        val live = sc.getPersistentRDDs
+        prev.rddIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
+      }
+    val before = sc.getPersistentRDDs.keySet
     val chk = df.localCheckpoint()
-    checkpoints.put(key, chk)
+    val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+    checkpoints.put(key, Chk(sc, ids))
     chk
   }
 }

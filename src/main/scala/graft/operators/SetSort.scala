@@ -222,8 +222,10 @@ object SetSort {
     // [[Typed.TopNAgg]] bounded aggregator keeps O(k) state and
     // partial-aggregates MAP-SIDE, so the exchange carries only
     // k·partitions candidates per group — the reservoir shape that
-    // survives 100 TB. (Hash ties would fall back to doc_id-string order;
-    // at 2^53 hash space they do not occur, and the oracle would flag one.)
+    // survives 100 TB. (Hash ties fall back to TopNAgg's entity-string
+    // order, so the doc_id rides zero-padded to make that equal the
+    // oracle's numeric doc_id ASC; at 2^53 hash space ties are unreachable
+    // anyway, and the oracle would flag one.)
     "q_sample_reservoir" -> Q(
       fn = (s, d) => {
         graft.functions.VectorFunctions.register(s)
@@ -235,7 +237,7 @@ object SetSort {
           .as[(String, Long, Long)]
           .groupByKey(_._1)
           // metric = -hash: TopNAgg keeps largest metric = smallest hash
-          .mapValues(r => Typed.Scored(r._2.toString, -r._3.toDouble))
+          .mapValues(r => Typed.Scored(f"${r._2}%019d", -r._3.toDouble))
           .agg(new Typed.TopNAgg(20).toColumn.name("top"))
           .flatMap { case (lang, top) =>
             top.map(sc => (lang, sc.entity.toLong, (-sc.metric).toLong)) }

@@ -70,4 +70,26 @@ class EngineSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("runScopedCheckpoint eagerly reclaims the superseded generation's blocks") {
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    import spark.implicits._
+    def liveIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val base = liveIds
+    val g1 = Tables.runScopedCheckpoint("enginespec.chk",
+      Seq(1, 2, 3).toDF("x"))
+    assert(g1.count() == 3)
+    val afterG1 = liveIds.diff(base)
+    assert(afterG1.nonEmpty, "first checkpoint registered no persistent RDD")
+    val g2 = Tables.runScopedCheckpoint("enginespec.chk",
+      Seq(4, 5).toDF("x"))
+    assert(g2.count() == 2)
+    val afterG2 = liveIds.diff(base)
+    // generation 1's blocks are gone NOW (not when ContextCleaner gets to
+    // them — Dataset.unpersist alone would leave them: ADVICE r6)
+    assert(afterG1.intersect(afterG2).isEmpty,
+      s"superseded checkpoint blocks still persistent: ${afterG1.intersect(afterG2)}")
+    assert(afterG2.nonEmpty, "second checkpoint registered no persistent RDD")
+  }
 }
