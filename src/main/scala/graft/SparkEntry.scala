@@ -22,6 +22,7 @@ object SparkEntry {
       sources.Sources.qs,
       operators.EventTime.qs,
       operators.Analytics.qs,
+      operators.TpchMore.qs,
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,
