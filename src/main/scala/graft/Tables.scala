@@ -82,23 +82,41 @@ object Tables {
     * context — test suites churn sessions), hence the `eq` guard; blocks
     * of a stopped context died with it.
     */
+  /** localCheckpoint plus a release handle that ACTUALLY frees the
+    * checkpoint's blocks (the building block for the iterative operators'
+    * per-generation reclamation — connected components, TextRank). Calling
+    * the handle after the frame's last consumer is safe; calling it and
+    * then re-reading the frame is not (the lineage is truncated).
+    */
+  def checkpointEager(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chk = df.localCheckpoint()
+    val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+    val release = () => {
+      scala.util.Try {
+        val live = sc.getPersistentRDDs
+        ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+      }
+      ()
+    }
+    (chk, release)
+  }
+
   private final case class Chk(
-      sc: org.apache.spark.SparkContext, rddIds: Set[Int])
+      sc: org.apache.spark.SparkContext, release: () => Unit)
   private val checkpoints =
     java.util.Collections.synchronizedMap(
       new java.util.HashMap[String, Chk]())
   def runScopedCheckpoint(key: String, df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val prev = checkpoints.get(key)
-    if (prev != null && (prev.sc eq sc))
-      scala.util.Try {
-        val live = sc.getPersistentRDDs
-        prev.rddIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
-      }
-    val before = sc.getPersistentRDDs.keySet
-    val chk = df.localCheckpoint()
-    val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
-    checkpoints.put(key, Chk(sc, ids))
+    // Only release within the owning context (RDD ids restart per context;
+    // a stopped context's blocks died with it — checkpointEager's Try
+    // absorbs that case anyway, but don't touch a DIFFERENT live context).
+    if (prev != null && (prev.sc eq sc)) prev.release()
+    val (chk, release) = checkpointEager(df)
+    checkpoints.put(key, Chk(sc, release))
     chk
   }
 }

@@ -21,6 +21,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The iterative operators eagerly unpersist superseded localCheckpoint
+    // generations (safe: a truncated lineage is never re-read); each
+    // unpersist logs a scary per-RDD WARN that would flood the driver's
+    // finite log tail — same silencing as Bench.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

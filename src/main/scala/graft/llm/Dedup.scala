@@ -482,12 +482,18 @@ object Dedup {
     // lineage is the whole upstream pair-generation pipeline — without the
     // barrier every iteration's join AND every convergence check re-runs
     // LSH candidate generation (measured 5.4 s vs 2.5 s at sf0.1).
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labelsChk = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var labels = labelsChk
+    // Reclamation below goes through Tables.checkpointEager release
+    // handles: Dataset.unpersist on a localCheckpoint'd frame is a NO-OP
+    // (it only clears CacheManager entries, not the directly-persisted
+    // internal RDD — ADVICE r6), so the r6 version of this loop leaked
+    // every generation's blocks for the session lifetime.
+    val (sym, releaseSym) = graft.Tables.checkpointEager(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var (labelsChk, releasePrev) = graft.Tables.checkpointEager(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")))
+    var labels: DataFrame = labelsChk
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -497,25 +503,26 @@ object Dedup {
       // (one join with the previous generation) so the convergence check
       // below is a filter over materialized blocks, not a second join
       // re-executed against both label tables.
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed"))
-        .localCheckpoint()
+      val (next, releaseNext) = graft.Tables.checkpointEager(
+        labels.union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+          .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
       // Release the superseded generation's checkpoint blocks: without this
-      // every iteration's label table stays cached for the rest of the
+      // every iteration's label table stays persistent for the rest of the
       // session (the blocks outlive the query and bleed memory pressure
-      // into whatever runs next in the same JVM). Unpersist the
-      // checkpointed frame itself, not a projection of it.
-      labelsChk.unpersist()
+      // into whatever runs next in the same JVM).
+      releasePrev()
       labelsChk = next
+      releasePrev = releaseNext
       labels = next.select("id", "lbl")
       iter += 1
     }
     // The returned frame is itself checkpointed, so the edge list's blocks
-    // are no longer reachable from it — free them too.
-    sym.unpersist()
+    // are no longer reachable from it — free them too. (The final label
+    // generation stays live: the caller's plan reads it.)
+    releaseSym()
     labels
   }
 
@@ -552,7 +559,12 @@ object Dedup {
     // shingle pipeline per consumer (measured ~25% faster than lazy at
     // sf0.1 despite the extra action). The uncapped path reads it twice
     // within one plan and exchange reuse covers it, so it stays lazy.
-    val sh = if (dfCap.isDefined) shInput.localCheckpoint() else shInput
+    // Run-scoped: the checkpoint must outlive this builder (the returned
+    // plan reads it), so per-invocation release is impossible here — but
+    // keying it frees the PREVIOUS invocation's blocks (bench loops).
+    val sh = if (dfCap.isDefined)
+      graft.Tables.runScopedCheckpoint("ngramPairs.sh", shInput)
+    else shInput
     // The capped path reads per-doc sizes from two separate actions (the
     // guard count, then the final pair plan) — cache the tiny relation so
     // the 1M-row groupBy shuffle behind it runs once, not twice. The

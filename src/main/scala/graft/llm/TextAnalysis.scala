@@ -560,21 +560,27 @@ object TextAnalysis {
         // relation, the big side at scale, is never reshuffled across the
         // 10 iterations, and the only per-iteration exchange is the
         // |nodes|-row share aggregation.
-        val adj = und.join(und.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-          .localCheckpoint()
-        var pr = adj.select(col("src").as("token")).distinct()
-          .select(col("token"), lit(1000000L).as("pr"))
-          .localCheckpoint()
+        // Per-generation reclamation via checkpointEager handles —
+        // Dataset.unpersist is a no-op on localCheckpoint'd frames
+        // (ADVICE r6), so the r6 loop leaked all 10 generations.
+        val (adj, releaseAdj) = Tables.checkpointEager(
+          und.join(und.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+        var (pr, releasePrev) = Tables.checkpointEager(
+          adj.select(col("src").as("token")).distinct()
+            .select(col("token"), lit(1000000L).as("pr")))
         for (_ <- 1 to 10) {
-          val next = adj
+          val (next, releaseNext) = Tables.checkpointEager(adj
             .join(broadcast(pr.select(col("token").as("src"), col("pr"))), "src")
             .select(col("dst").as("token"), expr("pr div deg").as("share"))
             .groupBy("token")
-            .agg((lit(150000L) + expr("(sum(share) * 17) div 20")).as("pr"))
-            .localCheckpoint()
-          pr.unpersist(false)
+            .agg((lit(150000L) + expr("(sum(share) * 17) div 20")).as("pr")))
+          releasePrev()
           pr = next
+          releasePrev = releaseNext
         }
+        // the final generation is materialized, so the edge relation's
+        // blocks are no longer reachable from the returned plan
+        releaseAdj()
         pr.orderBy(col("pr").desc, col("token").asc).limit(50)
       },
       oracle = Some({
