@@ -304,6 +304,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "co-occurrence pairs must not plan a self-join")
   }
 
+  test("q_text_bigrams scans documents once; the normalizer window sits above the agg") {
+    val p = planOf("q_text_bigrams")
+    val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(docScans == 1, s"adjacency must explode intra-row: $docScans scans")
+    assert(!p.contains("Join"), "positional adjacency must not plan a self-join")
+    assert(p.contains("Window"), "per-w1 normalizer window missing")
+  }
+
+  test("q_scd2_pit plans an equi join with the validity range as residual — no loop join") {
+    val p = planOf("q_scd2_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "point-in-time lookup regressed to an unbounded interval join")
+    assert(p.contains("Window"), "eff_to lead window missing")
+  }
+
+  test("q_join_asof_nearest composes two window as-ofs — no loop join anywhere") {
+    val p = planOf("q_join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("Window"), "as-of window passes missing")
+  }
+
   test("cache() plans an InMemoryTableScan and unpersist restores the file scan") {
     val df = Tables(spark, TestSpark.sf, "region")
     df.cache()
