@@ -216,6 +216,178 @@ object TpchMore {
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY o_year""")),
 
+    // TPC-H Q11 (important stock identification): per-part value from one
+    // nation's suppliers, kept where value exceeds a fraction of the
+    // grand total. The grand total is a second aggregate over the SAME
+    // per-part aggregation — phrased lazily that branch RE-RUNS the fact
+    // scan + exchange (measured: no exchange/stage reuse even under AQE,
+    // the broadcast side executes as its own plan), so the part-keyed
+    // aggregate (dimension-sized by construction) is materialized ONCE
+    // and both the total and the filter read it. The threshold compares
+    // exact decimals (value·1000 > total), never a float fraction.
+    "q_tpch_q11" -> Q(
+      fn = (s, d) => {
+        val natSup = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")
+            .filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val perPart = Tables.runScopedCheckpoint("q_tpch_q11.perpart",
+          Tables(s, d, "lineitem")
+            .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(sum(revenue).as("value")))
+        val total = perPart.agg(sum(col("value")).as("grand"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value") * 1000 > col("grand"))
+          .select(col("l_partkey"), dec4(col("value")).as("value"))
+          .orderBy(col("value").desc, col("l_partkey").asc)
+      },
+      oracle = Some(s"""
+        WITH perpart AS (
+          SELECT l_partkey, SUM($revenueSql) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1'
+          GROUP BY 1)
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM perpart
+        WHERE value * 1000 > (SELECT SUM(value) FROM perpart)
+        ORDER BY value DESC, l_partkey ASC""")),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT join so
+    // zero-order customers survive with c_count = 0, then a second
+    // aggregate over the (customer-sized) counts. The non-join predicate
+    // (priority exclusion) belongs in the JOIN condition, not a WHERE —
+    // a WHERE would silently turn the outer join inner.
+    "q_tpch_q13" -> Q(
+      fn = (s, d) => {
+        val counts = Tables(s, d, "customer")
+          .join(Tables(s, d, "orders")
+              .filter(col("o_orderpriority") =!= "5-LOW"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some("""
+        WITH c_orders AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM c_orders GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    // argmax row(s). Same materialized-aggregation shape as Q11: the
+    // supplier-keyed revenue (dimension-sized) is checkpointed once, the
+    // MAX reads it as a 1-row broadcast, and decimal equality is exact so
+    // ties all surface.
+    "q_tpch_q15" -> Q(
+      fn = (s, d) => {
+        val rev = Tables.runScopedCheckpoint("q_tpch_q15.rev",
+          Tables(s, d, "lineitem")
+            .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+                    col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+            .groupBy("l_suppkey")
+            .agg(sum(revenue).as("total_rev")))
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("mx"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            dec4(col("total_rev")).as("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT l_suppkey, SUM($revenueSql) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // TPC-H Q17 (small-quantity-order revenue): rows under 20% of their
+    // part's average quantity. The correlated per-part AVG is a window
+    // over the already part-joined fact (the part-attribute filter keeps
+    // every lineitem of a surviving part, so the post-join window equals
+    // the full per-part average) — no re-scan, no re-aggregation. The
+    // 20% comparison is integerized (q·5·n < Σq, exact decimal) so no
+    // float-average boundary row can flip between engines.
+    "q_tpch_q17" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")
+              .filter(col("p_brand") === "Brand#2" && col("p_type") === "SMALL")),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("sq", sum(dec2(col("l_quantity"))).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(dec2(col("l_quantity")) * 5 * col("n") < col("sq"))
+          .agg(r4(dec4(sum(dec2(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT l_extendedprice,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                   OVER (PARTITION BY l_partkey) AS sq,
+                 COUNT(*) OVER (PARTITION BY l_partkey) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#2' AND p_type = 'SMALL')
+        SELECT CAST(ROUND(
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / 7.0, 4) AS DOUBLE) AS avg_yearly
+        FROM w WHERE q * 5 * n < sq""")),
+
+    // TPC-H Q22 (global sales opportunity): above-average-balance
+    // customers with no recent urgent orders (every corpus customer has
+    // SOME order, so the original "never ordered" predicate is narrowed
+    // to a recent-urgent window), grouped by nation. The global average
+    // comparison is integerized (bal·n > Σbal, exact decimal) and rides
+    // a broadcast 1-row aggregate; the NOT-IN side is a left anti join
+    // against the date-pruned urgent sliver.
+    "q_tpch_q22" -> Q(
+      fn = (s, d) => {
+        val pos = Tables(s, d, "customer")
+          .filter(col("c_acctbal") > 0)
+          .agg(sum(dec2(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+        val urgent = Tables(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+                  col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+          .select(col("o_custkey"))
+        Tables(s, d, "customer")
+          .crossJoin(broadcast(pos))
+          .filter(dec2(col("c_acctbal")) * col("n") > col("s"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            dec4(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      oracle = Some("""
+        WITH pos AS (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY cntrycode""")),
+
     // TPC-H Q21 (suppliers who kept orders waiting): the semi + anti join
     // stack — suppliers whose 'R' line is the ONLY 'R' line in a finished
     // multi-supplier order. Catalyst decorrelates the EXISTS into a left

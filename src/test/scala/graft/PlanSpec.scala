@@ -270,6 +270,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p8.contains("CartesianProduct") && !p8.contains("NestedLoop"))
   }
 
+  test("q_tpch_q11/q15 read the materialized aggregate — no fact re-scan for the global total") {
+    // the grand-total / max branch must consume the checkpointed
+    // dimension-sized aggregate, not re-run the fact scan (measured: no
+    // exchange/stage reuse for the lazy two-branch form, even under AQE)
+    val p11 = planOf("q_tpch_q11")
+    assert(liScans(p11) == 0, s"q11 re-scans the fact: ${liScans(p11)}")
+    val p15 = planOf("q_tpch_q15")
+    assert(liScans(p15) == 0, s"q15 re-scans the fact: ${liScans(p15)}")
+  }
+
+  test("q_tpch_q13 outer-joins so zero-order customers survive; q17 windows the correlated avg") {
+    val p13 = planOf("q_tpch_q13")
+    assert(p13.contains("LeftOuter"), "priority exclusion must stay in the join condition")
+    val p17 = planOf("q_tpch_q17")
+    assert(liScans(p17) == 1, "correlated per-part avg must not re-scan the fact")
+    assert(p17.contains("Window"), "per-part avg window missing")
+  }
+
+  test("q_tpch_q22 anti-joins the urgent sliver; balance threshold rides a 1-row broadcast") {
+    val p = planOf("q_tpch_q22")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must compile to an anti join")
+    assert(liScans(p) == 0, "q22 must not touch the fact table")
+  }
+
   test("q_tpch_q21 plans the semi + anti stack over three pruned fact scans") {
     val p = planOf("q_tpch_q21")
     assert(p.contains("LeftSemi"), "EXISTS must compile to a semi join")
