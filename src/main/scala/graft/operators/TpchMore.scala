@@ -430,5 +430,138 @@ object TpchMore {
                             AND l3.l_returnflag = 'R')
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
-        LIMIT 100""")))
+        LIMIT 100""")),
+
+    // TPC-H Q9 (product type profit): profit by supplier nation and order
+    // year over the 'red' parts. The corpus has no partsupp, so unit
+    // supply cost is proxied by p_retailprice (profit = revenue −
+    // retailprice·quantity — the VALUE is synthetic, the SHAPE is Q9's:
+    // fact⋈fact on orderkey plus three broadcast dims). All arithmetic
+    // stays scale-4 decimal (dec2·dec2 products), so the per-group sums
+    // are exact and order-independent; lineitem and orders are each
+    // scanned ONCE, with orders pruned to (orderkey, orderdate).
+    "q_tpch_q9" -> Q(
+      fn = (s, d) => {
+        val redParts = Tables(s, d, "part")
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val supNat = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(dec4(sum(
+            revenue - dec2(col("p_retailprice")) * dec2(col("l_quantity"))))
+            .as("sum_profit"))
+          .orderBy(col("n_name").asc, col("o_year").desc)
+      },
+      oracle = Some(s"""
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM($revenueSql -
+                 CAST(p_retailprice AS DECIMAL(12,2)) *
+                 CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY n_name ASC, o_year DESC""")),
+
+    // TPC-H Q12 (shipping modes and order priority): late-line priority
+    // distribution. The corpus has no l_shipmode / commit / receipt
+    // dates: l_returnflag ∈ (A, R) stands in for the two audited modes
+    // and "shipped >60 days after ordering" for the late-receipt
+    // predicate. The flag + ship-year filters push into the lineitem
+    // scan; the date-lag residual runs after the one fact⋈fact join.
+    // COUNT(CASE…) (not SUM) keeps both engines in BIGINT — DuckDB's
+    // SUM(int) returns HUGEINT, which the gate's pandas bridge mangles.
+    "q_tpch_q12" -> Q(
+      fn = (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R") &&
+                  col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+                  col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+          .join(Tables(s, d, "orders")
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(count(when(hi, 1)).as("high_line_count"),
+            count(when(!hi, 1)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('A', 'R')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // TPC-H Q20 (potential part promotion): suppliers of 'small' parts
+    // whose 1997 shipments exceed half their all-time volume for that
+    // part. The original's nested correlated pair (availqty vs half the
+    // year's shipments) re-reads the fact per (part, supplier) reference;
+    // here BOTH aggregates come out of ONE conditional pass over the
+    // part-pruned fact — sum(qty) and sum(qty · [1997]) per (part,
+    // supplier) — so the threshold is a post-agg filter, no re-scan, no
+    // decorrelation needed. The ½ comparison is integerized (2·y97 >
+    // total, exact decimal); the supplier probe is a semi join so
+    // multi-part qualifiers emit once.
+    "q_tpch_q20" -> Q(
+      fn = (s, d) => {
+        val in97 =
+          col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType)
+        val hot = Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")
+              .filter(col("p_name").startsWith("small"))
+              .select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).as("total_qty"),
+            sum(when(in97, dec2(col("l_quantity")))
+              .otherwise(lit(0).cast(Dec12))).as("y97_qty"))
+          .filter(col("y97_qty") * 2 > col("total_qty"))
+          .select("l_suppkey")
+        Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")
+              .filter(col("n_name") === "NATION_4")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), dec4(dec2(col("s_acctbal"))).as("s_acctbal"))
+          .orderBy("s_name")
+      },
+      oracle = Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+                 SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                           AND l_shipdate < TIMESTAMP '1998-01-01'
+                          THEN CAST(l_quantity AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS y97_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY 1, 2)
+        SELECT s_name,
+               CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_4'
+          AND s_suppkey IN (SELECT l_suppkey FROM ps
+                            WHERE y97_qty * 2 > total_qty)
+        ORDER BY s_name""")))
 }

@@ -302,6 +302,27 @@ class PlanSpec extends AnyFunSuite {
     assert(liScans(p) == 3, s"expected 3 lineitem scans, saw ${liScans(p)}")
   }
 
+  test("q_tpch_q9/q12 scan each fact once; q9 dims broadcast, q12 filters pushed") {
+    val p9 = planOf("q_tpch_q9")
+    assert(liScans(p9) == 1, s"q9 lineitem scans: ${liScans(p9)}")
+    assert(p9.split("\\n").count(_.contains("orders.parquet")) == 1,
+      "q9 must scan orders once")
+    assert(p9.contains("BroadcastHashJoin"), "part/supplier-nation must broadcast")
+    val p12 = planOf("q_tpch_q12")
+    assert(liScans(p12) == 1, s"q12 lineitem scans: ${liScans(p12)}")
+    assert(p12.contains("In(l_returnflag, [A,R])"),
+      "flag filter not pushed to the lineitem scan")
+  }
+
+  test("q_tpch_q20 replaces the correlated pair with one conditional agg pass") {
+    val p = planOf("q_tpch_q20")
+    assert(liScans(p) == 1,
+      s"both aggregates must come from one fact pass: ${liScans(p)} scans")
+    assert(p.contains("LeftSemi"), "supplier probe must stay a semi join")
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      "part prefix filter not pushed to the part scan")
+  }
+
   test("q_sample_reservoir partial-aggregates map-side (no corpus-wide window)") {
     val p = planOf("q_sample_reservoir")
     assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
