@@ -90,7 +90,44 @@ object Sources {
         s.read.schema(customer.schema).orc(path)
           .orderBy("c_custkey")
       },
-      oracle = Some("SELECT * FROM customer ORDER BY c_custkey")))
+      oracle = Some("SELECT * FROM customer ORDER BY c_custkey")),
+    // Bucketed co-located fact⋈fact join, measured end to end: lay BOTH
+    // sides out bucketed (+sorted) by the join key, then join them with
+    // ZERO exchange on the join — HashPartitioning(orderkey, 8) is
+    // already the join distribution on both scans (the one shuffle left
+    // in the plan is the 5-group priority aggregate; PlanSpec pins it).
+    // This is the repeated-workload answer at 100 TB: pay the layout
+    // once, then every orderkey-keyed join or aggregate reads co-located
+    // buckets instead of re-shuffling the fact. The merge hint keeps the
+    // plan on the bucket-aware sort-merge path at oracle scale, where
+    // orders would otherwise broadcast and hide the property being
+    // exercised. Table names are per-JVM (pid tag): concurrent sessions
+    // never overwrite each other mid-read, repeat invocations in one JVM
+    // reuse their own tables via Overwrite.
+    "q_join_bucketed" -> graft.Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        import graft.Q._
+        val tag = ProcessHandle.current().pid()
+        val liT = s"li_jb_$tag"; val ordT = s"ord_jb_$tag"
+        writeBucketed(s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          liT, "l_orderkey", 8)
+        writeBucketed(s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderpriority"),
+          ordT, "o_orderkey", 8)
+        s.table(liT).hint("merge")
+          .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(dec4(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+               CAST(SUM(${graft.Q.revenueSql}) AS DOUBLE) AS rev,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")))
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -323,6 +323,19 @@ class PlanSpec extends AnyFunSuite {
       "part prefix filter not pushed to the part scan")
   }
 
+  test("q_join_bucketed joins without a shuffle; only the aggregate exchanges") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf)
+    df.collect() // force AQE to finalize the executed plan
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count exchanges only in the final plan section above it.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), "bucketed join must stay sort-merge")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected only the post-join aggregate exchange, saw $exchanges:\n$p")
+    assert(p.contains("Bucketed: true"), "scan did not use the bucket layout")
+  }
+
   test("q_sample_reservoir partial-aggregates map-side (no corpus-wide window)") {
     val p = planOf("q_sample_reservoir")
     assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
