@@ -800,5 +800,63 @@ object TextAnalysis {
         deg AS (SELECT tok, COUNT(*) AS degree FROM (
                   SELECT unnest([a, b]) AS tok FROM ed) GROUP BY tok)
         SELECT degree, COUNT(*) AS n_tokens, min(tok) AS example_token
-        FROM deg GROUP BY degree ORDER BY degree""")))
+        FROM deg GROUP BY degree ORDER BY degree""")),
+
+    // Vocabulary building + out-of-vocabulary audit: the tokenizer-prep
+    // step of a training pipeline — pick the top-V tokens by corpus
+    // frequency, then report each language's OOV token rate against that
+    // vocabulary.
+    //
+    // Scale design: ONE corpus explode feeds a (lang, token) count whose
+    // output is dimension-sized (distinct-token × lang), checkpointed so
+    // the three consumers (global vocab, per-lang totals, per-lang OOV)
+    // never re-run the fact scan. The vocab derives from the checkpoint
+    // by a tiny re-aggregation (token-keyed, vocab-sized) with a
+    // TakeOrdered top-V — total order (count DESC, token ASC) so the
+    // boundary is deterministic — and probes back as a broadcast anti
+    // join. No consumer touches the corpus again (PlanSpec pins one
+    // documents scan).
+    "q_text_vocab" -> Q(
+      fn = (s, d) => {
+        val V = 50
+        val ltc = Tables.runScopedCheckpoint("q_text_vocab.ltc",
+          Tables(s, d, "documents")
+            .select(col("lang"), explode(toks).as("token"))
+            .groupBy("lang", "token")
+            .agg(count(lit(1)).as("cnt")))
+        val vocab = ltc.groupBy("token")
+          .agg(sum(col("cnt")).as("gcnt"))
+          .orderBy(col("gcnt").desc, col("token").asc)
+          .limit(V)
+          .select(col("token"))
+        val totals = ltc.groupBy("lang")
+          .agg(sum(col("cnt")).as("total_tokens"))
+        val oov = ltc
+          .join(broadcast(vocab), Seq("token"), "left_anti")
+          .groupBy("lang")
+          .agg(sum(col("cnt")).as("oov_tokens"))
+        totals.join(oov, Seq("lang"), "left")
+          .select(col("lang"), col("total_tokens"),
+            coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+            r4(coalesce(col("oov_tokens"), lit(0L)).cast("double") /
+              col("total_tokens")).as("oov_rate"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH lt AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+        ltc AS (SELECT lang, token, COUNT(*) AS cnt FROM lt GROUP BY 1, 2),
+        vocab AS (SELECT token FROM (
+                    SELECT token, SUM(cnt) AS gcnt FROM ltc GROUP BY token)
+                  ORDER BY gcnt DESC, token ASC LIMIT 50),
+        totals AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_tokens
+                   FROM ltc GROUP BY lang),
+        oov AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS oov_tokens FROM ltc
+                WHERE token NOT IN (SELECT token FROM vocab) GROUP BY lang)
+        SELECT totals.lang, total_tokens,
+               COALESCE(oov_tokens, 0) AS oov_tokens,
+               CAST(ROUND(CAST(COALESCE(oov_tokens, 0) AS DOUBLE)
+                 / total_tokens, 4) AS DOUBLE) AS oov_rate
+        FROM totals LEFT JOIN oov ON totals.lang = oov.lang
+        ORDER BY totals.lang""")))
 }

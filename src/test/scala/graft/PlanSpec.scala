@@ -362,6 +362,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "co-occurrence pairs must not plan a self-join")
   }
 
+  test("q_text_vocab consumers read the checkpointed counts — no corpus re-scan") {
+    val p = planOf("q_text_vocab")
+    // vocab / totals / oov all derive from the materialized (lang, token)
+    // count: the final plan must not touch documents at all
+    val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(docScans == 0, s"expected zero documents scans, saw $docScans")
+    assert(p.contains("LeftAnti"), "OOV probe must be an anti join")
+    assert(p.contains("BroadcastExchange"), "vocab must broadcast to the probe")
+  }
+
   test("q_text_bigrams scans documents once; the normalizer window sits above the agg") {
     val p = planOf("q_text_bigrams")
     val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
