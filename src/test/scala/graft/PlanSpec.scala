@@ -362,6 +362,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "co-occurrence pairs must not plan a self-join")
   }
 
+  test("q_graph_triangles and q_text_rank read materialized edges — no corpus re-scan") {
+    val pt = planOf("q_graph_triangles")
+    val tScans = pt.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(tScans == 0, s"triangles re-scans the corpus: $tScans scans")
+    val pr = planOf("q_text_rank")
+    val rScans = pr.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(rScans == 0, s"text_rank re-scans the corpus: $rScans scans")
+  }
+
+  test("q_dedup_bloom probes the sketch map-side; only the ground-truth check joins") {
+    val p = planOf("q_dedup_bloom")
+    // the bloom probe itself is a scalar-subquery broadcast + map-side
+    // expression; the single join in the plan is the oracle-contract
+    // ground-truth channel (text IN corpus), and it must stay a broadcast
+    // existence join — a shuffle join here means the probe regressed
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "bloom query must not shuffle-join")
+    assert(p.contains("BroadcastHashJoin ExistenceJoin"),
+      "ground-truth check must be a broadcast existence join")
+  }
+
+  test("q_text_inverted_index is one explode + one agg over one scan") {
+    val p = planOf("q_text_inverted_index")
+    val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(docScans == 1, s"expected one documents scan, saw $docScans")
+    assert(!p.contains("Join"), "inverted index must not plan a join")
+  }
+
   test("q_text_vocab consumers read the checkpointed counts — no corpus re-scan") {
     val p = planOf("q_text_vocab")
     // vocab / totals / oov all derive from the materialized (lang, token)
