@@ -73,12 +73,21 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** Stream-stream inner join with event-time bounds: each signup joins
+  /** Stream-stream join with event-time bounds: each signup joins
     * purchases of the same user within `within` AFTER the signup. Both
     * sides carry watermarks so the join state is evicted once the bound
-    * passes — state is O(in-flight interval), not O(stream). */
+    * passes — state is O(in-flight interval), not O(stream).
+    *
+    * `joinType = "left_outer"` adds the conversion-funnel "never
+    * purchased" rows: a signup with no in-window purchase is emitted
+    * null-extended — but only once the watermark has passed its join
+    * bound (the engine must KNOW no match can still arrive before it
+    * may emit the non-match; until then the row sits in state). The
+    * event-time bound on the stream side of the condition is what makes
+    * outer emission possible at all — an unbounded outer stream-stream
+    * join would have to hold every row forever. */
   def signupToPurchase(signups: DataFrame, purchases: DataFrame,
-      within: String = "1 hour"): DataFrame = {
+      within: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val sg = signups.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
     val pu = purchases.withWatermark("ts", "10 minutes")
@@ -87,7 +96,8 @@ object Streams {
     sg.join(pu,
       col("user_id") === col("p_user") &&
       col("purchase_ts") >= col("signup_ts") &&
-      col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $within"))
+      col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
   }
 

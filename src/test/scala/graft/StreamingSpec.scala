@@ -150,6 +150,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join null-extends non-converters after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sg = MemoryStream[Event]
+    val pu = MemoryStream[Event]
+    val out = Streams.signupToPurchase(sg.toDF(), pu.toDF(), "1 hour", "left_outer")
+    val q = out.writeStream.format("memory").queryName("ssjlo")
+      .outputMode("append").start()
+    try {
+      sg.addData(
+        Event(1, ts(0), 7, "signup", 0.0),  // converts (purchase at t=30)
+        Event(2, ts(0), 8, "signup", 0.0))  // never purchases
+      pu.addData(Event(10, ts(30), 7, "purchase", 5.0))
+      q.processAllAvailable()
+      // user 8's non-match may NOT emit yet: a purchase inside its
+      // 1-hour bound could still arrive. Advance both watermarks past
+      // bound + delay (t=0 + 1h + 10min) and it must null-extend.
+      val byUser0 = spark.table("ssjlo").collect()
+        .map(r => r.getLong(2) -> Option(r.get(1))).toMap
+      assert(byUser0.get(8L).forall(_.isEmpty),
+        "non-converter emitted a match, or emitted before the watermark closed its window")
+      sg.addData(Event(3, ts(200), 9, "signup", 0.0))
+      pu.addData(Event(11, ts(200), 9, "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjlo").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(rows(1L).contains(10L), "converter must keep its matched pair")
+      assert(rows.contains(2L) && rows(2L).isEmpty,
+        "non-converter must emit null-extended once the watermark passes its bound")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
