@@ -464,4 +464,28 @@ class PlanSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) != 0L && r.getLong(2) != 0L)
   }
+
+  test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
+    // The accidental unbounded join is the classic 100-TB killer. Every
+    // registered query must plan WITHOUT a shuffle CartesianProduct — no
+    // exceptions — and BroadcastNestedLoopJoin may appear only in the
+    // audited crossJoin(broadcast(tiny-or-1-row)) patterns listed here.
+    // A new key landing in `badCart`/`badBnlj` means its plan regressed
+    // (or a new query needs an explicit audit + allowlist entry).
+    val bnljAudited = Set(
+      "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
+      "q_join_cross", "q_mixture_resample", "q_resample_gapfill",
+      "q_sample", "q_similarity_ann", "q_similarity_ivf",
+      "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
+      "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22")
+    val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
+    val badCart = plans.collect {
+      case (k, p) if p.contains("CartesianProduct") => k }
+    assert(badCart.isEmpty, s"shuffle cartesian planned by: $badCart")
+    val badBnlj = plans.collect {
+      case (k, p) if p.contains("BroadcastNestedLoopJoin") &&
+        !bnljAudited(k) => k }
+    assert(badBnlj.isEmpty,
+      s"unaudited nested-loop join planned by: $badBnlj")
+  }
 }
