@@ -91,6 +91,67 @@ object Sources {
           .orderBy("c_custkey")
       },
       oracle = Some("SELECT * FROM customer ORDER BY c_custkey")),
+    // Schema evolution across parquet generations: a long-lived table's
+    // early files lack columns later files carry. mergeSchema unions the
+    // footers at planning time and null-extends old-generation rows —
+    // the read-side contract a 100-TB table accumulated over years
+    // depends on. (Per-file footer merge is a planning-time cost, so
+    // production tables pin the merged schema in a catalog; the READ
+    // semantics verified here are the same.) The oracle recomputes the
+    // null-extension closed-form from the generation split.
+    "q_source_evolution" -> graft.Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_evo_documents_").toString
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/gen1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$path/gen1", s"$path/gen2")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        FROM documents ORDER BY doc_id""")),
+    // Corrupt-record handling on a raw JSON landing zone: PERMISSIVE mode
+    // parses what it can and quarantines the rest in _corrupt_record
+    // instead of failing the job — at 100 TB of scraped input, malformed
+    // rows are a certainty and a fail-fast read is an outage. Rows with
+    // doc_id % 7 = 0 are written truncated (deterministic corruption),
+    // so the oracle states the good/quarantined split closed-form.
+    "q_source_corrupt" -> graft.Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_corrupt_json_").toString
+        s.read.parquet(s"$d/documents.parquet")
+          .select(when(col("doc_id") % 7 === 0,
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+            .as("value"))
+          .write.mode(SaveMode.Overwrite).text(path)
+        s.read
+          .schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("_corrupt_record")).as("n_quarantined"),
+            count(col("doc_id")).as("n_parsed"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_quarantined,
+               COUNT(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_parsed
+        FROM documents""")),
     // Bucketed co-located fact⋈fact join, measured end to end: lay BOTH
     // sides out bucketed (+sorted) by the join key, then join them with
     // ZERO exchange on the join — HashPartitioning(orderkey, 8) is
