@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
 
 /** Event-time windowing in batch mode (SURVEY.md §2.4). The exact same
   * `window()` / `session_window()` expressions run unchanged under
@@ -391,5 +392,45 @@ object EventTime {
         SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
                CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
         FROM cnt c JOIN tot t ON c.cur = t.cur
-        ORDER BY c.cur, c.nxt""")))
+        ORDER BY c.cur, c.nxt""")),
+
+    // Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    // days (the retention-streak primitive). The classic trick — a run of
+    // consecutive days has constant (day_number − row_number), so that
+    // difference IS the island key and run detection becomes a plain
+    // GROUP BY, no self-join, no recursive walk.
+    //
+    // Scale shape: the only fact-sized operation is the (user, day)
+    // distinct (one exchange, days-granular output); the window orders
+    // each user's own days (bounded by the calendar, not the corpus) and
+    // both aggregates are user-cardinality-sized. Day truncation
+    // sidesteps the events-ts ns/µs precision divergence entirely.
+    "q_window_islands" -> Q(
+      fn = (s, d) => {
+        val days = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast(DateType)) -
+              row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest_run"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        isl AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', day)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM days),
+        runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_islands,
+               CAST(MAX(len) AS BIGINT) AS longest_run
+        FROM runs GROUP BY user_id ORDER BY user_id""")))
 }
