@@ -23,6 +23,7 @@ object SparkEntry {
       operators.EventTime.qs,
       operators.Analytics.qs,
       operators.TpchMore.qs,
+      operators.Science.qs,
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,

