@@ -306,6 +306,51 @@ object Curation {
         GROUP BY d.source, r.n_orig, r.rate
         ORDER BY d.source""")),
 
+    // Temperature-scaled mixture weights (alpha = 0.3, the multilingual-LM
+    // sampling recipe: w_s ∝ p_s^alpha upweights tail sources) with the
+    // per-source token budget and effective epochs under a 100k-token
+    // draw — q_mixture_resample's PLANNING counterpart: that query executes
+    // a mean-capped resample row by row; this one derives the sampling
+    // schedule itself. One corpus pass for per-source token counts, then
+    // two 1-row broadcasts for the normalizers (the house global-aggregate
+    // idiom — no unpartitioned window). pow() may differ in the last ulp
+    // across engines, so every pow-derived output is r4/integer-rounded.
+    "q_mixture_temperature" -> Q(
+      fn = (s, d) => {
+        val stats = docs(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).as("n_tokens"))
+        val p = stats
+          .crossJoin(broadcast(
+            stats.agg(sum(col("n_tokens")).cast(DoubleType).as("tot"))))
+          .withColumn("p", col("n_tokens") / col("tot"))
+          .withColumn("pw", pow(col("p"), 0.3))
+        p.crossJoin(broadcast(p.agg(sum(col("pw")).as("sw"))))
+          .withColumn("w", col("pw") / col("sw"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            r4(col("p")).as("p_natural"), r4(col("w")).as("w_temp"),
+            round(col("w") * 100000).cast(LongType).as("budget_tokens"),
+            r4(col("w") * 100000 / col("n_tokens")).as("epochs"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        t AS (
+          SELECT s.*, n_tokens / tot AS p, POW(n_tokens / tot, 0.3) AS pw
+          FROM s CROSS JOIN (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM s) z),
+        w AS (
+          SELECT t.*, pw / sw AS w
+          FROM t CROSS JOIN (SELECT SUM(pw) AS sw FROM t) z2)
+        SELECT source, n_docs, n_tokens,
+               CAST(ROUND(p, 4) AS DOUBLE) AS p_natural,
+               CAST(ROUND(w, 4) AS DOUBLE) AS w_temp,
+               CAST(round(w * 100000) AS BIGINT) AS budget_tokens,
+               CAST(ROUND(w * 100000 / n_tokens, 4) AS DOUBLE) AS epochs
+        FROM w ORDER BY source""")),
+
     // ----------------------------------------------------------------
     // PII detection + redaction. The corpus itself is clean, so each doc
     // deterministically synthesizes a contact tail (same expression on

@@ -32,6 +32,90 @@ object Science {
 
   val qs: Map[String, Q] = Map(
 
+    // Last-touch marketing attribution with a 7-day lookback — the revenue
+    // companion to q_funnel: every purchase credits the most recent
+    // click/view touch within the window (greatest touch_ts, then greatest
+    // touch_id — the as-of contract), purchases with no touch in window
+    // fall to the 'direct' channel. Composed from AsOf.joinBackward, so the
+    // corpus-sized work is ONE keyed window pass (union + last() over
+    // user_id), never a per-purchase probe join; the channel rollup after
+    // it is dimension-sized.
+    "q_attribution" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("event_id").as("touch_id"), col("user_id"),
+            col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+        AsOf.joinBackward(purchases, touches,
+            key = "user_id", leftTime = "ts", rightTime = "touch_ts",
+            rightTieBreak = "touch_id", tolerance = Some("INTERVAL 7 DAYS"))
+          .withColumn("channel", coalesce(col("touch_type"), lit("direct")))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            dec4(sum(dec2(col("value")))).as("revenue"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts, value
+                   FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT event_id AS touch_id, user_id,
+                     date_trunc('milliseconds', ts) AS touch_ts,
+                     event_type AS touch_type
+              FROM events WHERE event_type IN ('click', 'view')),
+        j AS (SELECT p.event_id, p.value, t.touch_type,
+                     row_number() OVER (PARTITION BY p.event_id
+                       ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.touch_ts <= p.ts
+                AND t.touch_ts >= p.ts - INTERVAL 7 DAY),
+        lt AS (SELECT event_id, value, touch_type AS channel FROM j WHERE rn = 1
+               UNION ALL
+               SELECT p.event_id, p.value, 'direct' FROM p
+               WHERE NOT EXISTS (SELECT 1 FROM t
+                 WHERE t.user_id = p.user_id AND t.touch_ts <= p.ts
+                   AND t.touch_ts >= p.ts - INTERVAL 7 DAY))
+        SELECT channel, COUNT(*) AS n_purchases,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        FROM lt GROUP BY channel ORDER BY channel""")),
+
+    // Day-of-week seasonal baseline + residual anomalies — the
+    // seasonality-AWARE complement of q_changepoint_cusum (a Monday that
+    // looks like a Monday is fine even if it sits below the weekly mean).
+    // Weekday comes from day-count arithmetic against a known Monday, not
+    // the engines' dayofweek() (whose 0-vs-1 anchoring disagrees). The
+    // baseline mean is exact cross-engine: integer day-counts sum exactly
+    // in doubles, so the >15%-deviation cut cannot flip between engines.
+    "q_seasonal_baseline" -> Q(
+      fn = (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow",
+            pmod(datediff(col("day"), lit("1970-01-05").cast(DateType)), lit(7)))
+        daily
+          .withColumn("mu", avg(col("n")).over(
+            Window.partitionBy("event_type", "dow")))
+          .withColumn("ratio", abs(col("n") - col("mu")) / col("mu"))
+          .filter(col("ratio") > 0.15)
+          .select(col("event_type"), col("day"), col("dow"), col("n"),
+            r4(col("mu")).as("dow_mean"), r4(col("ratio")).as("deviation"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        dw AS (SELECT *, (day - DATE '1970-01-05') % 7 AS dow FROM daily),
+        b AS (SELECT *, AVG(n) OVER (PARTITION BY event_type, dow) AS mu
+              FROM dw)
+        SELECT event_type, day, dow, n,
+               CAST(ROUND(mu, 4) AS DOUBLE) AS dow_mean,
+               CAST(ROUND(ABS(n - mu) / mu, 4) AS DOUBLE) AS deviation
+        FROM b WHERE ABS(n - mu) / mu > 0.15
+        ORDER BY event_type, day""")),
+
     // CUSUM changepoint detection over the daily event-count series — the
     // classic drift monitor for a streaming ingest pipeline (Page 1954).
     // One hash agg to daily grain (the only corpus-sized exchange), then
