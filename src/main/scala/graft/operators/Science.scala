@@ -116,6 +116,81 @@ object Science {
         FROM b WHERE ABS(n - mu) / mu > 0.15
         ORDER BY event_type, day""")),
 
+    // Timestamp-gap sessionization (30-minute inactivity cut) — the BATCH
+    // counterpart of q_session_window's event-time session aggregation:
+    // instead of aggregated windows it assigns explicit, stable session
+    // ids (running count of gap-exceeded flags per user) and emits
+    // per-session shape stats, the form downstream joins need. All times
+    // ride as epoch millis so the gap predicate and duration are integer
+    // arithmetic on both engines. Two windows + one agg, all partitioned
+    // by user — one exchange total; (tms, event_id) is a verified total
+    // order within user, so session numbering is deterministic.
+    "q_sessionize" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts").cast(TimestampType)).as("tms"))
+          .withColumn("new_s",
+            when(lag(col("tms"), 1).over(w).isNull ||
+              col("tms") - lag(col("tms"), 1).over(w) > 1800000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(w))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("tms")).as("start_ms"),
+            (max(col("tms")) - min(col("tms"))).as("duration_ms"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_ms(date_trunc('milliseconds', ts)) AS tms
+          FROM events),
+        f AS (
+          SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                           OR tms - lag(tms) OVER w > 1800000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        s AS (
+          SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+            ORDER BY tms, event_id) AS BIGINT) AS session_id
+          FROM f)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(tms) AS start_ms, MAX(tms) - MIN(tms) AS duration_ms
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Lag-1 autocorrelation of the daily count series per event type —
+    // the pre-forecasting diagnostic that tells you whether yesterday
+    // predicts today (rounding out the time-series trio with CUSUM and
+    // the seasonal baseline). Daily rollup, one lag window, one corr
+    // aggregate per series; corr's internal accumulation differs between
+    // engines, so the emitted coefficient is r4.
+    "q_autocorr" -> Q(
+      fn = (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily
+          .withColumn("prev",
+            lag(col("n"), 1).over(
+              Window.partitionBy("event_type").orderBy("day")))
+          .groupBy("event_type")
+          .agg(count(col("prev")).as("n_pairs"),
+            r4(corr(col("n"), col("prev"))).as("autocorr_lag1"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          FROM daily)
+        SELECT event_type, COUNT(prev) AS n_pairs,
+               CAST(ROUND(corr(n, prev), 4) AS DOUBLE) AS autocorr_lag1
+        FROM l GROUP BY event_type ORDER BY event_type""")),
+
     // CUSUM changepoint detection over the daily event-count series — the
     // classic drift monitor for a streaming ingest pipeline (Page 1954).
     // One hash agg to daily grain (the only corpus-sized exchange), then

@@ -516,6 +516,22 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0 && firstExch >= 0)
   }
 
+  test("q_sessionize shuffles once — session agg reuses the window's user partitioning") {
+    val p = planOf("q_sessionize")
+    // windows partition by user_id; the (user_id, session_id) aggregate's
+    // clustering is satisfied by that same hash partitioning, so the only
+    // HASH exchange is the one feeding the window (the final ORDER BY's
+    // rangepartitioning exchange is the total-order output contract)
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected the single user_id exchange, got $hashShuffles")
+  }
+
+  test("q_autocorr lags over the daily rollup; partial agg sits below the exchange") {
+    val p = planOf("q_autocorr")
+    assert(p.split("\\n").count(_.contains("events.parquet")) == 1)
+    assert(p.contains("Window") && p.contains("HashAggregate"))
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
