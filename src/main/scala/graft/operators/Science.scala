@@ -191,6 +191,128 @@ object Science {
                CAST(ROUND(corr(n, prev), 4) AS DOUBLE) AS autocorr_lag1
         FROM l GROUP BY event_type ORDER BY event_type""")),
 
+    // Mann–Whitney U (Wilcoxon rank-sum) per event_type — the
+    // NONPARAMETRIC companion to q_ab_test's Welch t (rank-based, no
+    // normality assumption). Average ranks make tied values
+    // order-independent: every row in a tied (type, value) block gets the
+    // block's mean row_number, so rank sums are deterministic regardless
+    // of intra-tie ordering. Ranks and U stay exactly representable
+    // (integer halves), so only the z score needs r4. No tie-variance
+    // correction — both engines apply the identical plain formula.
+    "q_mannwhitney_u" -> Q(
+      fn = (s, d) => {
+        val a = col("user_id") % 2 === 0
+        val ranked = Tables(s, d, "events")
+          .select(col("event_type"), col("value"), col("event_id"), a.as("is_a"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")))
+          .withColumn("avgr", avg(col("rn")).over(
+            Window.partitionBy("event_type", "value")))
+        ranked.groupBy("event_type")
+          .agg(sum(when(col("is_a"), col("avgr"))).as("r_a"),
+            count(when(col("is_a"), 1)).as("n_a"),
+            count(when(!col("is_a"), 1)).as("n_b"))
+          .withColumn("u_a",
+            col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0))
+          .withColumn("z",
+            (col("u_a") - col("n_a") * col("n_b") / lit(2.0)) /
+              sqrt(col("n_a") * col("n_b") *
+                (col("n_a") + col("n_b") + 1) / lit(12.0)))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            r4(col("u_a")).as("u_a"), r4(col("z")).as("z_score"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, value, event_id,
+                 user_id % 2 = 0 AS is_a
+          FROM events),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS rn
+          FROM e),
+        ar AS (
+          SELECT *, AVG(rn) OVER (PARTITION BY event_type, value) AS avgr
+          FROM rk),
+        g AS (
+          SELECT event_type,
+                 SUM(avgr) FILTER (is_a) AS r_a,
+                 COUNT(*) FILTER (is_a) AS n_a,
+                 COUNT(*) FILTER (NOT is_a) AS n_b
+          FROM ar GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+               CAST(ROUND(r_a - n_a * (n_a + 1) / 2.0, 4) AS DOUBLE) AS u_a,
+               CAST(ROUND(((r_a - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0) /
+                 SQRT(n_a * n_b * (n_a + n_b + 1) / 12.0), 4) AS DOUBLE) AS z_score
+        FROM g ORDER BY event_type""")),
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-data detector for financial columns. The leading digit
+    // comes from integer/string arithmetic on floor(x) (a log10-based
+    // extraction can flip floor() at powers of ten where the engines'
+    // log differs by an ulp); the expected Benford mass log10(1 + 1/d)
+    // is display-only and r4-rounded. One map-side pass + one 9-row agg.
+    "q_benford" -> Q(
+      fn = (s, d) => {
+        Tables(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast(LongType)
+            .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(
+            Tables(s, d, "orders").agg(count(lit(1)).as("total"))))
+          .select(col("digit"), col("n"),
+            r4(col("n") / col("total")).as("observed"),
+            r4(log10(lit(1.0) + lit(1.0) / col("digit"))).as("benford"))
+          .orderBy("digit")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders),
+        g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+        SELECT digit, n,
+               CAST(ROUND(CAST(n AS DOUBLE) / total, 4) AS DOUBLE) AS observed,
+               CAST(ROUND(LOG10(1.0 + 1.0 / digit), 4) AS DOUBLE) AS benford
+        FROM g CROSS JOIN t ORDER BY digit""")),
+
+    // Gini coefficient of order value per priority class — the revenue
+    // concentration metric (Lorenz-curve form G = 2·Σ(i·x_i)/(n·Σx) −
+    // (n+1)/n over ascending x). Tied amounts contribute x·Σi whatever
+    // their intra-tie order, so the rank sum is order-independent; the
+    // one corpus exchange is the per-priority window sort.
+    "q_gini" -> Q(
+      fn = (s, d) => {
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy("o_orderpriority")
+              .orderBy("o_totalprice", "o_orderkey")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("i") * col("o_totalprice")).as("iw"),
+            sum(col("o_totalprice")).as("w"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            r4(lit(2.0) * col("iw") / (col("n_orders") * col("w")) -
+              (col("n_orders") + 1) / col("n_orders").cast(DoubleType))
+              .as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS i
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 SUM(i * o_totalprice) AS iw, SUM(o_totalprice) AS w
+          FROM r GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_orders,
+               CAST(ROUND(2.0 * iw / (n_orders * w) -
+                 (n_orders + 1) / CAST(n_orders AS DOUBLE), 4) AS DOUBLE) AS gini
+        FROM g ORDER BY o_orderpriority""")),
+
     // CUSUM changepoint detection over the daily event-count series — the
     // classic drift monitor for a streaming ingest pipeline (Page 1954).
     // One hash agg to daily grain (the only corpus-sized exchange), then

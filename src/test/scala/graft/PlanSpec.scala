@@ -532,6 +532,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("HashAggregate"))
   }
 
+  test("q_mannwhitney_u and q_gini rank in one corpus exchange each") {
+    for (q <- Seq("q_mannwhitney_u", "q_gini")) {
+      val p = planOf(q)
+      assert(!p.contains("Join") || q == "q_benford", s"$q must not self-join for ranks")
+      val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+      assert(hashShuffles <= 2, s"$q: rank windows must share the series exchange")
+    }
+  }
+
+  test("q_benford is map-side digit extraction + one 9-row aggregate") {
+    val p = planOf("q_benford")
+    assert(!p.contains("Window"), "digit extraction must not sort")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -540,7 +555,7 @@ class PlanSpec extends AnyFunSuite {
     // A new key landing in `badCart`/`badBnlj` means its plan regressed
     // (or a new query needs an explicit audit + allowlist entry).
     val bnljAudited = Set(
-      "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
+      "q_benford", "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
       "q_join_cross", "q_kmeans", "q_mixture_resample",
       "q_mixture_temperature", "q_resample_gapfill",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
