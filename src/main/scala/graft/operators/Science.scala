@@ -122,7 +122,9 @@ object Science {
     // ids (running count of gap-exceeded flags per user) and emits
     // per-session shape stats, the form downstream joins need. All times
     // ride as epoch millis so the gap predicate and duration are integer
-    // arithmetic on both engines. Two windows + one agg, all partitioned
+    // arithmetic on both engines (gap >= 30 min opens a session — the
+    // right-open rule session_window uses, parity-tested in MiscOpsSpec).
+    // Two windows + one agg, all partitioned
     // by user — one exchange total; (tms, event_id) is a verified total
     // order within user, so session numbering is deterministic.
     "q_sessionize" -> Q(
@@ -133,7 +135,7 @@ object Science {
             unix_millis(col("ts").cast(TimestampType)).as("tms"))
           .withColumn("new_s",
             when(lag(col("tms"), 1).over(w).isNull ||
-              col("tms") - lag(col("tms"), 1).over(w) > 1800000L, 1)
+              col("tms") - lag(col("tms"), 1).over(w) >= 1800000L, 1)
               .otherwise(0))
           .withColumn("session_id", sum(col("new_s")).over(w))
           .groupBy("user_id", "session_id")
@@ -148,7 +150,7 @@ object Science {
           FROM events),
         f AS (
           SELECT *, CASE WHEN lag(tms) OVER w IS NULL
-                           OR tms - lag(tms) OVER w > 1800000
+                           OR tms - lag(tms) OVER w >= 1800000
                          THEN 1 ELSE 0 END AS new_s
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
         s AS (
@@ -312,6 +314,93 @@ object Science {
                CAST(ROUND(2.0 * iw / (n_orders * w) -
                  (n_orders + 1) / CAST(n_orders AS DOUBLE), 4) AS DOUBLE) AS gini
         FROM g ORDER BY o_orderpriority""")),
+
+    // RFM customer segmentation — the classic retention/value scoring:
+    // recency (days since last order, against the corpus max date),
+    // frequency (order count), monetary (exact decimal total), each
+    // quintile-scored 1..5 with ntile over the per-customer aggregate.
+    // The fact table collapses to per-customer partials FIRST (one hash
+    // agg); the ntile windows then sort only the dimension-sized customer
+    // aggregate — the single-partition ntile total order is bounded by
+    // |customers|, never by order volume. Quintile ties resolve by
+    // c_custkey on both engines, so scores are deterministic.
+    "q_rfm" -> Q(
+      fn = (s, d) => {
+        val byCust = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(dec2(col("o_totalprice"))).as("monetary"))
+        val maxDate = byCust.agg(max(col("last_order")).as("corpus_max"))
+        val scored = byCust.crossJoin(broadcast(maxDate))
+          .withColumn("recency_days",
+            datediff(col("corpus_max"), col("last_order")))
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(col("recency_days").asc, col("o_custkey").asc)))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("frequency").desc, col("o_custkey").asc)))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+        scored.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            dec4(sum(col("monetary"))).as("segment_revenue"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      oracle = Some("""
+        WITH bc AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS frequency,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+          FROM orders GROUP BY o_custkey),
+        sc AS (
+          SELECT o_custkey, monetary,
+                 ntile(5) OVER (ORDER BY datediff('day', last_order,
+                   (SELECT MAX(last_order) FROM bc)) ASC, o_custkey ASC) AS r_score,
+                 ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+                 ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+          FROM bc)
+        SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+               CAST(CAST(SUM(monetary) AS DECIMAL(18,4)) AS DOUBLE) AS segment_revenue
+        FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // Signup→first-purchase conversion lag — the activation-health metric
+    // next to q_funnel (which counts conversions; this measures how LONG
+    // they take). Per user: first signup, first purchase after it, lag in
+    // ms (integer epoch arithmetic); the output is the per-lag-bucket
+    // (day-granular) conversion count — bounded by the corpus time span,
+    // not user count. Min-aggregations only, no self-join: both firsts
+    // come from one conditional pass over events.
+    "q_conversion_lag" -> Q(
+      fn = (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts").cast(TimestampType)).as("tms"))
+        e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("tms"))).as("su"))
+          .join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+          .filter(col("su").isNotNull && col("tms") >= col("su"))
+          .groupBy("user_id", "su")
+          .agg(min(col("tms")).as("fp"))
+          .select(floor((col("fp") - col("su")) / lit(86400000L)).as("lag_days"))
+          .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+          .orderBy("lag_days")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_ms(date_trunc('milliseconds', ts)) AS tms
+          FROM events),
+        su AS (
+          SELECT user_id, MIN(tms) AS su FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (
+          SELECT e.user_id, su.su, MIN(e.tms) AS fp
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.tms >= su.su
+          GROUP BY e.user_id, su.su)
+        SELECT CAST(FLOOR((fp - su) / 86400000.0) AS BIGINT) AS lag_days,
+               COUNT(*) AS n_users
+        FROM fp GROUP BY 1 ORDER BY 1""")),
 
     // CUSUM changepoint detection over the daily event-count series — the
     // classic drift monitor for a streaming ingest pipeline (Page 1954).

@@ -353,4 +353,27 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(math.abs(vs(1) - 2 * vs(0)) < 1e-9)
     assert(row.getDouble(3) == vs(0))
   }
+  test("q_sessionize agrees with Spark's session_window on session count and membership") {
+    // Cross-validation against the ENGINE's own gap-session implementation
+    // (session_window in batch mode, same 30-min gap): the window-cumsum
+    // formulation must produce the same number of sessions per user and
+    // the same per-session event counts. Guards the gap predicate's
+    // boundary semantics (strictly-greater-than vs session_window's
+    // right-open [start, start+gap) merge rule) against silent drift.
+    val ours = SparkEntry.queries("q_sessionize")(spark, TestSpark.sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sw = Tables(spark, TestSpark.sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ours.keySet == sw.keySet)
+    val diff = ours.keySet.filter(k => ours(k) != sw(k))
+    assert(diff.isEmpty,
+      s"session shape disagrees for users ${diff.take(5)}: " +
+        diff.take(5).map(k => s"$k ours=${ours(k)} sw=${sw(k)}").mkString("; "))
+  }
 }

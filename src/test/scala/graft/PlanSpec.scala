@@ -557,7 +557,7 @@ class PlanSpec extends AnyFunSuite {
     val bnljAudited = Set(
       "q_benford", "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
       "q_join_cross", "q_kmeans", "q_mixture_resample",
-      "q_mixture_temperature", "q_resample_gapfill",
+      "q_mixture_temperature", "q_resample_gapfill", "q_rfm",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22")
