@@ -6,9 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Decision-science operators over the corpus: changepoint detection,
-  * A/B significance testing, incremental aggregate maintenance, and a
-  * grid-blocked nearest-neighbour spatial join.
+/** Decision-science operators over the corpus: time-series diagnostics
+  * (CUSUM changepoints, seasonal baselines, autocorrelation), A/B
+  * significance testing (Welch t, Mann–Whitney U), business analytics
+  * (attribution, sessionization, RFM, conversion lag, basket lift, Gini,
+  * Benford), incremental aggregate maintenance, and a grid-blocked
+  * nearest-neighbour spatial join.
   *
   * The reference (jiazhi110/Top-produce-ETL) declares one config-driven
   * group-and-rank pipeline (`config/config_dev.yaml:10-13`); this module is
@@ -401,6 +404,121 @@ object Science {
         SELECT CAST(FLOOR((fp - su) / 86400000.0) AS BIGINT) AS lag_days,
                COUNT(*) AS n_users
         FROM fp GROUP BY 1 ORDER BY 1""")),
+
+    // Market-basket association (support / confidence / lift) over order
+    // baskets — the data-mining classic the flagship's "top products"
+    // rollup graduates into. Within-basket pairs generate INTRA-ROW from
+    // the sorted distinct item array (baskets are small; the pair count is
+    // Σ k_i², bounded by basket size, never |orders|² — the q_graph_degree
+    // lesson applied to transactions). Item frequencies and the basket
+    // total are part-dimension-sized and broadcast; lift's numerator and
+    // denominator are exact integer products, so only the emitted ratios
+    // round. Top-20 by raw lift (bit-identical cross-engine), (a, b)
+    // tie-break.
+    "q_basket_lift" -> Q(
+      fn = (s, d) => {
+        val items = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("f"))
+        val total = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        val pairs = items
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        pairs
+          .join(broadcast(freq.select(col("l_partkey").as("a"), col("f").as("f_a"))), "a")
+          .join(broadcast(freq.select(col("l_partkey").as("b"), col("f").as("f_b"))), "b")
+          .crossJoin(broadcast(total))
+          .withColumn("lift",
+            col("n_ab") * col("n_baskets") / (col("f_a") * col("f_b")))
+          .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+          .limit(20)
+          .select(col("a"), col("b"), col("n_ab"),
+            r4(col("n_ab") / col("n_baskets").cast(DoubleType)).as("support"),
+            r4(col("n_ab") / col("f_a").cast(DoubleType)).as("confidence"),
+            r4(col("lift")).as("lift"))
+      },
+      oracle = Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        freq AS (SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY 1),
+        total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+        pairs AS (
+          SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+          FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        scored AS (
+          SELECT a, b, n_ab,
+                 CAST(n_ab AS DOUBLE) / n_baskets AS support,
+                 CAST(n_ab AS DOUBLE) / fa.f AS confidence,
+                 n_ab * n_baskets / (fa.f * fb.f) AS lift
+          FROM pairs
+          JOIN freq fa ON fa.l_partkey = a
+          JOIN freq fb ON fb.l_partkey = b
+          CROSS JOIN total)
+        SELECT a, b, n_ab,
+               CAST(ROUND(support, 4) AS DOUBLE) AS support,
+               CAST(ROUND(confidence, 4) AS DOUBLE) AS confidence,
+               CAST(ROUND(lift, 4) AS DOUBLE) AS lift
+        FROM scored
+        ORDER BY lift DESC, a ASC, b ASC LIMIT 20""")),
+
+    // Zipf-law audit of the corpus vocabulary — the tokenizer-prep
+    // diagnostic next to q_text_vocab: least-squares slope of ln(freq) on
+    // ln(rank) over the top-1000 tokens (healthy natural-language corpora
+    // sit near slope −1; a flat or cliffed curve flags template spam or
+    // truncated vocabularies). One corpus explode + hash agg; the rank
+    // window sorts only the vocabulary-sized count relation; the
+    // closed-form regression runs on 1000 rows. ln() may differ in final
+    // ulps across engines, so slope/intercept are r4.
+    "q_zipf_slope" -> Q(
+      fn = (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val ranked = counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("freq").desc, col("tok").asc)))
+          .filter(col("rank") <= 1000)
+          .select(log(col("rank").cast(DoubleType)).as("x"),
+            log(col("freq").cast(DoubleType)).as("y"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+            r4((col("sy") - col("sx") *
+              ((col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"))
+              .as("intercept"))
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents) z
+          GROUP BY 1),
+        ranked AS (
+          SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+                 ln(CAST(freq AS DOUBLE)) AS y,
+                 row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+          FROM counts QUALIFY rank <= 1000),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM ranked)
+        SELECT n,
+               CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS DOUBLE) AS zipf_slope,
+               CAST(ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4) AS DOUBLE) AS intercept
+        FROM g""")),
 
     // CUSUM changepoint detection over the daily event-count series — the
     // classic drift monitor for a streaming ingest pipeline (Page 1954).

@@ -555,7 +555,7 @@ class PlanSpec extends AnyFunSuite {
     // A new key landing in `badCart`/`badBnlj` means its plan regressed
     // (or a new query needs an explicit audit + allowlist entry).
     val bnljAudited = Set(
-      "q_benford", "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
+      "q_basket_lift", "q_benford", "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
       "q_join_cross", "q_kmeans", "q_mixture_resample",
       "q_mixture_temperature", "q_resample_gapfill", "q_rfm",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
