@@ -417,13 +417,17 @@ object Science {
     // tie-break.
     "q_basket_lift" -> Q(
       fn = (s, d) => {
-        val items = Tables(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("f"))
-        val total = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
-        val pairs = items
+        // ONE basket-building exchange feeds all three consumers (pairs,
+        // item frequencies, basket total): collect_set dedups within the
+        // order, so no distinct pass exists anywhere, and AQE reuses the
+        // grouped relation's exchange across the branches.
+        val baskets = Tables(s, d, "lineitem")
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+        val total = baskets.agg(count(lit(1)).as("n_baskets"))
+        val pairs = baskets
           .select(explode(expr(
             """flatten(transform(ps, (x, i) ->
               |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
