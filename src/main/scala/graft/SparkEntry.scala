@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Analytics.qs,
       operators.TpchMore.qs,
       operators.Science.qs,
+      operators.Insights.qs,
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,

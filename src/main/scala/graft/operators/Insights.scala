@@ -1,0 +1,452 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution-level diagnostics over the corpus: two-sample KS test,
+  * chi-square independence, winsorized means, rolling distinct actives,
+  * and weighted percentiles.
+  *
+  * The reference (jiazhi110/Top-produce-ETL) declares one config-driven
+  * group-and-rank pipeline (`config/config_dev.yaml:10-13`); these are the
+  * §2.6 extension queries the same analytics user runs to VALIDATE that
+  * pipeline's inputs and outputs (distribution drift, independence checks,
+  * robust means, active-user trend). Determinism contract as everywhere
+  * (Q.scala): exact integer/decimal sufficient statistics, doubles only in
+  * final single-expression emissions, total-order final sorts.
+  */
+object Insights {
+
+  val qs: Map[String, Q] = Map(
+
+    // Two-sample Kolmogorov–Smirnov statistic: click vs purchase `value`
+    // distributions. D = max over observed values of |F_click − F_purch|.
+    //
+    // Scale shape: the fact-sized work is ONE hash aggregation to per-value
+    // counts (distinct values ≪ rows — the ECDF only moves at observed
+    // points); the ordered prefix-sum window then runs over the DISTINCT
+    // values only. At cluster scale that ordered pass range-partitions by
+    // value (sort exchange on the aggregated relation, not the corpus).
+    //
+    // Determinism: counts are exact longs; each ECDF value is ONE division
+    // of two longs (correctly rounded, bit-identical cross-engine); the max
+    // of |diffs| compares exact doubles; only the emitted D is rounded.
+    "q_ks_test" -> Q(
+      fn = (s, d) => {
+        val sample = Tables(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase") &&
+            col("value").isNotNull)
+          .select(col("value"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+        val perValue = sample.groupBy("value")
+          .agg(sum(col("is1")).as("c1"),
+            (count(lit(1)) - sum(col("is1"))).as("c2"))
+        val w = Window.orderBy("value")
+        val cum = perValue
+          .withColumn("k1", sum(col("c1")).over(w))
+          .withColumn("k2", sum(col("c2")).over(w))
+        val tot = perValue.agg(
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .agg(
+            r4(max(abs(
+              col("k1").cast(DoubleType) / col("n1").cast(DoubleType) -
+                col("k2").cast(DoubleType) / col("n2").cast(DoubleType))))
+              .as("ks_d"),
+            first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT value,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+          FROM events
+          WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        pv AS (SELECT value, SUM(is1) AS c1, COUNT(*) - SUM(is1) AS c2
+               FROM s GROUP BY value),
+        cum AS (SELECT value,
+                       SUM(c1) OVER (ORDER BY value) AS k1,
+                       SUM(c2) OVER (ORDER BY value) AS k2
+                FROM pv),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
+        SELECT CAST(ROUND(MAX(ABS(
+                 CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                 CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 4) AS DOUBLE) AS ks_d,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        FROM cum, tot GROUP BY n1, n2""")),
+
+    // Chi-square test of independence: documents lang × source. Uses the
+    // margin form χ² = n·Σ(o²/(r·c)) − n, so every per-cell term is a
+    // SINGLE division of exact longs (o², r·c) — bit-identical on both
+    // engines — then fixed to 8dp and summed as exact integers (a direct
+    // double Σ over cells would be summation-order-dependent). The final
+    // χ² is one scalar expression over exact operands.
+    //
+    // Scale shape: one corpus-sized hash agg to the contingency cells;
+    // margins and totals are cell-relation rollups (dimension-sized);
+    // the margin joins broadcast.
+    "q_chisq_independence" -> Q(
+      fn = (s, d) => {
+        val cells = Tables(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rowm = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+        val colm = cells.groupBy("source").agg(sum(col("o")).as("c"))
+        val tot = cells.agg(sum(col("o")).as("n"),
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"))
+        val term8 = round(
+          (col("o") * col("o")).cast(DoubleType) /
+            (col("r") * col("c")).cast(DoubleType) * 1e8)
+          .cast(LongType)
+        cells
+          .join(broadcast(rowm), "lang")
+          .join(broadcast(colm), "source")
+          .agg(sum(term8).as("t8"))
+          .crossJoin(broadcast(tot))
+          .select(
+            r4(col("n").cast(DoubleType) *
+              (col("t8").cast(DoubleType) / 1e8) -
+              col("n").cast(DoubleType)).as("chi2"),
+            ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+            col("n"))
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT lang, source, COUNT(*) AS o
+                       FROM documents GROUP BY lang, source),
+        rowm AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
+        colm AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
+        tot AS (SELECT SUM(o) AS n,
+                       COUNT(DISTINCT lang) AS nl,
+                       COUNT(DISTINCT source) AS ns
+                FROM cells),
+        t AS (SELECT SUM(CAST(ROUND(
+                 CAST(o*o AS DOUBLE) / CAST(r*c AS DOUBLE) * 1e8)
+                 AS BIGINT)) AS t8
+              FROM cells
+              JOIN rowm USING (lang)
+              JOIN colm USING (source))
+        SELECT CAST(ROUND(CAST(n AS DOUBLE) * (CAST(t8 AS DOUBLE) / 1e8)
+                          - CAST(n AS DOUBLE), 4) AS DOUBLE) AS chi2,
+               CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+               CAST(n AS BIGINT) AS n
+        FROM t, tot""")),
+
+    // Winsorized mean: per-brand mean of l_extendedprice with the tails
+    // clamped to [p05, p95] — the robust-mean companion to
+    // q_outlier_zscore/q_outlier_mad (which FLAG outliers; this bounds
+    // their influence).
+    //
+    // Scale shape: pass 1 computes per-brand bounds (hash agg to 25 brands
+    // — exact interpolated percentile here; at 100 TB swap in
+    // approx_percentile, same plan shape); bounds broadcast back for a
+    // map-side clamp; pass 2 is one hash agg of exact scaled-integer sums.
+    // The dimension join is broadcast on both passes.
+    //
+    // Determinism: the clamped value is LEAST/GREATEST over bit-identical
+    // doubles; it is then fixed to 4dp scaled longs so the mean's numerator
+    // is an EXACT integer sum (a double Σ over rows would be
+    // order-dependent); the mean is one final division.
+    "q_winsorize" -> Q(
+      fn = (s, d) => {
+        val dim = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val joined = Tables(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"))
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        val bounds = joined.groupBy("p_brand").agg(
+          expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        val clamped = joined.join(broadcast(bounds), "p_brand")
+          .withColumn("wv",
+            least(greatest(col("l_extendedprice").cast(DoubleType),
+              col("lo")), col("hi")))
+        clamped.groupBy("p_brand")
+          .agg(
+            (sum(round(col("wv") * 10000).cast(LongType)).cast(DoubleType) /
+              (count(lit(1)) * 10000).cast(DoubleType)).as("wmean_raw"),
+            count(lit(1)).as("n"),
+            r4(first(col("lo"))).as("lo"),
+            r4(first(col("hi"))).as("hi"))
+          .select(col("p_brand"), r4(col("wmean_raw")).as("wmean"),
+            col("n"), col("lo"), col("hi"))
+          .orderBy("p_brand")
+      },
+      oracle = Some("""
+        WITH j AS (SELECT p_brand, l_extendedprice
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        b AS (SELECT p_brand,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM j GROUP BY p_brand),
+        c AS (SELECT j.p_brand,
+                     LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS wv,
+                     lo, hi
+              FROM j JOIN b ON j.p_brand = b.p_brand)
+        SELECT p_brand,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(wv * 10000) AS BIGINT)) AS DOUBLE)
+                          / CAST(COUNT(*) * 10000 AS DOUBLE), 4) AS DOUBLE) AS wmean,
+               COUNT(*) AS n,
+               CAST(ROUND(ANY_VALUE(lo), 4) AS DOUBLE) AS lo,
+               CAST(ROUND(ANY_VALUE(hi), 4) AS DOUBLE) AS hi
+        FROM c GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Rolling 7-day distinct active users per day (DAU / WAU / stickiness)
+    // — the standard engagement trend over the events stream.
+    //
+    // Scale shape: the ONLY fact-sized operation is the (day, user)
+    // distinct (one exchange; output is user·day granular). The 7-day
+    // window is an explode-by-7 flat map over that DISTINCT relation (no
+    // nested-loop range join), the observed-day filter is a broadcast semi
+    // join against the tiny day dimension, and the rolling distinct is a
+    // second hash agg over ≤7× the distinct relation.
+    "q_rolling_distinct" -> Q(
+      fn = (s, d) => {
+        val du = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = du.select(col("day")).distinct()
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .withColumn("day",
+            explode(sequence(col("day"), date_add(col("day"), 6))))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            r4(col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                    user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                FROM days d JOIN du u
+                  ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day)
+        SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+               CAST(ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4)
+                    AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""")),
+
+    // Weighted percentile (lower-value convention): per returnflag, the
+    // smallest l_extendedprice whose cumulative l_quantity weight reaches
+    // q·Σw, for q ∈ {0.5, 0.9} — the "median price by volume" metric a
+    // plain median misses when quantities skew.
+    //
+    // Scale shape: one corpus-sized hash agg to (flag, price) with exact
+    // DECIMAL weights; the cumulative window then orders each flag's
+    // DISTINCT prices (aggregated relation, not the corpus); thresholds
+    // broadcast. No doubles anywhere until the emitted columns: the
+    // cumulative weights and q·Σw thresholds are exact decimals, so the
+    // crossing comparison is exact on both engines.
+    "q_percentile_weighted" -> Q(
+      fn = (s, d) => {
+        val g = Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(sum(dec2(col("l_quantity"))).as("w"))
+        val cum = g.withColumn("cumw",
+          sum(col("w")).over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+        val tot = g.groupBy("l_returnflag").agg(sum(col("w")).as("totw"))
+        val j = cum.join(broadcast(tot), "l_returnflag")
+        val p50 = j.filter(col("cumw") >= col("totw") * lit(0.5).cast(Dec12))
+          .groupBy("l_returnflag")
+          .agg(min(col("l_extendedprice")).as("wp50"))
+        val p90 = j.filter(col("cumw") >= col("totw") * lit(0.9).cast(Dec12))
+          .groupBy("l_returnflag")
+          .agg(min(col("l_extendedprice")).as("wp90"))
+        p50.join(p90, "l_returnflag")
+          .select(col("l_returnflag"),
+            col("wp50").cast(DoubleType).as("wp50"),
+            col("wp90").cast(DoubleType).as("wp90"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT l_returnflag, l_extendedprice,
+                          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+                   FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        cum AS (SELECT l_returnflag, l_extendedprice, w,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS cumw
+                FROM g),
+        tot AS (SELECT l_returnflag, SUM(w) AS totw FROM g GROUP BY l_returnflag),
+        j AS (SELECT cum.*, totw FROM cum
+              JOIN tot ON cum.l_returnflag = tot.l_returnflag),
+        p50 AS (SELECT l_returnflag, MIN(l_extendedprice) AS wp50
+                FROM j WHERE cumw >= totw * CAST(0.5 AS DECIMAL(12,2))
+                GROUP BY l_returnflag),
+        p90 AS (SELECT l_returnflag, MIN(l_extendedprice) AS wp90
+                FROM j WHERE cumw >= totw * CAST(0.9 AS DECIMAL(12,2))
+                GROUP BY l_returnflag)
+        SELECT p50.l_returnflag,
+               CAST(wp50 AS DOUBLE) AS wp50, CAST(wp90 AS DOUBLE) AS wp90
+        FROM p50 JOIN p90 ON p50.l_returnflag = p90.l_returnflag
+        ORDER BY p50.l_returnflag""")),
+
+    // Daily OHLC bars per event_type (the time-series resample every
+    // monitoring dashboard draws): open/close via min_by/max_by over the
+    // (ts, event_id) struct — ONE hash aggregation, no window, no
+    // self-join; the oracle spells the same semantics with row_number
+    // windows. (ts, event_id) is a total order (event_id unique), so
+    // open/close are tie-free. All emitted values are SELECTED input
+    // doubles (never arithmetic over them), so no rounding is needed.
+    "q_ohlc_resample" -> Q(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value"), col("ts"), col("event_id"))
+          .groupBy("day", "event_type")
+          .agg(
+            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            count(lit(1)).as("n"))
+          .orderBy("day", "event_type"),
+      oracle = Some("""
+        WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                          event_type, value,
+                          date_trunc('milliseconds', ts) AS ts, event_id
+                   FROM events WHERE value IS NOT NULL),
+        o AS (SELECT day, event_type, value,
+                     row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT day, event_type,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n
+        FROM o GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // Population Stability Index between the first and second half of the
+    // event window (the production distribution-drift gate; KS's binned,
+    // interpretable sibling — PSI < 0.1 is the conventional "stable" bar).
+    // 10 fixed-width buckets from the GLOBAL value range (both engines
+    // derive identical bucket edges from identical min/max doubles);
+    // Laplace-smoothed shares keep empty buckets finite. Each bucket term
+    // is one scalar expression over exact counts, fixed to 8dp scaled
+    // longs before the Σ (ln may differ in the last ulp across engines;
+    // a raw double Σ would compound that order-dependently).
+    //
+    // Scale shape: one corpus pass to (period, bucket) counts — the rest
+    // is 10-row arithmetic; the range/total aggregates are 1-row
+    // broadcasts (house global-agg idiom).
+    "q_psi_drift" -> Q(
+      fn = (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("value"))
+          .filter(col("value").isNotNull)
+        val rng = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        val bucketed = e.crossJoin(broadcast(rng))
+          .withColumn("half",
+            (datediff(col("d1"), col("d0")) + 1) / 2)
+          .withColumn("period",
+            when(datediff(col("day"), col("d0")) < col("half"), "p1")
+              .otherwise("p2"))
+          .withColumn("b",
+            least(lit(9L), floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / 10.0))))
+        val counts = bucketed.groupBy("b").agg(
+          sum(when(col("period") === "p1", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("period") === "p2", 1L).otherwise(0L)).as("c2"))
+        val spine = s.range(10).select(col("id").as("b"))
+        val full = spine.join(broadcast(counts), Seq("b"), "left")
+          .select(col("b"), coalesce(col("c1"), lit(0L)).as("c1"),
+            coalesce(col("c2"), lit(0L)).as("c2"))
+        val tot = full.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val p1 = (col("c1") + 1).cast(DoubleType) /
+          (col("n1") + 10).cast(DoubleType)
+        val p2 = (col("c2") + 1).cast(DoubleType) /
+          (col("n2") + 10).cast(DoubleType)
+        full.crossJoin(broadcast(tot))
+          .withColumn("t8",
+            round((p2 - p1) * log(p2 / p1) * 1e8).cast(LongType))
+          .agg(r4(sum(col("t8")).cast(DoubleType) / 1e8).as("psi"),
+            first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+                   FROM events WHERE value IS NOT NULL),
+        rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                       MIN(value) AS vmin, MAX(value) AS vmax
+                FROM e),
+        bk AS (SELECT CASE WHEN (day - d0) < ((d1 - d0 + 1) / 2)
+                           THEN 'p1' ELSE 'p2' END AS period,
+                      LEAST(9, CAST(FLOOR((value - vmin) /
+                        ((vmax - vmin) / 10.0)) AS BIGINT)) AS b
+               FROM e, rng),
+        counts AS (SELECT b,
+                          SUM(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS c1,
+                          SUM(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS c2
+                   FROM bk GROUP BY b),
+        full_b AS (SELECT s.b, COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+                   FROM (SELECT UNNEST(generate_series(0, 9)) AS b) s
+                   LEFT JOIN counts ON s.b = counts.b),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM full_b),
+        terms AS (SELECT CAST(ROUND(
+                    ((CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE)) -
+                     (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))) *
+                    LN((CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE)) /
+                       (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))) * 1e8)
+                    AS BIGINT) AS t8, n1, n2
+                  FROM full_b, tot)
+        SELECT CAST(ROUND(CAST(SUM(t8) AS DOUBLE) / 1e8, 4) AS DOUBLE) AS psi,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        FROM terms GROUP BY n1, n2""")),
+
+    // Sketched rolling distinct — q_rolling_distinct's 100-TB path: ONE
+    // corpus pass builds a mergeable per-day HLL sketch (DataSketches,
+    // lgConfigK=14 ⇒ rsd ≈ 0.8%); the 7-day WAU is then a UNION of the 7
+    // day-sketches (sketch-count-sized work, never re-touching the facts —
+    // the incremental shape: yesterday's sketches are reusable tomorrow).
+    // Oracle contract mirrors q_agg_approx_distinct: the estimate must
+    // land within 5% of the exact rolling distinct, which is emitted and
+    // hash-checked alongside.
+    "q_rolling_distinct_approx" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daySk = ev.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val days = daySk.select(col("day"))
+        val est = daySk
+          .withColumn("wday",
+            explode(sequence(col("day"), date_add(col("day"), 6))))
+          .join(broadcast(days.withColumnRenamed("day", "wday")),
+            Seq("wday"), "left_semi")
+          .groupBy("wday")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+        val du = ev.distinct()
+        val exact = du
+          .withColumn("wday",
+            explode(sequence(col("day"), date_add(col("day"), 6))))
+          .join(broadcast(days.withColumnRenamed("day", "wday")),
+            Seq("wday"), "left_semi")
+          .groupBy("wday")
+          .agg(countDistinct(col("user_id")).as("wau_exact"))
+        exact.join(est, "wday")
+          .select(col("wday").as("day"), col("wau_exact"),
+            (abs(col("est") - col("wau_exact")) <=
+              col("wau_exact") * 0.05).as("within_5pct"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                    user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact, true AS within_5pct
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day ORDER BY d.day"""))
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the distribution-diagnostics family (Insights.scala).
+  * Cross-engine value equality is the oracle gate's job; these pin the
+  * mathematical invariants each statistic must satisfy regardless of data.
+  */
+class InsightsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ks statistic is in [0,1] and sample sizes cover the filtered corpus") {
+    val r = SparkEntry.queries("q_ks_test")(spark, TestSpark.sf).head()
+    val (d, n1, n2) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    assert(d >= 0.0 && d <= 1.0, s"KS D out of range: $d")
+    val expected = Tables(spark, TestSpark.sf, "events")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n1 == expected("click") && n2 == expected("purchase"))
+  }
+
+  test("chi-square is non-negative with the right dof, and is ~0 on independent margins") {
+    val r = SparkEntry.queries("q_chisq_independence")(spark, TestSpark.sf).head()
+    val (chi2, dof) = (r.getDouble(0), r.getLong(1))
+    assert(chi2 >= -1e-4, s"chi2 must be >= 0, got $chi2")
+    val langs = Tables(spark, TestSpark.sf, "documents")
+      .select("lang").distinct().count()
+    val sources = Tables(spark, TestSpark.sf, "documents")
+      .select("source").distinct().count()
+    assert(dof == (langs - 1) * (sources - 1))
+  }
+
+  test("winsorized mean sits within [lo, hi] and bounds within the raw range per brand") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wmean, lo, hi) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"${r.getString(0)}: lo $lo > hi $hi")
+      // rounding tolerance: wmean/lo/hi are all r4-emitted
+      assert(wmean >= lo - 1e-3 && wmean <= hi + 1e-3,
+        s"${r.getString(0)}: wmean $wmean outside [$lo, $hi]")
+    }
+    // clamping can only pull the mean toward the center: the winsorized
+    // mean never exceeds the raw max nor undercuts the raw min
+    val raw = Tables(spark, TestSpark.sf, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    rows.foreach(r =>
+      assert(r.getDouble(1) >= raw.getDouble(0) &&
+        r.getDouble(1) <= raw.getDouble(1)))
+  }
+
+  test("rolling 7-day distinct: wau >= dau, stickiness in (0,1], wau bounded by 7-day dau sum") {
+    val rows = SparkEntry.queries("q_rolling_distinct")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, wau, stick) =>
+      assert(wau >= dau, s"$day: wau $wau < dau $dau")
+      assert(stick > 0.0 && stick <= 1.0)
+      // union bound: distinct users over 7 days <= sum of the daily counts
+      val windowSum = (0 to 6).flatMap(k => dauByDay.get(day.minusDays(k))).sum
+      assert(wau <= windowSum, s"$day: wau $wau > 7-day dau sum $windowSum")
+    }
+  }
+
+  test("weighted percentiles: wp50 <= wp90, both are observed prices, wp50 >= unweighted min") {
+    val rows = SparkEntry.queries("q_percentile_weighted")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set("A", "N", "R"))
+    val prices = Tables(spark, TestSpark.sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (flag, p50, p90) =>
+      assert(p50 <= p90, s"$flag: wp50 $p50 > wp90 $p90")
+      assert(prices(flag).contains(p50) && prices(flag).contains(p90),
+        s"$flag: weighted percentile must be an observed price")
+    }
+  }
+
+  test("ohlc bars: low <= open/close <= high, one bar per (day, type), single-agg plan") {
+    val df = SparkEntry.queries("q_ohlc_resample")(spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getDate(0), r.getString(1))).distinct.length ==
+      rows.length)
+    rows.foreach { r =>
+      val (o, c, h, l) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"${r.getDate(0)}/${r.getString(1)}: OHLC ordering violated o=$o c=$c h=$h l=$l")
+    }
+    // the whole query is ONE hash aggregation over one scan — no window,
+    // no join (the oracle's row_number spelling is NOT the plan we run)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "OHLC must not use a window")
+    assert(!plan.contains("Join"), "OHLC must not self-join")
+  }
+
+  test("psi: near zero on a self-split sanity bound, periods partition the events") {
+    val r = SparkEntry.queries("q_psi_drift")(spark, TestSpark.sf).head()
+    val (psi, n1, n2) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    // PSI is a sum of (p2-p1)ln(p2/p1) terms, each >= 0
+    assert(psi >= -1e-4, s"PSI must be non-negative, got $psi")
+    val total = Tables(spark, TestSpark.sf, "events")
+      .filter(col("value").isNotNull).count()
+    assert(n1 + n2 == total, s"periods must partition the corpus: $n1+$n2 != $total")
+    assert(n1 > 0 && n2 > 0)
+  }
+
+  test("sketched rolling distinct agrees with the exact query day by day") {
+    val approx = SparkEntry.queries("q_rolling_distinct_approx")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    val exact = SparkEntry.queries("q_rolling_distinct")(spark, TestSpark.sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (day, wauExact, within) =>
+      assert(exact(day) == wauExact, s"$day: exact paths disagree")
+      assert(within, s"$day: HLL estimate strayed >5% from $wauExact")
+    }
+  }
+}
