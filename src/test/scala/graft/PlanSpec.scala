@@ -547,6 +547,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q_winsorize joins only by broadcast; the clamp is map-side") {
+    val p = planOf("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "winsorize must never shuffle-join: dims and bounds broadcast")
+  }
+
+  test("q_rolling_distinct expands via Generate (flat map), never a nested-loop range join") {
+    val p = planOf("q_rolling_distinct")
+    assert(p.contains("Generate"), "7-day expansion must be explode-based")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the day-window must not plan a nested-loop range join")
+  }
+
+  test("q_ks_test aggregates to per-value counts BEFORE the ordered ECDF window") {
+    val p = planOf("q_ks_test")
+    // the Window's child chain must contain the value-keyed HashAggregate —
+    // i.e. the sort is over the distinct-value relation, not raw events
+    val winAt = p.indexOf("Window")
+    assert(winAt > 0)
+    assert(p.substring(0, winAt).contains("HashAggregate"),
+      "ECDF window must consume the aggregated per-value relation")
+    assert(p.split("\n").count(_.contains("events.parquet")) <= 2,
+      "cum + totals may scan events at most twice")
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -560,7 +586,9 @@ class PlanSpec extends AnyFunSuite {
       "q_mixture_temperature", "q_resample_gapfill", "q_rfm",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
-      "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22")
+      "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22",
+      // 1-row global-aggregate broadcasts (house global-agg idiom)
+      "q_ks_test", "q_chisq_independence", "q_psi_drift")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
