@@ -30,7 +30,8 @@ object SparkEntry {
       llm.Dedup.qs,
       llm.Curation.qs,
       llm.Similarity.qs,
-      llm.Multimodal.qs
+      llm.Multimodal.qs,
+      llm.Features.qs
     ).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Feature-engineering operators — the bridge from curated corpus to model
+  * input: hashing-trick sparse features, smoothed target encoding, and
+  * per-dimension embedding health stats.
+  *
+  * The reference (jiazhi110/Top-produce-ETL) stops at the ranked rollup
+  * (`config/config_dev.yaml:10-13`); these are the §2.6 extension queries
+  * that turn the same tables into trainable features. Determinism contract
+  * as everywhere (Q.scala): cross-engine-identical hashing (md5-lower-64 ==
+  * DuckDB md5_number_lower), exact integer/decimal sufficient statistics,
+  * doubles only in final single-expression emissions.
+  */
+object Features {
+
+  val qs: Map[String, Q] = Map(
+
+    // Hashing-trick featurization (Weinberger et al. 2009): token →
+    // md5-lower-64 → one of 64 buckets; per-doc bucket counts are the
+    // sparse feature vector. Collisions are the accepted trade for a FIXED
+    // feature space with no vocabulary build, no dictionary broadcast, no
+    // OOV path — the property that matters when the corpus is 100 TB and
+    // the vocabulary would not fit an executor.
+    //
+    // Scale shape: explode + one (doc, bucket) hash agg — map-side
+    // combine bounds the exchange by docs × 64, not token volume.
+    // Cross-engine: the bucket is (md5-lower-64 >> 11) % 64 — both engines
+    // shift into the positive 2^53 range first (q_sample_reservoir
+    // convention), so signed-% can't diverge.
+    "q_feature_hashing" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .select(col("doc_id"),
+            (shiftrightunsigned(
+              graft.functions.VectorFunctions.md5Lower(col("token")), 11)
+              % 64).as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(md5_number_lower(token) >> 11 AS BIGINT) % 64 AS bucket
+              FROM t)
+        SELECT doc_id, bucket, COUNT(*) AS cnt
+        FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
+    // Smoothed target encoding of p_brand against lineitem revenue
+    // (m-estimate, m=20 pseudo-observations of the global mean): the
+    // category feature every gradient-boosted model wants, computed
+    // leakage-aware at the aggregate level. High-volume brands converge to
+    // their own mean; thin brands shrink toward the global mean instead of
+    // memorizing noise.
+    //
+    // Scale shape: ONE fact pass to per-brand exact DECIMAL (sum, n)
+    // partials (dim join broadcast); the global mean is a rollup of the
+    // 25-row brand relation, broadcast back. Every emitted double is one
+    // scalar expression over exact decimal/long inputs, identically
+    // parenthesized in the oracle.
+    "q_target_encoding" -> Q(
+      fn = (s, d) => {
+        val dim = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val perBrand = Tables(s, d, "lineitem")
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(revenue).as("srev"), count(lit(1)).as("n"))
+        val glob = perBrand.agg(
+          sum(col("srev")).as("gs"), sum(col("n")).as("gn"))
+        val gmean = col("gs").cast(DoubleType) / col("gn").cast(DoubleType)
+        perBrand.crossJoin(broadcast(glob))
+          .select(
+            col("p_brand"), col("n"),
+            r4(col("srev").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("raw_mean"),
+            r4((col("srev").cast(DoubleType) + lit(20.0) * gmean) /
+              (col("n").cast(DoubleType) + lit(20.0))).as("enc"))
+          .orderBy("p_brand")
+      },
+      oracle = Some(s"""
+        WITH pb AS (SELECT p_brand,
+                           SUM(${revenueSql}) AS srev,
+                           COUNT(*) AS n
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    GROUP BY p_brand),
+        g AS (SELECT SUM(srev) AS gs, SUM(n) AS gn FROM pb)
+        SELECT p_brand, n,
+               CAST(ROUND(CAST(srev AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                    AS DOUBLE) AS raw_mean,
+               CAST(ROUND((CAST(srev AS DOUBLE) +
+                           20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) /
+                          (CAST(n AS DOUBLE) + 20.0), 4) AS DOUBLE) AS enc
+        FROM pb, g ORDER BY p_brand""")),
+
+    // Per-dimension embedding health stats (dead/low-variance dimension
+    // detector — the pre-ANN audit: a dimension whose std ~ 0 wastes index
+    // bits and distorts cosine): mean/std/min/max for each of the 64 dims.
+    //
+    // Scale shape: posexplode + one dim-keyed hash agg — map-side combine
+    // bounds the exchange at 64 × partitions rows regardless of corpus
+    // size. Sufficient statistics are EXACT: float32→double is exact, the
+    // 1e7-scaled values are exact longs, and Σx/Σx² accumulate as
+    // DECIMAL(38,0) (a long Σx² would overflow past ~10⁵ vectors; decimal
+    // adds are exact and order-independent). Mean/std are single final
+    // expressions; min/max are selected inputs.
+    "q_embedding_dim_stats" -> Q(
+      fn = (s, d) => {
+        val v7 = round(col("v") * 1e7).cast(DecimalType(38, 0))
+        Tables(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select((col("pos") + 1).cast(LongType).as("dim"),
+            col("v").cast(DoubleType).as("v"))
+          .groupBy("dim")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(v7).as("s1"),
+            sum((v7 * v7).cast(DecimalType(38, 0))).as("s2"),
+            min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+          .select(
+            col("dim"), col("n"),
+            r4(col("s1").cast(DoubleType) /
+              (col("n").cast(DoubleType) * 1e7)).as("mean"),
+            r4(sqrt(greatest(lit(0.0),
+              col("s2").cast(DoubleType) / (col("n").cast(DoubleType) * 1e14) -
+                (col("s1").cast(DoubleType) /
+                  (col("n").cast(DoubleType) * 1e7)) *
+                (col("s1").cast(DoubleType) /
+                  (col("n").cast(DoubleType) * 1e7))))).as("std"),
+            r4(col("vmin")).as("vmin"), r4(col("vmax")).as("vmax"))
+          .orderBy("dim")
+      },
+      oracle = Some("""
+        WITH x AS (SELECT gs.i AS dim,
+                          CAST(embedding[gs.i] AS DOUBLE) AS v
+                   FROM embeddings, generate_series(1, 64) gs(i)),
+        sc AS (SELECT dim, v,
+                      CAST(ROUND(v * 1e7) AS DECIMAL(38,0)) AS v7
+               FROM x),
+        agg AS (SELECT dim, COUNT(*) AS n,
+                       SUM(v7) AS s1,
+                       SUM(CAST(v7 * v7 AS DECIMAL(38,0))) AS s2,
+                       MIN(v) AS vmin, MAX(v) AS vmax
+                FROM sc GROUP BY dim)
+        SELECT CAST(dim AS BIGINT) AS dim, n,
+               CAST(ROUND(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7), 4)
+                    AS DOUBLE) AS mean,
+               CAST(ROUND(SQRT(GREATEST(0.0,
+                 CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e14) -
+                 (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7)) *
+                 (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7)))), 4)
+                    AS DOUBLE) AS std,
+               CAST(ROUND(vmin, 4) AS DOUBLE) AS vmin,
+               CAST(ROUND(vmax, 4) AS DOUBLE) AS vmax
+        FROM agg ORDER BY dim"""))
+  )
+}

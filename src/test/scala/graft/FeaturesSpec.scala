@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the feature-engineering family (llm/Features.scala). */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("feature hashing: buckets in [0,64), per-doc counts sum to the doc token count") {
+    val rows = SparkEntry.queries("q_feature_hashing")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, b, c) => b >= 0 && b < 64 && c > 0 })
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == expected,
+      "hashed counts must partition every token: no token lost or duplicated")
+  }
+
+  test("target encoding shrinks thin brands toward the global mean, high-n toward raw") {
+    val rows = SparkEntry.queries("q_target_encoding")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 25)
+    // weighted global mean from the raw per-brand stats
+    val gmean = rows.map(r => r._3 * r._2).sum / rows.map(_._2).sum
+    rows.foreach { case (brand, n, raw, enc) =>
+      // the m-estimate is a convex combination of raw and global means,
+      // so enc always lies between them (tolerance covers r4 rounding)
+      val (lo, hi) = (math.min(raw, gmean), math.max(raw, gmean))
+      assert(enc >= lo - 1e-3 && enc <= hi + 1e-3,
+        s"$brand: enc $enc outside [$lo, $hi] (n=$n)")
+      // shrinkage factor n/(n+m): with m=20 and corpus-scale n the
+      // encoding must sit much nearer raw than the global mean
+      if (n > 1000)
+        assert(math.abs(enc - raw) <= math.abs(enc - gmean) + 1e-3)
+    }
+  }
+
+  test("embedding dim stats: 64 dims, n = vectors, min <= mean <= max, std >= 0") {
+    val rows = SparkEntry.queries("q_embedding_dim_stats")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 64L))
+    val nVec = Tables(spark, TestSpark.sf, "embeddings").count()
+    rows.foreach { case (dim, n, mean, std, vmin, vmax) =>
+      assert(n == nVec, s"dim $dim: n $n != $nVec")
+      assert(vmin - 1e-3 <= mean && mean <= vmax + 1e-3)
+      assert(std >= 0.0 && std <= (vmax - vmin) + 1e-3)
+    }
+  }
+}

@@ -588,7 +588,8 @@ class PlanSpec extends AnyFunSuite {
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22",
       // 1-row global-aggregate broadcasts (house global-agg idiom)
-      "q_ks_test", "q_chisq_independence", "q_psi_drift")
+      "q_ks_test", "q_chisq_independence", "q_psi_drift",
+      "q_target_encoding")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
