@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
       (exprs: Seq[Expression]) => ShingleSet(exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("shingle_gen"), info("shingle_gen"),
+      (exprs: Seq[Expression]) => ShingleGenerate(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("hyperplane_sig"), info("hyperplane_sig"),
       (exprs: Seq[Expression]) => HyperplaneSig(exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))

@@ -145,6 +145,69 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Streaming shingle expansion as a custom Catalyst `Generator` (the
+    * SURVEY §7.2 UDTF-class stretch goal): emits one (pos, shingle) row
+    * per n-gram WITHOUT materializing the shingle array first. For a
+    * 100 TB corpus of long documents this is the difference between O(1)
+    * extra memory per row and holding len−n+1 concatenated strings before
+    * the explode copies them again. Unlike [[ShingleSet]] it preserves
+    * positions and duplicates (the input shape span-level dedup and
+    * positional n-gram models need).
+    *
+    * Generators run through non-codegen `GenerateExec` (Spark codegens
+    * only its built-in CollectionGenerators), so the fallback here is the
+    * engine's own generator contract, not an interpretation regression —
+    * the row-emitting loop below IS the operator.
+    */
+  case class ShingleGenerate(child: Expression, n: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def elementSchema: StructType = new StructType()
+      .add("pos", IntegerType, nullable = false)
+      .add("shingle", StringType, nullable = false)
+    override def prettyName: String = "shingle_gen"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"shingle_gen needs array<string>, got ${other.catalogString}")
+      }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Iterator.empty
+      val arr = v.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return Iterator.empty
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= len - n
+        override def next(): InternalRow = {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(arr.getUTF8String(i + j).toString)
+            j += 1
+          }
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(2)
+          row.update(0, i)
+          row.update(1, UTF8String.fromString(sb.toString))
+          i += 1
+          row
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit polynomial rolling hash over a token array: h = Σ fnv(tok_i) ·
     * B^(n-1-i) mod 2^64 (B = 1000003). Order-sensitive (unlike simhash) —
     * a document fingerprint for exact-sequence dedup that streams in one
@@ -328,6 +391,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "shingle_set",
       exprs => ShingleSet(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_gen",
+      exprs => ShingleGenerate(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "scala_udf")

@@ -160,6 +160,43 @@ object Features {
                     AS DOUBLE) AS std,
                CAST(ROUND(vmin, 4) AS DOUBLE) AS vmin,
                CAST(ROUND(vmax, 4) AS DOUBLE) AS vmax
-        FROM agg ORDER BY dim"""))
+        FROM agg ORDER BY dim""")),
+
+    // Positional n-gram profile via the custom Catalyst Generator
+    // (VectorFunctions.ShingleGenerate — the §7.2 UDTF-class stretch
+    // goal): top-30 trigrams by total frequency with document frequency
+    // alongside. The generator streams one (pos, shingle) row at a time —
+    // no intermediate shingle array per document — and, unlike the
+    // shingle_set path the dedup family uses, preserves duplicates and
+    // positions (what positional n-gram LMs consume).
+    //
+    // Scale shape: generate + one hash agg (map-side combined) + top-30
+    // TakeOrdered; the (tf DESC, shingle) sort key is a total order
+    // because shingle is the group key.
+    "q_text_shingle_profile" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH sh AS (
+            SELECT doc_id, s.shingle
+            FROM documents
+            LATERAL VIEW shingle_gen(split(text, ' '), 3) s AS pos, shingle)
+          SELECT shingle, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM sh GROUP BY shingle
+          ORDER BY tf DESC, shingle LIMIT 30""")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        ix AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - 2)) AS i
+               FROM t WHERE len(toks) >= 3),
+        sh AS (SELECT doc_id,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+               FROM ix)
+        SELECT shingle, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM sh GROUP BY shingle
+        ORDER BY tf DESC, shingle LIMIT 30"""))
   )
 }

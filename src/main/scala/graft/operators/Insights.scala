@@ -447,6 +447,126 @@ object Insights {
         days AS (SELECT DISTINCT day FROM du)
         SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact, true AS within_5pct
         FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
-        GROUP BY d.day ORDER BY d.day"""))
+        GROUP BY d.day ORDER BY d.day""")),
+
+    // Share-of-parent over the rollup hierarchy (the "% of region" /
+    // "% of grand total" column every BI drill-down adds to q_rollup):
+    // nation rows divide by their region subtotal, region rows by the
+    // grand total. The rollup relation is dimension-sized, so the
+    // parent lookup is a broadcast self-join of a tiny relation — the
+    // fact table is touched exactly once.
+    //
+    // Determinism: revenues are exact decimals; each share is ONE
+    // decimal/decimal division emitted r4.
+    "q_rollup_share" -> Q(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_suppkey"), revenue.as("rev"))
+        val sup = Tables(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        val reg = Tables(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        val base = li
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        val ru = base.rollup(col("r_name"), col("n_name"))
+          .agg(sum(col("rev")).as("rev"), grouping_id().as("gid"))
+        val regionTot = ru.filter(col("gid") === 1)
+          .select(col("r_name").as("pr"), col("rev").as("prev"))
+        val grandTot = ru.filter(col("gid") === 3)
+          .select(col("rev").as("grev"))
+        val nations = ru.filter(col("gid") === 0)
+          .join(broadcast(regionTot), col("r_name") === col("pr"))
+          .select(lit("nation").as("lvl"), col("r_name"), col("n_name"),
+            dec4(col("rev")).as("rev"),
+            r4(col("rev").cast(DoubleType) / col("prev").cast(DoubleType))
+              .as("share_of_parent"))
+        val regions = ru.filter(col("gid") === 1)
+          .crossJoin(broadcast(grandTot))
+          .select(lit("region").as("lvl"), col("r_name"),
+            lit(null).cast(StringType).as("n_name"), dec4(col("rev")).as("rev"),
+            r4(col("rev").cast(DoubleType) / col("grev").cast(DoubleType))
+              .as("share_of_parent"))
+        nations.unionAll(regions)
+          .orderBy(col("lvl"), col("r_name"), col("n_name"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT r_name, n_name, ${revenueSql} AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        ru AS (SELECT r_name, n_name, SUM(rev) AS rev,
+                      GROUPING(r_name, n_name) AS gid
+               FROM base GROUP BY ROLLUP (r_name, n_name)),
+        nations AS (
+          SELECT 'nation' AS lvl, c.r_name, c.n_name,
+                 CAST(c.rev AS DOUBLE) AS rev,
+                 CAST(ROUND(CAST(c.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 4)
+                      AS DOUBLE) AS share_of_parent
+          FROM ru c JOIN ru p ON p.gid = 1 AND p.r_name = c.r_name
+          WHERE c.gid = 0),
+        regions AS (
+          SELECT 'region' AS lvl, c.r_name, NULL AS n_name,
+                 CAST(c.rev AS DOUBLE) AS rev,
+                 CAST(ROUND(CAST(c.rev AS DOUBLE) / CAST(g.rev AS DOUBLE), 4)
+                      AS DOUBLE) AS share_of_parent
+          FROM ru c, ru g
+          WHERE c.gid = 1 AND g.gid = 3)
+        SELECT * FROM nations
+        UNION ALL SELECT * FROM regions
+        ORDER BY lvl, r_name, n_name""")),
+
+    // Period-over-period rank movement (the leaderboard-delta pattern:
+    // "which brands climbed?"): per-brand revenue rank in 1997 vs 1998,
+    // with the signed movement. Fact collapses to per-(brand, year)
+    // exact-decimal partials FIRST; the rank windows and the year
+    // self-join run on the 25-row brand relation.
+    //
+    // Determinism: row_number over (rev DESC, brand) — revenues are
+    // exact decimals and brand breaks any tie, so ranks are total-order.
+    "q_top_changers" -> Q(
+      fn = (s, d) => {
+        val dim = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val byYear = Tables(s, d, "lineitem")
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+          .agg(sum(revenue).as("rev"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("yr").orderBy(col("rev").desc, col("p_brand"))
+        val ranked = byYear.withColumn("rnk", row_number().over(w))
+        val y97 = ranked.filter(col("yr") === 1997)
+          .select(col("p_brand"), dec4(col("rev")).as("rev_1997"),
+            col("rnk").cast(LongType).as("rank_1997"))
+        val y98 = ranked.filter(col("yr") === 1998)
+          .select(col("p_brand"), dec4(col("rev")).as("rev_1998"),
+            col("rnk").cast(LongType).as("rank_1998"))
+        y97.join(y98, "p_brand")
+          .withColumn("moved", col("rank_1997") - col("rank_1998"))
+          .orderBy("p_brand")
+      },
+      oracle = Some(s"""
+        WITH by_year AS (
+          SELECT p_brand, year(l_shipdate) AS yr, SUM(${revenueSql}) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) IN (1997, 1998)
+          GROUP BY p_brand, year(l_shipdate)),
+        ranked AS (
+          SELECT p_brand, yr, rev,
+                 row_number() OVER (PARTITION BY yr
+                   ORDER BY rev DESC, p_brand) AS rnk
+          FROM by_year)
+        SELECT a.p_brand,
+               CAST(a.rev AS DOUBLE) AS rev_1997,
+               CAST(a.rnk AS BIGINT) AS rank_1997,
+               CAST(b.rev AS DOUBLE) AS rev_1998,
+               CAST(b.rnk AS BIGINT) AS rank_1998,
+               CAST(a.rnk - b.rnk AS BIGINT) AS moved
+        FROM ranked a JOIN ranked b
+          ON a.p_brand = b.p_brand AND a.yr = 1997 AND b.yr = 1998
+        ORDER BY a.p_brand"""))
   )
 }

@@ -40,6 +40,28 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_gen generator matches shingle_set + explode (distinct) and keeps positions") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r"))
+      .toDF("id", "text").createOrReplaceTempView("sg_docs")
+    val gen = spark.sql(
+      """SELECT id, s.pos, s.shingle FROM sg_docs
+         LATERAL VIEW shingle_gen(split(text, ' '), 3) s AS pos, shingle""")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // duplicates/positions preserved; doc 2 too short -> no rows
+    assert(gen.toSeq == Seq((1L, 0, "a b c"), (1L, 1, "b c d"), (3L, 0, "p q r")))
+    // distinct shingles agree with the set-building expression
+    val viaSet = spark.sql(
+      """SELECT id, sh FROM sg_docs
+         LATERAL VIEW explode(shingle_set(split(text, ' '), 3)) e AS sh""")
+      .as[(Long, String)].collect().toSet
+    assert(gen.map(r => (r._1, r._3)).toSet == viaSet)
+    // corpus-level: generator tf sums to Σ max(len-2, 0) over documents
+    val total = SparkEntry.queries("q_text_shingle_profile")(spark, TestSpark.sf)
+    assert(total.count() == 30)
+  }
+
   test("embedding dim stats: 64 dims, n = vectors, min <= mean <= max, std >= 0") {
     val rows = SparkEntry.queries("q_embedding_dim_stats")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

@@ -112,6 +112,31 @@ class InsightsSpec extends AnyFunSuite {
     assert(n1 > 0 && n2 > 0)
   }
 
+  test("rollup shares: nations sum to 1 within each region, regions sum to 1 overall") {
+    val rows = SparkEntry.queries("q_rollup_share")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getDouble(4)))
+    val (nations, regions) = rows.partition(_._1 == "nation")
+    assert(regions.nonEmpty && nations.nonEmpty)
+    // r4 rounding: 25 nations x 5e-5 tolerance each
+    nations.groupBy(_._2).foreach { case (region, ns) =>
+      val s = ns.map(_._4).sum
+      assert(math.abs(s - 1.0) < 2e-3, s"$region: nation shares sum to $s")
+    }
+    val rs = regions.map(_._4).sum
+    assert(math.abs(rs - 1.0) < 1e-3, s"region shares sum to $rs")
+  }
+
+  test("top changers: both years' ranks are permutations and movement balances to zero") {
+    val rows = SparkEntry.queries("q_top_changers")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 25)
+    assert(rows.map(_._2).sorted.toSeq == (1L to 25L))
+    assert(rows.map(_._3).sorted.toSeq == (1L to 25L))
+    assert(rows.map(_._4).sum == 0L, "rank movement over a permutation must net to zero")
+    rows.foreach { case (_, r97, r98, moved) => assert(moved == r97 - r98) }
+  }
+
   test("sketched rolling distinct agrees with the exact query day by day") {
     val approx = SparkEntry.queries("q_rolling_distinct_approx")(spark, TestSpark.sf)
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))

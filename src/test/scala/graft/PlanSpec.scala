@@ -589,7 +589,7 @@ class PlanSpec extends AnyFunSuite {
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22",
       // 1-row global-aggregate broadcasts (house global-agg idiom)
       "q_ks_test", "q_chisq_independence", "q_psi_drift",
-      "q_target_encoding")
+      "q_target_encoding", "q_rollup_share")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
