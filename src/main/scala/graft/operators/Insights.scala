@@ -567,6 +567,116 @@ object Insights {
                CAST(a.rnk - b.rnk AS BIGINT) AS moved
         FROM ranked a JOIN ranked b
           ON a.p_brand = b.p_brand AND a.yr = 1997 AND b.yr = 1998
-        ORDER BY a.p_brand"""))
+        ORDER BY a.p_brand""")),
+
+    // Top user journeys: each user's first three event types in time
+    // order, joined as an 'a>b>c' path, counted across users (the
+    // product-analytics path-discovery query). The (ts, event_id) order
+    // is total, so every user's path is deterministic; the (n DESC,
+    // path) output order is total because path is the group key.
+    //
+    // Scale shape: one user-keyed window pass (rn ≤ 3 keeps the
+    // per-user state tiny), one user-keyed agg whose collect_list is
+    // bounded at 3 elements, one path-keyed count — all map-side
+    // combined; top-20 is TakeOrdered.
+    "q_user_paths" -> Q(
+      fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY date_trunc('milliseconds', ts), event_id)
+                            AS rn
+                   FROM events),
+        paths AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM e WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 20""")),
+
+    // Cohort LTV curve: signup-week cohorts × weeks-since-signup, with
+    // per-cohort cumulative revenue and revenue per cohort user — the
+    // revenue companion to q_retention_cohort (which counts activity,
+    // not value). Exact decimal revenue end to end; the cumulative
+    // window runs over the (cohort × week) rollup, never the facts.
+    //
+    // Scale shape: two conditional single-pass aggregates over events
+    // (first signup per user; purchases keyed by user), one user-keyed
+    // join, then dimension-sized rollup + window.
+    "q_cohort_ltv" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("signup_day"))
+          .withColumn("cohort",
+            date_sub(col("signup_day"), (datediff(col("signup_day"),
+              lit("1970-01-05").cast(DateType)) % 7 + 7) % 7))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            dec2(col("value")).as("v"))
+        val cohortSize = signups.groupBy("cohort")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val weekly = purchases.join(signups, "user_id")
+          .filter(col("day") >= col("signup_day"))
+          .withColumn("widx",
+            floor(datediff(col("day"), col("signup_day")) / 7).cast(LongType))
+          .groupBy("cohort", "widx")
+          .agg(sum(col("v")).as("rev"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort").orderBy("widx")
+        weekly
+          .withColumn("cum_rev", sum(col("rev")).over(w))
+          .join(broadcast(cohortSize), "cohort")
+          .select(col("cohort"), col("widx"), dec4(col("rev")).as("rev"),
+            dec4(col("cum_rev")).as("cum_rev"), col("n_users"),
+            r4(col("cum_rev").cast(DoubleType) /
+              col("n_users").cast(DoubleType)).as("ltv_per_user"))
+          .orderBy("cohort", "widx")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT user_id,
+                          MIN(CAST(date_trunc('day', ts) AS DATE)) AS signup_day
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        sc AS (SELECT user_id, signup_day,
+                      signup_day - CAST((((signup_day - DATE '1970-01-05') % 7
+                        + 7) % 7) AS INTEGER) AS cohort
+               FROM s),
+        cs AS (SELECT cohort, COUNT(DISTINCT user_id) AS n_users
+               FROM sc GROUP BY cohort),
+        p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(value AS DECIMAL(12,2)) AS v
+              FROM events WHERE event_type = 'purchase'),
+        weekly AS (SELECT cohort,
+                          CAST(FLOOR((day - signup_day) / 7) AS BIGINT) AS widx,
+                          SUM(v) AS rev
+                   FROM p JOIN sc USING (user_id)
+                   WHERE day >= signup_day
+                   GROUP BY cohort, widx),
+        cum AS (SELECT cohort, widx, rev,
+                       SUM(rev) OVER (PARTITION BY cohort ORDER BY widx)
+                         AS cum_rev
+                FROM weekly)
+        SELECT cohort, widx, CAST(rev AS DOUBLE) AS rev,
+               CAST(cum_rev AS DOUBLE) AS cum_rev, n_users,
+               CAST(ROUND(CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+                    AS DOUBLE) AS ltv_per_user
+        FROM cum JOIN cs USING (cohort)
+        ORDER BY cohort, widx"""))
   )
 }

@@ -137,6 +137,42 @@ class InsightsSpec extends AnyFunSuite {
     rows.foreach { case (_, r97, r98, moved) => assert(moved == r97 - r98) }
   }
 
+  test("user paths: '>' joined prefixes, user counts bounded by the user universe") {
+    val rows = SparkEntry.queries("q_user_paths")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { case (path, n) =>
+      val steps = path.split(">")
+      assert(steps.length >= 1 && steps.length <= 3 &&
+        steps.forall(types.contains), s"malformed path: $path")
+      assert(n > 0)
+    }
+    val nUsers = Tables(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum <= nUsers,
+      "each user contributes exactly one path")
+    // descending count order with path tie-break
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("cohort ltv: cum_rev is non-decreasing per cohort and equals the running sum") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, ws) =>
+      val sorted = ws.sortBy(_._2)
+      var run = 0.0
+      sorted.foreach { case (_, widx, rev, cum, nUsers, ltv) =>
+        run += rev
+        assert(math.abs(cum - run) < 1e-6, s"$cohort w$widx: cum $cum != $run")
+        assert(nUsers > 0)
+        assert(math.abs(ltv - cum / nUsers) < 1e-3)
+      }
+    }
+  }
+
   test("sketched rolling distinct agrees with the exact query day by day") {
     val approx = SparkEntry.queries("q_rolling_distinct_approx")(spark, TestSpark.sf)
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
