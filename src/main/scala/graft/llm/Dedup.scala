@@ -463,7 +463,90 @@ object Dedup {
         SELECT md5(span) AS span_fp, COUNT(DISTINCT doc_id) AS ndocs,
                COUNT(*) AS n_occur, MIN(doc_id) AS first_doc
         FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
-        ORDER BY span_fp""")))
+        ORDER BY span_fp""")),
+
+    // MinHash estimator-quality audit: for every true near-dup pair
+    // (exact Jaccard ≥ 0.05 — the q_dedup_ngram universe), compare the
+    // 16-permutation MinHash estimate (matching mins / 16) against the
+    // exact Jaccard. This is the sketch-calibration query a production
+    // dedup pipeline runs before trusting banding thresholds: E[est] =
+    // jac per permutation, so systematic drift here means a broken hash
+    // family. Permutations use the cross-engine md5-lower-64 convention
+    // (positive 2^53 range) so BOTH engines derive identical signatures.
+    //
+    // Scale shape: signatures are one explode(16) + (doc, seed) hash agg
+    // over the DISTINCT shingle relation (map-side combined; at scale
+    // the MinHashSignature expression computes all 16 in one row pass —
+    // this query keeps the seed-exploded spelling because the oracle
+    // must replicate it exactly); the audited pair set is near-dup-sized,
+    // so the signature join touches pairs × 16 rows, never corpus².
+    "q_dedup_minhash_audit" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.select(col("doc_id").as("da"), col("s"))
+          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+          .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+          .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+          .withColumn("jac", col("c").cast(DoubleType) /
+            (col("na") + col("nb") - col("c")).cast(DoubleType))
+          .filter(col("jac") >= 0.05)
+          .select("da", "db", "jac")
+        val sig = sh
+          .withColumn("seed", explode(sequence(lit(0), lit(15))))
+          .groupBy("doc_id", "seed")
+          .agg(min(shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+            concat(lit("mh"), col("seed").cast(StringType), lit("-"), col("s"))),
+            11)).as("mh"))
+        pairs
+          .join(sig.select(col("doc_id").as("da"), col("seed"),
+            col("mh").as("ma")), "da")
+          .join(sig.select(col("doc_id").as("db"), col("seed"),
+            col("mh").as("mb")), Seq("db", "seed"))
+          .groupBy("da", "db", "jac")
+          .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+            .cast(DoubleType) / 16.0).as("est"))
+          .select(col("da"), col("db"), r4(col("jac")).as("jac"),
+            r4(col("est")).as("est"),
+            r4(abs(col("jac") - col("est"))).as("abs_err"))
+          .orderBy("da", "db")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05),
+        seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        sig AS (SELECT doc_id, seed,
+                       MIN(CAST(md5_number_lower('mh' || seed || '-' || s) >> 11
+                           AS BIGINT)) AS mh
+                FROM sh, seeds GROUP BY doc_id, seed),
+        m AS (SELECT p.da, p.db, p.jac,
+                     SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS hits
+              FROM pairs p
+              JOIN sig a ON a.doc_id = p.da
+              JOIN sig b ON b.doc_id = p.db AND b.seed = a.seed
+              GROUP BY 1, 2, 3)
+        SELECT da, db, CAST(ROUND(jac, 4) AS DOUBLE) AS jac,
+               CAST(ROUND(hits / 16.0, 4) AS DOUBLE) AS est,
+               CAST(ROUND(ABS(jac - hits / 16.0), 4) AS DOUBLE) AS abs_err
+        FROM m ORDER BY da, db""")))
 
   /** Connected components over an undirected edge list `(a, b)` by
     * min-label propagation: every node's label converges to the smallest
