@@ -675,6 +675,94 @@ object Insights {
                CAST(ROUND(CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
                     AS DOUBLE) AS ltv_per_user
         FROM cum JOIN cs USING (cohort)
-        ORDER BY cohort, widx"""))
+        ORDER BY cohort, widx""")),
+
+    // Cumulative unique users over time (the product growth curve):
+    // count of users whose FIRST event is on or before each day. The
+    // classic windowed-count-distinct trap (cumulative DISTINCT per day
+    // re-scans history) collapses to min-day-per-user + one prefix sum —
+    // history is never re-touched.
+    //
+    // Scale shape: one user-keyed hash agg (min day), one day-keyed
+    // count, one cumulative window over the tiny day relation.
+    "q_cumulative_users" -> Q(
+      fn = (s, d) => {
+        val firstDay = Tables(s, d, "events")
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("day"))
+        val newPerDay = firstDay.groupBy("day")
+          .agg(count(lit(1)).as("new_users"))
+        newPerDay
+          .withColumn("cum_users",
+            sum(col("new_users")).over(
+              org.apache.spark.sql.expressions.Window.orderBy("day")))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT user_id,
+                          MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+                   FROM events GROUP BY user_id),
+        n AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        FROM n ORDER BY day""")),
+
+    // Revenue bridge (price/volume decomposition, the FP&A waterfall):
+    // per-brand Δrevenue 1997→1998 split into volume effect (Δq·p0) and
+    // price effect (Δp·q1), which sum EXACTLY to the delta by
+    // construction ((q1−q0)p0 + (p1−p0)q1 = q1p1 − q0p0). Quantities and
+    // revenues are exact decimals; the per-brand effects are single
+    // scalar expressions over them, identically parenthesized in the
+    // oracle.
+    //
+    // Scale shape: ONE fact pass to per-(brand, year) decimal partials
+    // (dim broadcast); everything after is 25-row arithmetic.
+    "q_revenue_bridge" -> Q(
+      fn = (s, d) => {
+        val dim = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val byYear = Tables(s, d, "lineitem")
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+          .agg(sum(dec2(col("l_quantity"))).as("q"), sum(revenue).as("rev"))
+        val y0 = byYear.filter(col("yr") === 1997)
+          .select(col("p_brand"), col("q").as("q0"), col("rev").as("rev0"))
+        val y1 = byYear.filter(col("yr") === 1998)
+          .select(col("p_brand"), col("q").as("q1"), col("rev").as("rev1"))
+        val p0 = col("rev0").cast(DoubleType) / col("q0").cast(DoubleType)
+        val p1 = col("rev1").cast(DoubleType) / col("q1").cast(DoubleType)
+        y0.join(y1, "p_brand")
+          .select(col("p_brand"),
+            dec4(col("rev0")).as("rev_1997"), dec4(col("rev1")).as("rev_1998"),
+            r4(col("rev1").cast(DoubleType) - col("rev0").cast(DoubleType))
+              .as("delta"),
+            r4((col("q1").cast(DoubleType) - col("q0").cast(DoubleType)) * p0)
+              .as("volume_effect"),
+            r4((p1 - p0) * col("q1").cast(DoubleType)).as("price_effect"))
+          .orderBy("p_brand")
+      },
+      oracle = Some(s"""
+        WITH by_year AS (
+          SELECT p_brand, year(l_shipdate) AS yr,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q,
+                 SUM(${revenueSql}) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) IN (1997, 1998)
+          GROUP BY p_brand, year(l_shipdate)),
+        y0 AS (SELECT p_brand, q AS q0, rev AS rev0 FROM by_year WHERE yr = 1997),
+        y1 AS (SELECT p_brand, q AS q1, rev AS rev1 FROM by_year WHERE yr = 1998)
+        SELECT p_brand,
+               CAST(rev0 AS DOUBLE) AS rev_1997,
+               CAST(rev1 AS DOUBLE) AS rev_1998,
+               CAST(ROUND(CAST(rev1 AS DOUBLE) - CAST(rev0 AS DOUBLE), 4)
+                    AS DOUBLE) AS delta,
+               CAST(ROUND((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)) *
+                          (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 4)
+                    AS DOUBLE) AS volume_effect,
+               CAST(ROUND((CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE) -
+                           CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)) *
+                          CAST(q1 AS DOUBLE), 4) AS DOUBLE) AS price_effect
+        FROM y0 JOIN y1 USING (p_brand)
+        ORDER BY p_brand"""))
   )
 }

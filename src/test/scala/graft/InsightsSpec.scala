@@ -173,6 +173,32 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative users: monotone, final value = total distinct users") {
+    val rows = SparkEntry.queries("q_cumulative_users")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    var run = 0L
+    rows.foreach { case (_, nu, cum) =>
+      run += nu
+      assert(cum == run, s"cumulative must equal the running sum: $cum != $run")
+    }
+    val total = Tables(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.last._3 == total)
+  }
+
+  test("revenue bridge: volume + price effects reconstruct the delta exactly per brand") {
+    val rows = SparkEntry.queries("q_revenue_bridge")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 25)
+    rows.foreach { case (brand, delta, vol, price) =>
+      // (q1-q0)p0 + (p1-p0)q1 == q1p1 - q0p0 algebraically; r4 rounding
+      // of the three emitted values bounds the residual
+      assert(math.abs(vol + price - delta) < 2e-3,
+        s"$brand: $vol + $price != $delta")
+    }
+  }
+
   test("sketched rolling distinct agrees with the exact query day by day") {
     val approx = SparkEntry.queries("q_rolling_distinct_approx")(spark, TestSpark.sf)
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
