@@ -858,5 +858,34 @@ object TextAnalysis {
                CAST(ROUND(CAST(COALESCE(oov_tokens, 0) AS DOUBLE)
                  / total_tokens, 4) AS DOUBLE) AS oov_rate
         FROM totals LEFT JOIN oov ON totals.lang = oov.lang
-        ORDER BY totals.lang""")))
+        ORDER BY totals.lang""")),
+
+    // Language-ID confusion matrix + per-language recall — the quality
+    // audit OF q_text_langid (per-doc predictions are useless operationally
+    // until aggregated into "which languages does the classifier confuse").
+    // One corpus pass to (lang, predicted) cells; recall divides by the
+    // broadcast row margin. Cells and margins are exact longs; recall is
+    // one division, r4.
+    "q_lang_confusion" -> Q(
+      fn = (s, d) => {
+        val cells = Tables(s, d, "documents")
+          .groupBy(col("lang"), predictedLang.as("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val rowm = cells.groupBy("lang").agg(sum(col("n")).as("row_n"))
+        cells.join(broadcast(rowm), "lang")
+          .select(col("lang"), col("predicted"), col("n"),
+            graft.Q.r4(col("n").cast(DoubleType) / col("row_n").cast(DoubleType))
+              .as("recall"))
+          .orderBy("lang", "predicted")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT lang, $langCaseSql AS predicted FROM documents),
+        cells AS (SELECT lang, predicted, COUNT(*) AS n
+                  FROM p GROUP BY lang, predicted),
+        rowm AS (SELECT lang, SUM(n) AS row_n FROM cells GROUP BY lang)
+        SELECT lang, predicted, CAST(n AS BIGINT) AS n,
+               CAST(ROUND(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 4)
+                    AS DOUBLE) AS recall
+        FROM cells JOIN rowm USING (lang)
+        ORDER BY lang, predicted""")))
 }

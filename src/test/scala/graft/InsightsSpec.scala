@@ -199,6 +199,23 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang confusion: recalls sum to 1 per language; diagonal agrees with q_text_langid hits") {
+    val rows = SparkEntry.queries("q_lang_confusion")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-2, s"$lang: recalls sum to $s")
+    }
+    val diag = rows.filter(r => r._1 == r._2).map(r => r._1 -> r._3).toMap
+    val hits = SparkEntry.queries("q_text_langid")(spark, TestSpark.sf)
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("hit"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hits.foreach { case (lang, h) =>
+      assert(diag.getOrElse(lang, 0L) == h, s"$lang: diagonal != per-doc hits")
+    }
+  }
+
   test("sketched rolling distinct agrees with the exact query day by day") {
     val approx = SparkEntry.queries("q_rolling_distinct_approx")(spark, TestSpark.sf)
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
