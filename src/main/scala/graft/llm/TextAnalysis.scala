@@ -30,13 +30,27 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Deterministic argmax over marker scores, ties broken by declaration
-    * order (en > de > es > fr > zh) — identical CASE chain in the oracle. */
-  private def predictedLang: Column = {
-    val scored = markers.map { case (lang, words) => (lang, markerScore(words)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und")) { case ((lang, score), acc) =>
-      when(score === best, lang).otherwise(acc)
+    * order (en > de > es > fr > zh) — identical CASE chain in the oracle.
+    *
+    * Two-level shape ON PURPOSE: the five `size(filter(split(text)))`
+    * scores land in a lower projection and the CASE/greatest argmax above
+    * references them as plain ATTRIBUTES. Inlining the scores into the CASE
+    * chain (the pre-r7 shape) re-evaluates each score up to 6× per row —
+    * every `when` arm carries its own copy of the full 5-way `greatest` —
+    * which benched q_lang_confusion at 3-6 s vs 0.3 s for the same logic
+    * evaluated once. CollapseProject keeps the split because non-cheap
+    * aliases referenced more than once are not collapsed.
+    */
+  private def withPredicted(df: DataFrame): DataFrame = {
+    val scored = df.select(col("*") +:
+      markers.map { case (lang, words) => markerScore(words).as(s"_s_$lang") }: _*)
+    val best = markers.map { case (l, _) => col(s"_s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val predicted = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"_s_$lang") === best, lang).otherwise(acc)
     }
+    scored.withColumn("predicted", predicted)
+      .drop(markers.map { case (l, _) => s"_s_$l" }: _*)
   }
 
   private def langCaseSql: String = {
@@ -162,8 +176,8 @@ object TextAnalysis {
 
     "q_text_langid" -> Q(
       fn = (s, d) =>
-        Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), predictedLang.as("predicted"))
+        withPredicted(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"), col("predicted"))
           .withColumn("hit", (col("predicted") === col("lang")).cast(LongType))
           .orderBy("doc_id"),
       oracle = Some(s"""
@@ -863,19 +877,21 @@ object TextAnalysis {
     // Language-ID confusion matrix + per-language recall — the quality
     // audit OF q_text_langid (per-doc predictions are useless operationally
     // until aggregated into "which languages does the classifier confuse").
-    // One corpus pass to (lang, predicted) cells; recall divides by the
-    // broadcast row margin. Cells and margins are exact longs; recall is
-    // one division, r4.
+    // ONE corpus pass to (lang, predicted) cells; the row margin is a
+    // window over the tiny cells relation (|langs|×|langs+1| rows), so the
+    // expensive classify+aggregate never re-executes (the pre-r7 join shape
+    // consumed `cells` twice — two full corpus passes). Cells and margins
+    // are exact longs; recall is one division, r4.
     "q_lang_confusion" -> Q(
       fn = (s, d) => {
-        val cells = Tables(s, d, "documents")
-          .groupBy(col("lang"), predictedLang.as("predicted"))
+        val cells = withPredicted(Tables(s, d, "documents"))
+          .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
-        val rowm = cells.groupBy("lang").agg(sum(col("n")).as("row_n"))
-        cells.join(broadcast(rowm), "lang")
+        val rowm = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        cells
           .select(col("lang"), col("predicted"), col("n"),
-            graft.Q.r4(col("n").cast(DoubleType) / col("row_n").cast(DoubleType))
-              .as("recall"))
+            graft.Q.r4(col("n").cast(DoubleType) /
+              sum(col("n")).over(rowm).cast(DoubleType)).as("recall"))
           .orderBy("lang", "predicted")
       },
       oracle = Some(s"""
