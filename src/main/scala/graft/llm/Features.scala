@@ -197,6 +197,79 @@ object Features {
                FROM ix)
         SELECT shingle, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         FROM sh GROUP BY shingle
-        ORDER BY tf DESC, shingle LIMIT 30"""))
+        ORDER BY tf DESC, shingle LIMIT 30""")),
+
+    // Johnson–Lindenstrauss random projection: 64-dim embeddings → 8
+    // dims through a deterministic ±1 sign matrix (Achlioptas 2003 —
+    // database-friendly projections; sign(i,j) derives from
+    // md5-lower-64 of "proj-i-j", so the matrix needs no storage, no
+    // broadcast of learned state, and regenerates identically anywhere).
+    // The dimensionality-reduction front door for the ANN family: cuts
+    // index build cost ~8× while approximately preserving distances.
+    //
+    // Determinism: inputs quantize to integers (floor(x·1e6) — float→
+    // double cast and the multiply are IEEE-identical cross-engine), so
+    // every projection is an exact BIGINT dot product EMITTED IN
+    // MICRO-UNITS — no float leaves the query. (A /1e6 + round(4) emission
+    // was tried first and hit a genuine half-way case: micro-unit sums
+    // ending in …50 sit exactly on the 4dp rounding boundary, where the
+    // engines' ROUND need not agree.) Scale shape: posexplode + ONE
+    // map-side-combined hash agg keyed by vec_id; the 64×8 sign matrix
+    // joins as a broadcast — no corpus shuffle beyond the vec_id agg.
+    "q_embed_project" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val K = 8
+        val signs = s.range(64).toDF("j").crossJoin(s.range(K).toDF("i"))
+          .select(col("j"), col("i"),
+            ((shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+              concat(lit("proj-"), col("i").cast(StringType), lit("-"),
+                col("j").cast(StringType))), 11) % 2) * 2 - 1).as("sgn"))
+        val ex = Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"),
+            floor(col("x").cast(DoubleType) * 1e6).cast(LongType).as("xi"))
+        val ys = (0 until K).map(i =>
+          sum(when(col("i") === i, col("sgn") * col("xi")).otherwise(0L))
+            .as(s"y${i}_u"))
+        ex.join(broadcast(signs), "j")
+          .groupBy("vec_id")
+          .agg(ys.head, ys.tail: _*)
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT vec_id, unnest(range(len(embedding))) AS j,
+                 unnest(embedding) AS x
+          FROM embeddings),
+        xi AS (
+          SELECT vec_id, j,
+                 CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+          FROM x),
+        signs AS (
+          SELECT j.j, i.i,
+                 (CAST(md5_number_lower(
+                    'proj-' || i.i || '-' || j.j) >> 11 AS BIGINT) % 2)
+                   * 2 - 1 AS sgn
+          FROM range(64) j(j), range(8) i(i))
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN i = 0 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y0_u,
+               CAST(SUM(CASE WHEN i = 1 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y1_u,
+               CAST(SUM(CASE WHEN i = 2 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y2_u,
+               CAST(SUM(CASE WHEN i = 3 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y3_u,
+               CAST(SUM(CASE WHEN i = 4 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y4_u,
+               CAST(SUM(CASE WHEN i = 5 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y5_u,
+               CAST(SUM(CASE WHEN i = 6 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y6_u,
+               CAST(SUM(CASE WHEN i = 7 THEN sgn * xi ELSE 0 END)
+                 AS BIGINT) AS y7_u
+        FROM xi JOIN signs ON xi.j = signs.j
+        GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

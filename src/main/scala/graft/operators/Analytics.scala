@@ -684,5 +684,83 @@ object Analytics {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 20 AND 30)""")))
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // Largest-remainder proportional allocation: distribute each order's
+    // total (in exact cents) across its line items proportional to
+    // quantity, with the rounding leftover going one cent at a time to the
+    // largest fractional remainders — the classic finance-ETL primitive
+    // (tax/ship/discount spreading) where the per-order cent sum MUST
+    // reconcile exactly. Everything is BIGINT arithmetic: base share is
+    // integer `div`, the remainder rank is `mod`, so the allocation is
+    // bit-identical cross-engine with no floating point anywhere.
+    //
+    // Scale shape: one hash exchange on l_orderkey shared by the
+    // orders join and every window (all are order-partitioned); per-order
+    // work is bounded by lines-per-order, never corpus-sized. Ties in the
+    // remainder rank break on the Q.liKey suffix (the verified-unique
+    // lineitem ordering), so row_number is deterministic.
+    "q_allocation" -> Q(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_shipdate"),
+            col("l_quantity").cast(LongType).as("qn"))
+        val ord = Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            (dec2(col("o_totalprice")) * 100).cast(LongType).as("t_cents"))
+        val part = Window.partitionBy("l_orderkey")
+        val rankW = Window.partitionBy("l_orderkey")
+          .orderBy(col("rem").desc, col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_shipdate"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("q_tot", sum(col("qn")).over(part))
+          .withColumn("base", expr("t_cents * qn div q_tot"))
+          .withColumn("rem", expr("(t_cents * qn) % q_tot"))
+          .withColumn("leftover", col("t_cents") - sum(col("base")).over(part))
+          .withColumn("rn", row_number().over(rankW))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_shipdate"),
+            (col("base") +
+              when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+              .as("alloc_cents"))
+          .orderBy(liKey: _*)
+      },
+      oracle = Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                 l_extendedprice, l_shipdate,
+                 CAST(l_quantity AS BIGINT) AS qn
+          FROM lineitem),
+        o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS t_cents
+          FROM orders),
+        w AS (
+          SELECT li.*, t_cents,
+                 SUM(qn) OVER (PARTITION BY l_orderkey) AS q_tot
+          FROM li JOIN o ON l_orderkey = o_orderkey),
+        b AS (
+          SELECT *,
+                 (t_cents * qn) // q_tot AS base,
+                 (t_cents * qn) % q_tot AS rem
+          FROM w),
+        r AS (
+          SELECT *,
+                 t_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+                   AS leftover,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber, l_partkey, l_suppkey,
+                            l_quantity, l_extendedprice, l_shipdate) AS rn
+          FROM b)
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+               l_extendedprice, l_shipdate,
+               CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
+        FROM r
+        ORDER BY $liKeySql""")))
 }

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Event-time windowing in batch mode (SURVEY.md §2.4). The exact same
   * `window()` / `session_window()` expressions run unchanged under
@@ -432,5 +432,76 @@ object EventTime {
         runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
         SELECT user_id, COUNT(*) AS n_islands,
                CAST(MAX(len) AS BIGINT) AS longest_run
-        FROM runs GROUP BY user_id ORDER BY user_id""")))
+        FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    // Interval coalescing: each event opens a 10-minute activity interval
+    // [ts, ts+10min); overlapping/touching intervals per user merge into
+    // maximal covered spans (the "union of intervals" primitive behind
+    // billing sessions, on-call coverage, and machine-uptime rollups).
+    // Unlike q_window_islands (day-granular runs) this merges on the raw
+    // timeline with arbitrary overlap. A span break happens exactly where
+    // an interval starts AFTER the running max of every earlier interval's
+    // end — a prefix-max window, no self-join.
+    //
+    // Scale shape: ONE exchange, hash-partitioned by user_id, shared by
+    // the window pass and both aggregations (all are user-keyed); the sort
+    // is per-user event count. All arithmetic on epoch-ms longs — exact.
+    "q_interval_merge" -> Q(
+      fn = (s, d) => {
+        val iv = 600000L // 10-minute activity interval, ms
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts").cast(TimestampType)).as("start_ms"))
+          .withColumn("end_ms", col("start_ms") + lit(iv))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("start_ms"), col("event_id"))
+        val spans = e
+          .withColumn("prev_end",
+            max(col("end_ms")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("prev_end").isNull ||
+              col("start_ms") > col("prev_end"), 1L).otherwise(0L))
+          .withColumn("span_id",
+            sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("span_id"))
+          .agg(min(col("start_ms")).as("s"), max(col("end_ms")).as("t"))
+        spans.groupBy("user_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("t") - col("s")).as("covered_ms"),
+            max(col("t") - col("s")).as("longest_ms"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_ms(date_trunc('milliseconds', ts)) AS start_ms,
+                 epoch_ms(date_trunc('milliseconds', ts)) + 600000 AS end_ms
+          FROM events),
+        marked AS (
+          SELECT user_id, start_ms, end_ms,
+                 CASE WHEN MAX(end_ms) OVER
+                        (PARTITION BY user_id ORDER BY start_ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                   OR start_ms > MAX(end_ms) OVER
+                        (PARTITION BY user_id ORDER BY start_ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk,
+                 event_id
+          FROM e),
+        numbered AS (
+          SELECT user_id, start_ms, end_ms,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY start_ms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS span_id
+          FROM marked),
+        spans AS (
+          SELECT user_id, span_id,
+                 MIN(start_ms) AS s, MAX(end_ms) AS t
+          FROM numbered GROUP BY user_id, span_id)
+        SELECT user_id, COUNT(*) AS n_spans,
+               CAST(SUM(t - s) AS BIGINT) AS covered_ms,
+               CAST(MAX(t - s) AS BIGINT) AS longest_ms
+        FROM spans GROUP BY user_id ORDER BY user_id""")))
 }

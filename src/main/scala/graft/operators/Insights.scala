@@ -763,6 +763,152 @@ object Insights {
                            CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)) *
                           CAST(q1 AS DOUBLE), 4) AS DOUBLE) AS price_effect
         FROM y0 JOIN y1 USING (p_brand)
-        ORDER BY p_brand"""))
+        ORDER BY p_brand""")),
+
+    // Kaplan–Meier survival estimate over user lifetimes: a user's
+    // duration is hours between first and last event; a user whose last
+    // event is >1 day before the observation-window end is a CHURN event,
+    // anyone still active at the boundary is right-CENSORED (the standard
+    // product-analytics retention curve, with censoring done properly
+    // instead of treating still-active users as churned).
+    // S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over event times.
+    //
+    // Scale shape: the only fact-sized operation is ONE user-keyed
+    // min/max aggregation — and exactly one: the per-user relation is
+    // consumed twice (window-end max + life table), so it's materialized
+    // via runScopedCheckpoint rather than re-executing the corpus scan
+    // (the q_graph_degree re-execution defect class). The life table and
+    // the product-limit windows run over duration cardinality (bounded by
+    // the observation window in hours, not the corpus). Counts are exact
+    // longs; n_risk is a reverse-cumulative long subtraction; only the
+    // survival product goes through exp∘Σln (the one float chain, emitted
+    // r4 — the q_text_lm_score transcendental convention).
+    "q_kaplan_meier" -> Q(
+      fn = (s, d) => {
+        val u = Tables.runScopedCheckpoint("q_kaplan_meier.u",
+          Tables(s, d, "events")
+            .select(col("user_id"),
+              unix_millis(col("ts").cast(TimestampType)).as("ms"))
+            .groupBy("user_id")
+            .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms")))
+        val wend = u.agg(max(col("last_ms")).as("wend_ms"))
+        val byDur = u.crossJoin(broadcast(wend))
+          .select(expr("(last_ms - first_ms) div 3600000").as("dur_h"),
+            when(col("last_ms") < col("wend_ms") - lit(86400000L), 1L)
+              .otherwise(0L).as("observed"))
+          .groupBy("dur_h")
+          .agg(sum(col("observed")).as("d"),
+            (count(lit(1)) - sum(col("observed"))).as("c"))
+        val ord = Window.orderBy("dur_h")
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = ord.rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        byDur
+          .withColumn("n_risk",
+            sum(col("d") + col("c")).over(wTot) -
+              coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("survival",
+            r4(exp(sum(log(lit(1.0) -
+              col("d").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+              .over(wCum))))
+          .select(col("dur_h"), col("d").as("n_events"),
+            col("c").as("n_censored"), col("n_risk"), col("survival"))
+          .orderBy("dur_h")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms
+          FROM events),
+        u AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms
+              FROM e GROUP BY user_id),
+        w AS (SELECT MAX(last_ms) AS wend_ms FROM u),
+        per AS (
+          SELECT (last_ms - first_ms) // 3600000 AS dur_h,
+                 CASE WHEN last_ms < wend_ms - 86400000 THEN 1 ELSE 0 END
+                   AS observed
+          FROM u, w),
+        bd AS (SELECT dur_h, SUM(observed) AS d,
+                      COUNT(*) - SUM(observed) AS c
+               FROM per GROUP BY dur_h),
+        r AS (
+          SELECT dur_h, d, c,
+                 SUM(d + c) OVER () -
+                   COALESCE(SUM(d + c) OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM bd)
+        SELECT dur_h, CAST(d AS BIGINT) AS n_events,
+               CAST(c AS BIGINT) AS n_censored,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(ROUND(EXP(SUM(LN(1.0 -
+                 CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                 OVER (ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+                 AS DOUBLE) AS survival
+        FROM r ORDER BY dur_h""")),
+
+    // Per-group five-number summary + Tukey outlier count (the boxplot
+    // the BI layer draws): quartiles, IQR, 1.5·IQR whisker fences and how
+    // many rows fall outside them, per language over document length.
+    //
+    // Inherently two passes — the fences are order statistics, so the
+    // outlier count can't be known until the quartiles are: pass 1 is a
+    // per-lang hash agg to quartiles (map-side combined, group-cardinality
+    // output), pass 2 re-scans with the 5-row fence relation BROADCAST
+    // and counts fence violations in a second hash agg. No sort of the
+    // corpus, no window over it. Quartile interpolation is a + f·(b−a) on
+    // integer order statistics with f ∈ {0, ¼, ½, ¾} — exact in doubles,
+    // identical to DuckDB quantile_cont (the q_agg_percentile precedent).
+    "q_boxplot" -> Q(
+      fn = (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val fences = docs.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(n_chars, 0.25)").as("q1"),
+            expr("percentile(n_chars, 0.5)").as("median"),
+            expr("percentile(n_chars, 0.75)").as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+          .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+          .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+        docs.select(col("lang"), col("n_chars"))
+          .join(broadcast(fences), "lang")
+          .groupBy("lang")
+          .agg(
+            first(col("n")).as("n"),
+            r4(first(col("q1"))).as("q1"),
+            r4(first(col("median"))).as("median"),
+            r4(first(col("q3"))).as("q3"),
+            r4(first(col("iqr"))).as("iqr"),
+            r4(first(col("lo"))).as("lo_fence"),
+            r4(first(col("hi"))).as("hi_fence"),
+            sum(when(col("n_chars") < col("lo") ||
+              col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT lang, COUNT(*) AS n,
+                 quantile_cont(n_chars, 0.25) AS q1,
+                 quantile_cont(n_chars, 0.5) AS median,
+                 quantile_cont(n_chars, 0.75) AS q3
+          FROM documents GROUP BY lang),
+        fr AS (
+          SELECT lang, n, q1, median, q3, q3 - q1 AS iqr,
+                 q1 - 1.5 * (q3 - q1) AS lo,
+                 q3 + 1.5 * (q3 - q1) AS hi
+          FROM f)
+        SELECT d.lang, MIN(n) AS n,
+               CAST(ROUND(MIN(q1), 4) AS DOUBLE) AS q1,
+               CAST(ROUND(MIN(median), 4) AS DOUBLE) AS median,
+               CAST(ROUND(MIN(q3), 4) AS DOUBLE) AS q3,
+               CAST(ROUND(MIN(iqr), 4) AS DOUBLE) AS iqr,
+               CAST(ROUND(MIN(lo), 4) AS DOUBLE) AS lo_fence,
+               CAST(ROUND(MIN(hi), 4) AS DOUBLE) AS hi_fence,
+               CAST(SUM(CASE WHEN n_chars < lo OR n_chars > hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM documents d JOIN fr ON d.lang = fr.lang
+        GROUP BY d.lang ORDER BY d.lang"""))
   )
 }

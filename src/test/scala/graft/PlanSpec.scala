@@ -573,6 +573,53 @@ class PlanSpec extends AnyFunSuite {
       "cum + totals may scan events at most twice")
   }
 
+  test("q_interval_merge: one events scan, one user_id exchange shared by windows and aggs") {
+    val p = planOf("q_interval_merge")
+    assert(p.split("\\n").count(_.contains("events.parquet")) == 1,
+      "interval coalescing must be a single corpus pass")
+    assert(!p.contains("Join"), "prefix-max span detection must not self-join")
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"windows + both aggs are user-keyed; expected 1 hash exchange, got $hashShuffles")
+  }
+
+  test("q_allocation: single lineitem/orders scans; windows reuse the orderkey exchange") {
+    val p = planOf("q_allocation")
+    assert(p.split("\\n").count(_.contains("lineitem.parquet")) == 1)
+    assert(p.split("\\n").count(_.contains("orders.parquet")) == 1)
+    // every window is order-partitioned: exactly one hash exchange total
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected the single l_orderkey exchange, got $hashShuffles")
+    assert(p.split("\\n").count(_.matches("""\(\d+\) Window.*""")) >= 2,
+      "share + leftover/rank windows missing")
+  }
+
+  test("q_kaplan_meier reads the checkpointed per-user relation — no corpus re-scan") {
+    val p = planOf("q_kaplan_meier")
+    // the events scan happens ONCE at checkpoint materialization; both
+    // consumers (window-end max + life table) must read the RDD
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"expected zero parquet scans in the final plan, saw $scans")
+  }
+
+  test("q_embed_project: one embeddings scan, sign matrix broadcast, one vec_id agg") {
+    val p = planOf("q_embed_project")
+    assert(p.split("\\n").count(_.contains("embeddings.parquet")) == 1,
+      "all 8 projections must come from ONE corpus pass")
+    assert(p.contains("BroadcastHashJoin"), "sign matrix must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "sign join must never shuffle the exploded corpus")
+  }
+
+  test("q_boxplot is the documented two-pass shape: fences broadcast back to the corpus") {
+    val p = planOf("q_boxplot")
+    assert(p.split("\\n").count(_.contains("documents.parquet")) == 2,
+      "order-statistic fences force exactly two corpus passes, no more")
+    assert(p.contains("BroadcastHashJoin"), "fence relation must broadcast")
+    assert(!p.contains("SortMergeJoin"), "fence join must not shuffle the corpus")
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -589,7 +636,9 @@ class PlanSpec extends AnyFunSuite {
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22",
       // 1-row global-aggregate broadcasts (house global-agg idiom)
       "q_ks_test", "q_chisq_independence", "q_psi_drift",
-      "q_target_encoding", "q_rollup_share")
+      "q_target_encoding", "q_rollup_share", "q_kaplan_meier",
+      // 64×8 constant sign-matrix build (range × range, both tiny)
+      "q_embed_project")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
