@@ -440,6 +440,73 @@ object Curation {
                  (a, b) -> a + b) / len(string_split(text, ' ')) > 0.0 AS keep
         FROM documents ORDER BY doc_id""")),
 
+    // Calibration (reliability) audit OF q_quality_classifier: bin the
+    // model logit into 20 equal-width bins and measure, per bin, how often
+    // the rule-based Gopher gate agrees — the curve every production
+    // filter gets checked against before its threshold ships. Per-doc
+    // logits are bit-exact cross-engine (proved by q_quality_classifier's
+    // raw-double hash match), so the floor-binning is deterministic; bin
+    // edges and rates are single exact expressions.
+    //
+    // Scale shape: both the score and the label are map-side column math
+    // over ONE corpus scan; the only exchange carries 20 bin rows.
+    "q_classifier_calibration" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val w = (t: Column) =>
+          shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+            concat(lit("w-"), t)), 11).cast(DoubleType) /
+            lit(4503599627370496.0) - lit(1.0)
+        val logit = aggregate(transform(toks, w), lit(0.0), (acc, x) => acc + x) /
+          size(toks)
+        docs(s, d)
+          .select(
+            least(greatest(floor((logit + lit(0.5)) / lit(0.05)), lit(0.0)),
+              lit(19.0)).cast(LongType).as("bin"),
+            gopherPass(col("n_chars")).cast(LongType).as("label"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pass"))
+          .select(col("bin"),
+            r4(lit(-0.5) + col("bin").cast(DoubleType) * 0.05).as("bin_lo"),
+            col("n"), col("n_pass"),
+            r4(col("n_pass").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("pass_rate"))
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(md5_number_lower('w-' || t) >> 11 AS DOUBLE)
+                          / 4503599627370496.0 - 1.0),
+                   (a, b) -> a + b) / len(string_split(text, ' ')) AS logit,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+                 CAST(len(list_filter(string_split(text, ' '),
+                        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS alpha_frac,
+                 len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a','the','to','of','and','that','with','be')))
+                   AS n_stopwords
+          FROM documents),
+        lb AS (
+          SELECT CAST(LEAST(GREATEST(FLOOR((logit + 0.5) / 0.05), 0), 19)
+                   AS BIGINT) AS bin,
+                 CASE WHEN (n_words BETWEEN 20 AND 100000)
+                       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                       AND alpha_frac >= 0.8 AND n_stopwords >= 2
+                 THEN 1 ELSE 0 END AS label
+          FROM m)
+        SELECT bin,
+               CAST(ROUND(-0.5 + CAST(bin AS DOUBLE) * 0.05, 4) AS DOUBLE)
+                 AS bin_lo,
+               COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pass,
+               CAST(ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+                 AS pass_rate
+        FROM lb GROUP BY bin ORDER BY bin""")),
+
     // ----------------------------------------------------------------
     // URL canonicalization + URL-level dedup (the web-corpus ingest
     // step before any content hashing): deterministic synthetic URLs

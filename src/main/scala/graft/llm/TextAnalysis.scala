@@ -903,5 +903,63 @@ object TextAnalysis {
                CAST(ROUND(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 4)
                     AS DOUBLE) AS recall
         FROM cells JOIN rowm USING (lang)
-        ORDER BY lang, predicted""")))
+        ORDER BY lang, predicted""")),
+
+    // PMI-scored collocations: q_text_cooccur ranks pairs by raw document
+    // co-occurrence, which just surfaces the most frequent tokens; PMI
+    // normalizes by the marginals — ln(P(ab)/(P(a)P(b))) — so what ranks
+    // is genuine ASSOCIATION (the collocation-extraction standard, Church
+    // & Hanks 1990). Support floor ndocs≥5 kills the low-count PMI noise.
+    //
+    // Scale shape: the per-doc distinct-token relation materializes ONCE
+    // (runScopedCheckpoint) and feeds all three consumers — pair counts,
+    // token marginals, corpus size — so documents is never re-scanned;
+    // the marginals broadcast to the pair relation. PMI's argument is an
+    // exact integer ratio ndocs·N / (df_a·df_b) evaluated in one
+    // division; ln + r4 per the transcendental convention.
+    "q_text_pmi" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val arr = Tables.runScopedCheckpoint("q_text_pmi.arr",
+          Tables(s, d, "documents")
+            .select(col("doc_id"), array_sort(array_distinct(toks)).as("ts")))
+        val dfRel = arr.select(explode(col("ts")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = arr.agg(count(lit(1)).as("n_docs"))
+        val pairs = arr
+          .select(explode(
+            graft.functions.VectorFunctions.tokenPairs(col("ts"))).as("p"))
+          .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") >= 5)
+        pairs
+          .join(broadcast(dfRel.select(col("token").as("ta"),
+            col("df").as("df_a"))), "ta")
+          .join(broadcast(dfRel.select(col("token").as("tb"),
+            col("df").as("df_b"))), "tb")
+          .crossJoin(broadcast(nDocs))
+          .select(col("ta"), col("tb"), col("ndocs"), col("df_a"), col("df_b"),
+            r4(log((col("ndocs") * col("n_docs")).cast(DoubleType) /
+              (col("df_a") * col("df_b")).cast(DoubleType))).as("pmi"))
+          .orderBy(col("pmi").desc, col("ta").asc, col("tb").asc)
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfr AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token),
+        pairs AS (
+          SELECT a.token AS ta, b.token AS tb, COUNT(*) AS ndocs
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY ta, tb HAVING COUNT(*) >= 5)
+        SELECT ta, tb, ndocs, da.df AS df_a, db.df AS df_b,
+               CAST(ROUND(LN(CAST(ndocs * n_docs AS DOUBLE) /
+                 CAST(da.df * db.df AS DOUBLE)), 4) AS DOUBLE) AS pmi
+        FROM pairs
+        JOIN dfr da ON pairs.ta = da.token
+        JOIN dfr db ON pairs.tb = db.token
+        CROSS JOIN n
+        ORDER BY pmi DESC, ta ASC, tb ASC LIMIT 30""")))
 }

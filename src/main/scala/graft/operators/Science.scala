@@ -616,6 +616,122 @@ object Science {
                   POW(var_b / n_b, 2) / (n_b - 1)), 4) AS DOUBLE) AS welch_df
         FROM g ORDER BY event_type""")),
 
+    // One-way ANOVA (F-test) of l_quantity across return-flag groups —
+    // the k-group generalization of q_ab_test's two-sample Welch t.
+    // Sufficient statistics (n, Σx, Σx²) are EXACT: quantities are
+    // integral doubles ≤50, so both sums stay inside 2^53 and the group
+    // partials are order-independent; SSB/SSW/F derive on the 3-row
+    // relation from those exact components (single-expression doubles).
+    //
+    // Scale shape: ONE map-side-combined hash agg over the fact; grand
+    // totals come from a window over the k-row group relation — the
+    // corpus is never re-scanned for the global mean.
+    "q_anova" -> Q(
+      fn = (s, d) => {
+        val g = Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"),
+            sum(col("l_quantity") * col("l_quantity")).as("ss"))
+        val wTot = Window.orderBy("l_returnflag")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val gw = g
+          .withColumn("k", count(lit(1)).over(wTot))
+          .withColumn("nn", sum(col("n")).over(wTot))
+          .withColumn("st", sum(col("s")).over(wTot))
+        gw.agg(
+            first(col("k")).as("k"), first(col("nn")).cast(LongType).as("n"),
+            sum(col("n").cast(DoubleType) *
+              pow(col("s") / col("n") - col("st") / col("nn"), 2)).as("ssb"),
+            sum(col("ss") - col("s") * col("s") / col("n")).as("ssw"))
+          .select(col("k"), col("n"), r4(col("ssb")).as("ssb"),
+            r4(col("ssw")).as("ssw"),
+            r4((col("ssb") / (col("k") - 1)) /
+              (col("ssw") / (col("n") - col("k")))).as("f_stat"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s,
+                 SUM(l_quantity * l_quantity) AS ss
+          FROM lineitem GROUP BY l_returnflag),
+        w AS (
+          SELECT *, COUNT(*) OVER () AS k, SUM(n) OVER () AS nn,
+                 SUM(s) OVER () AS st
+          FROM g),
+        f AS (
+          SELECT MIN(k) AS k, CAST(MIN(nn) AS BIGINT) AS n,
+                 SUM(CAST(n AS DOUBLE) * POW(s / n - st / nn, 2)) AS ssb,
+                 SUM(ss - s * s / n) AS ssw
+          FROM w)
+        SELECT k, n,
+               CAST(ROUND(ssb, 4) AS DOUBLE) AS ssb,
+               CAST(ROUND(ssw, 4) AS DOUBLE) AS ssw,
+               CAST(ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS DOUBLE)
+                 AS f_stat
+        FROM f""")),
+
+    // Mann–Kendall trend test over the daily event-count series (the
+    // nonparametric "is this metric trending" gate — no distribution or
+    // linearity assumption, robust to outliers, the standard pre-check
+    // before fitting any forecast). S = Σ_{i<j} sign(x_j − x_i) with the
+    // tie-corrected normal approximation z = (S∓1)/√Var(S).
+    //
+    // Scale shape: the corpus collapses to the daily rollup FIRST (one
+    // map-side-combined agg); the O(days²) sign comparison runs on the
+    // checkpointed day relation (bounded by the calendar — 30 days = 435
+    // pairs — NOT the corpus; at 10 years it's 6.7M pairs, still trivial).
+    // S, ties and Var numerators are exact longs; z is one √ + division.
+    "q_mk_trend" -> Q(
+      fn = (s, d) => {
+        val daily = Tables.runScopedCheckpoint("q_mk_trend.daily",
+          Tables(s, d, "events")
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("x")))
+        val sStat = daily.as("a")
+          .join(daily.as("b"), col("a.day") < col("b.day"))
+          .agg(sum(signum(col("b.x") - col("a.x"))).cast(LongType).as("s_stat"))
+        val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_corr"), sum(col("t")).as("n"))
+        val varS =
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_corr"))
+            .cast(DoubleType) / 18.0
+        sStat.crossJoin(broadcast(ties))
+          .select(col("n"), col("s_stat"),
+            r4(when(col("s_stat") > 0,
+                (col("s_stat") - 1).cast(DoubleType) / sqrt(varS))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast(DoubleType) / sqrt(varS))
+              .otherwise(lit(0.0))).as("z"),
+            when(col("s_stat") > 0, "increasing")
+              .when(col("s_stat") < 0, "decreasing")
+              .otherwise("no_trend").as("trend"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.day < b.day),
+        t AS (
+          SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_corr,
+                 SUM(t) AS n
+          FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY x)),
+        v AS (
+          SELECT n, s_stat,
+                 CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS DOUBLE) / 18.0
+                   AS var_s
+          FROM s, t)
+        SELECT CAST(n AS BIGINT) AS n, s_stat,
+               CAST(ROUND(CASE
+                 WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                 WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                 ELSE 0.0 END, 4) AS DOUBLE) AS z,
+               CASE WHEN s_stat > 0 THEN 'increasing'
+                    WHEN s_stat < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM v""")),
+
     // Incremental aggregate maintenance (the IVM merge algebra): history
     // partials + a delta batch's partials merge into the refreshed rollup
     // WITHOUT rescanning history — count/sum/min/max merge associatively,

@@ -620,6 +620,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "fence join must not shuffle the corpus")
   }
 
+  test("q_anova aggregates the fact once; grand totals window over the k-row relation") {
+    val p = planOf("q_anova")
+    assert(p.split("\\n").count(_.contains("lineitem.parquet")) == 1,
+      "the global mean must not re-scan the fact")
+    assert(!p.contains("Join"), "ANOVA must not plan a join")
+    assert(p.contains("Window"), "grand totals must come from the tiny-relation window")
+  }
+
+  test("q_mk_trend runs the O(days²) comparison on the checkpointed day relation") {
+    val p = planOf("q_mk_trend")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0,
+      s"S-statistic + tie stats must both read the materialized daily rollup, saw $scans parquet scans")
+  }
+
+  test("q_text_pmi derives pairs, marginals and corpus size from one materialized relation") {
+    val p = planOf("q_text_pmi")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0,
+      s"documents must be scanned only at checkpoint time, saw $scans parquet scans in the final plan")
+    assert(p.contains("BroadcastHashJoin"), "marginals must broadcast to the pair relation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the pair relation must not shuffle for the marginal joins")
+  }
+
+  test("q_classifier_calibration is one scan, one 20-row aggregate — score and label map-side") {
+    val p = planOf("q_classifier_calibration")
+    assert(p.split("\\n").count(_.contains("documents.parquet")) == 1)
+    assert(!p.contains("Join"), "label and score must come from the same pass")
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -638,7 +669,10 @@ class PlanSpec extends AnyFunSuite {
       "q_ks_test", "q_chisq_independence", "q_psi_drift",
       "q_target_encoding", "q_rollup_share", "q_kaplan_meier",
       // 64×8 constant sign-matrix build (range × range, both tiny)
-      "q_embed_project")
+      "q_embed_project",
+      // checkpointed day-relation inequality self-join (calendar-bounded)
+      // + 1-row tie-stats broadcast / 1-row corpus-size broadcast
+      "q_mk_trend", "q_text_pmi")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
