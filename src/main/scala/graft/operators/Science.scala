@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -731,6 +732,168 @@ object Science {
                     WHEN s_stat < 0 THEN 'decreasing'
                     ELSE 'no_trend' END AS trend
         FROM v""")),
+
+    // Theil–Sen slope: median of all pairwise slopes over the daily
+    // series — q_mk_trend says WHETHER the metric trends; this says HOW
+    // FAST, robustly (up to 29% contamination breaks down an OLS slope,
+    // Sen's estimator shrugs it off). Intercept is the standard
+    // median(x − slope·t). Slopes are single divisions of exact integer
+    // deltas; both medians interpolate exact values (quantile_cont
+    // arithmetic, identical cross-engine); the slope is rounded BEFORE
+    // the intercept pass so both engines feed the same number in.
+    //
+    // Scale shape: same as q_mk_trend — corpus → daily rollup once,
+    // checkpointed; O(days²) pairs and the intercept both read the
+    // materialized day relation.
+    "q_theil_sen" -> Q(
+      fn = (s, d) => {
+        val daily = Tables.runScopedCheckpoint("q_theil_sen.daily",
+          Tables(s, d, "events")
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("x"))
+            .withColumn("dayno",
+              datediff(col("day"), lit("1970-01-01").cast(DateType))))
+        val sen = daily.as("a")
+          .join(daily.as("b"), col("a.dayno") < col("b.dayno"))
+          .select(((col("b.x") - col("a.x")).cast(DoubleType) /
+            (col("b.dayno") - col("a.dayno")).cast(DoubleType)).as("slope"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("percentile(slope, 0.5)").as("sen_raw"))
+          .select(col("n_pairs"), r4(col("sen_raw")).as("sen_slope"))
+        daily.crossJoin(broadcast(sen))
+          .agg(count(lit(1)).as("n_days"),
+            first(col("n_pairs")).as("n_pairs"),
+            first(col("sen_slope")).as("sen_slope"),
+            r4(expr("percentile(x - sen_slope * dayno, 0.5)")).as("intercept"))
+          .select(col("n_days"), col("n_pairs"), col("sen_slope"),
+            col("intercept"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dayno
+          FROM events GROUP BY 1, 3),
+        sen AS (
+          SELECT COUNT(*) AS n_pairs,
+                 CAST(ROUND(quantile_cont(
+                   CAST(b.x - a.x AS DOUBLE) /
+                   CAST(b.dayno - a.dayno AS DOUBLE), 0.5), 4) AS DOUBLE)
+                   AS sen_slope
+          FROM daily a JOIN daily b ON a.dayno < b.dayno),
+        i AS (
+          SELECT s.n_pairs, s.sen_slope, COUNT(*) AS n_days,
+                 quantile_cont(x - s.sen_slope * dayno, 0.5) AS v
+          FROM daily, sen s GROUP BY s.n_pairs, s.sen_slope)
+        SELECT n_days, n_pairs, sen_slope,
+               CAST(ROUND(v, 4) AS DOUBLE) AS intercept
+        FROM i""")),
+
+    // Poisson-bootstrap confidence interval for the per-event-type mean
+    // value — THE web-scale resampling method (each row draws its
+    // multiplicity per replicate independently, so the bootstrap runs as
+    // a streaming aggregation with no corpus-sized resample
+    // materialization; Chamandy et al. 2012). 64 replicates; weights are
+    // inverse-CDF Poisson(1) draws from a cross-engine-exact uniform
+    // (md5-lower-64 of the unique event_id, LCG-mixed per replicate in
+    // exact BIGINT range — no overflow on either engine).
+    //
+    // Determinism: values quantize to exact cent longs (floor(v·100) —
+    // IEEE-identical), so every replicate sum is an exact integer and
+    // each replicate mean is ONE division; the CI bounds interpolate 64
+    // exact ratios. Scale shape: the 64× expansion happens MAP-SIDE
+    // (explode feeding a map-side-combined agg) — the exchange carries
+    // |event_type|×64 partial rows, never the corpus; the point-estimate
+    // pass is a second map-side agg (documented two-scan, the q_boxplot
+    // convention).
+    "q_bootstrap_ci" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val R = 64
+        // Poisson(1) inverse CDF: cumulative e⁻¹·Σ1/k! thresholds
+        def pois(u: Column): Column =
+          when(u < 0.36787944117144233, 0L)
+            .when(u < 0.7357588823428847, 1L)
+            .when(u < 0.9196986029286059, 2L)
+            .when(u < 0.9810118431238463, 3L)
+            .when(u < 0.9963401531726563, 4L)
+            .when(u < 0.9994058151824183, 5L)
+            .when(u < 0.9999167588507119, 6L)
+            .otherwise(7L)
+        def base = Tables(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("v"),
+            shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+              concat(lit("boot-"), col("event_id").cast(StringType))), 11)
+              .as("h"))
+        val reps = base
+          .select(col("event_type"), col("v"), col("h"),
+            explode(sequence(lit(0), lit(R - 1))).as("rep"))
+          .withColumn("u",
+            ((col("h") + col("rep") * lit(2654435761L)) %
+              lit(9007199254740992L)).cast(DoubleType) /
+              lit(9007199254740992.0))
+          .withColumn("w", pois(col("u")))
+          .groupBy("event_type", "rep")
+          .agg(sum(col("w") * col("v")).as("sv"), sum(col("w")).as("sw"))
+          .select(col("event_type"),
+            (col("sv").cast(DoubleType) / col("sw").cast(DoubleType) /
+              100.0).as("m"))
+          .groupBy("event_type")
+          .agg(expr("percentile(m, 0.025)").as("lo"),
+            expr("percentile(m, 0.975)").as("hi"))
+        base.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("v")).cast(DoubleType) / count(lit(1)) / 100.0)
+              .as("mean_raw"))
+          .join(reps, "event_type")
+          .select(col("event_type"), col("n"), r4(col("mean_raw")).as("mean_v"),
+            r4(col("lo")).as("ci_lo"), r4(col("hi")).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS v,
+                 CAST(md5_number_lower('boot-' || CAST(event_id AS VARCHAR))
+                   >> 11 AS BIGINT) AS h
+          FROM events WHERE value IS NOT NULL),
+        reps AS (
+          SELECT event_type, v, r.rep AS rep,
+                 CAST((h + r.rep * 2654435761) % 9007199254740992 AS DOUBLE)
+                   / 9007199254740992.0 AS u
+          FROM base CROSS JOIN range(64) r(rep)),
+        wts AS (
+          SELECT event_type, rep, v,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286059 THEN 2
+                      WHEN u < 0.9810118431238463 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      WHEN u < 0.9999167588507119 THEN 6
+                      ELSE 7 END AS w
+          FROM reps),
+        m AS (
+          SELECT event_type, rep,
+                 CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
+                   AS m
+          FROM wts GROUP BY event_type, rep),
+        ci AS (
+          SELECT event_type, quantile_cont(m, 0.025) AS lo,
+                 quantile_cont(m, 0.975) AS hi
+          FROM m GROUP BY event_type),
+        pt AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100.0 AS mean_raw
+          FROM base GROUP BY event_type)
+        SELECT pt.event_type, n,
+               CAST(ROUND(mean_raw, 4) AS DOUBLE) AS mean_v,
+               CAST(ROUND(lo, 4) AS DOUBLE) AS ci_lo,
+               CAST(ROUND(hi, 4) AS DOUBLE) AS ci_hi
+        FROM pt JOIN ci ON pt.event_type = ci.event_type
+        ORDER BY pt.event_type""")),
 
     // Incremental aggregate maintenance (the IVM merge algebra): history
     // partials + a delta batch's partials merge into the refreshed rollup

@@ -651,6 +651,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "label and score must come from the same pass")
   }
 
+  test("q_theil_sen pairs and intercept both read the checkpointed day relation") {
+    val p = planOf("q_theil_sen")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"expected zero parquet scans in the final plan, saw $scans")
+  }
+
+  test("q_bootstrap_ci expands replicates map-side; the exchange carries partials") {
+    val p = planOf("q_bootstrap_ci")
+    assert(p.split("\\n").count(_.contains("events.parquet")) == 2,
+      "point estimate + replicate passes: exactly two scans")
+    assert(p.contains("Generate"), "replicate expansion must be a flat-map Generate")
+    // the (event_type, rep) partial aggregate must sit BELOW its exchange
+    // so the corpus×64 expansion never shuffles
+    val lines = p.split("\\n")
+    val gen = lines.indexWhere(_.matches("""\(\d+\) Generate.*"""))
+    val agg = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""), gen)
+    val exch = lines.indexWhere(_.matches("""\(\d+\) Exchange.*"""), gen)
+    assert(gen >= 0 && agg >= 0 && exch >= 0)
+  }
+
   test("fleet invariant: no query plans a cartesian; nested-loop only in the broadcast-tiny set") {
     // The accidental unbounded join is the classic 100-TB killer. Every
     // registered query must plan WITHOUT a shuffle CartesianProduct — no
@@ -672,7 +692,7 @@ class PlanSpec extends AnyFunSuite {
       "q_embed_project",
       // checkpointed day-relation inequality self-join (calendar-bounded)
       // + 1-row tie-stats broadcast / 1-row corpus-size broadcast
-      "q_mk_trend", "q_text_pmi")
+      "q_mk_trend", "q_text_pmi", "q_theil_sen")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
