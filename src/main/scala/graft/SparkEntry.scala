@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TpchMore.qs,
       operators.Science.qs,
       operators.Insights.qs,
+      operators.Inference.qs,
       functions.Scalars.qs,
       llm.TextAnalysis.qs,
       llm.Dedup.qs,
