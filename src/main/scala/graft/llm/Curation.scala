@@ -617,7 +617,47 @@ object Curation {
         SELECT event_type, CAST(n AS BIGINT) AS n,
                CAST(ROUND(n + (CASE WHEN u < 0.5 THEN ln(2.0 * u)
                                     ELSE -ln(2.0 - 2.0 * u) END), 4) AS DOUBLE) AS noisy_n
-        FROM u ORDER BY event_type"""))
+        FROM u ORDER BY event_type""")),
+
+    // Blocklist audit: per-term document frequency and total hit count for
+    // a curated term list, including zero rows for terms the corpus never
+    // contains — the first gate of every content-filter pipeline (and the
+    // report reviewers ask for before approving the list). The list lives
+    // as a RELATION, not a literal isin(): in production the blocklist is
+    // a maintained table, and the broadcast-join shape means updating it
+    // never changes the plan.
+    //
+    // Scale shape: the corpus explodes to tokens MAP-SIDE and the
+    // broadcast inner join discards every non-blocklisted token before the
+    // exchange — the shuffle carries only (term, doc_id) hits (terms are
+    // rare by construction; that's why they're blocked). The LEFT join
+    // restoring zero-count terms touches only the |blocklist|-row side.
+    "q_text_blocklist" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val bl = Seq("slow", "error", "crash", "spark", "deprecated")
+          .toDF("term")
+        val hits = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .join(broadcast(bl), col("token") === col("term"))
+          .groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("hits"))
+        bl.join(hits, Seq("term"), "left")
+          .select(col("term"),
+            coalesce(col("docs"), lit(0L)).as("docs"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+          .orderBy("term")
+      },
+      oracle = Some("""
+        WITH bl AS (SELECT * FROM (VALUES ('slow'), ('error'), ('crash'),
+                      ('spark'), ('deprecated')) t(term)),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+        h AS (SELECT term, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS hits
+              FROM tok JOIN bl ON token = term GROUP BY term)
+        SELECT bl.term, COALESCE(docs, 0) AS docs, COALESCE(hits, 0) AS hits
+        FROM bl LEFT JOIN h USING (term) ORDER BY bl.term"""))
   )
 
   /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on

@@ -332,6 +332,138 @@ object Inference {
                CAST(ROUND(mean_ctrl_post, 4) AS DOUBLE) AS mean_ctrl_post,
                CAST(ROUND((mean_treat_post - mean_treat_pre) -
                  (mean_ctrl_post - mean_ctrl_pre), 4) AS DOUBLE) AS did
-        FROM c"""))
+        FROM c""")),
+
+    // CUPED variance reduction (Deng et al. 2013): adjust each user's
+    // post-period purchase spend by their PRE-period spend — the industry-
+    // standard way to shrink A/B confidence intervals without more
+    // traffic. θ = cov(x,y)/var(x) pooled over all users; the adjusted
+    // arm mean needs NO per-user adjusted values:
+    // mean(y − θ(x − x̄)) over an arm = ȳ_arm − θ(x̄_arm − x̄), so
+    // everything derives from exact per-arm sufficient statistics.
+    //
+    // Determinism: per-user x/y are exact cent longs; arm sums are
+    // DECIMAL(38,0) (cents² crosses BIGINT range once a user's spend
+    // passes ~2^31.5 cents); θ and the means are single-expression
+    // doubles over those exact sums. Scale shape: ONE corpus exchange
+    // (the user rollup); the arm rollup and the 2-row window totals are
+    // user-relation-sized, then constant-sized.
+    "q_cuped" -> Q(
+      fn = (s, d) => {
+        val launch = lit("2024-01-16").cast(TimestampType)
+        val users = Tables(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < launch,
+              (dec2(col("value")) * 100).cast(LongType)).otherwise(0L))
+              .as("x"),
+            sum(when(col("ts") >= launch,
+              (dec2(col("value")) * 100).cast(LongType)).otherwise(0L))
+              .as("y"))
+          .withColumn("treat", col("user_id") % 2 === 0)
+        val arms = users.groupBy("treat").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(Dec38)).as("sx"),
+          sum(col("y").cast(Dec38)).as("sy"),
+          sum(col("x").cast(Dec38) * col("y").cast(Dec38)).as("sxy"),
+          sum(col("x").cast(Dec38) * col("x").cast(Dec38)).as("sxx"))
+        val wT = Window.orderBy("treat")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val theta =
+          (dbl("gn") * dbl("gsxy") - dbl("gsx") * dbl("gsy")) /
+            (dbl("gn") * dbl("gsxx") - dbl("gsx") * dbl("gsx"))
+        arms
+          .withColumn("gn", sum(col("n")).over(wT))
+          .withColumn("gsx", sum(col("sx")).over(wT))
+          .withColumn("gsy", sum(col("sy")).over(wT))
+          .withColumn("gsxy", sum(col("sxy")).over(wT))
+          .withColumn("gsxx", sum(col("sxx")).over(wT))
+          .select(col("treat"), col("n").as("n_users"),
+            r4(dbl("sy") / dbl("n") / 100.0).as("mean_y"),
+            r4((dbl("sy") / dbl("n") - theta *
+              (dbl("sx") / dbl("n") - dbl("gsx") / dbl("gn"))) / 100.0)
+              .as("mean_y_cuped"),
+            r4(theta).as("theta"))
+          .orderBy("treat")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS x,
+                 SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS y,
+                 user_id % 2 = 0 AS treat
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        arms AS (
+          SELECT treat, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM u GROUP BY treat),
+        g AS (
+          SELECT *, SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
+                 SUM(sy) OVER () AS gsy, SUM(sxy) OVER () AS gsxy,
+                 SUM(sxx) OVER () AS gsxx
+          FROM arms),
+        f AS (
+          SELECT treat, n,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS gmx,
+                 (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+                    - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)) /
+                 (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+                    - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta
+          FROM g)
+        SELECT treat, n AS n_users,
+               CAST(ROUND(my / 100.0, 4) AS DOUBLE) AS mean_y,
+               CAST(ROUND((my - theta * (mx - gmx)) / 100.0, 4) AS DOUBLE)
+                 AS mean_y_cuped,
+               CAST(ROUND(theta, 4) AS DOUBLE) AS theta
+        FROM f ORDER BY treat""")),
+
+    // Sample-ratio-mismatch guardrail: before reading ANY experiment
+    // result, check the arms actually split 50/50 — a biased assignment
+    // invalidates q_ab_test/q_did/q_cuped wholesale. One-dof chi-square
+    // against the expected even split, per event type (a per-surface SRM
+    // localizes where the assignment broke): (n_a − n_b)²/(n_a + n_b),
+    // flagged at the α=0.05 critical value 3.8415.
+    //
+    // Determinism: distinct-user counts are exact; chi² is one double
+    // expression over two exact longs. Scale shape: one distinct-expand
+    // aggregation (two-phase countDistinct — partials combine map-side);
+    // the exchange carries (type, user) pairs once, never raw events.
+    "q_srm" -> Q(
+      fn = (s, d) => {
+        val chi2 =
+          pow((col("n_a") - col("n_b")).cast(DoubleType), 2) /
+            (col("n_a") + col("n_b")).cast(DoubleType)
+        Tables(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(when(col("user_id") % 2 === 0, col("user_id")))
+              .as("n_a"),
+            countDistinct(when(col("user_id") % 2 =!= 0, col("user_id")))
+              .as("n_b"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            r4(chi2).as("chi2"), (chi2 > 3.8415).as("srm"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+                 COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+                   AS n_a,
+                 COUNT(DISTINCT CASE WHEN user_id % 2 <> 0 THEN user_id END)
+                   AS n_b
+          FROM events GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+               CAST(ROUND(POW(CAST(n_a - n_b AS DOUBLE), 2) /
+                 CAST(n_a + n_b AS DOUBLE), 4) AS DOUBLE) AS chi2,
+               POW(CAST(n_a - n_b AS DOUBLE), 2) /
+                 CAST(n_a + n_b AS DOUBLE) > 3.8415 AS srm
+        FROM g ORDER BY event_type"""))
   )
 }

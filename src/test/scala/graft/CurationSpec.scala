@@ -138,4 +138,25 @@ class CurationSpec extends AnyFunSuite {
       emailRe, "<EMAIL>"), ipRe, "<IP>").as("r")).head().getString(0)
     assert(red === "reach me at <EMAIL> or <IP>")
   }
+
+  test("q_text_blocklist: zero rows survive for absent terms, counts match brute force, list broadcasts") {
+    val df = run("q_text_blocklist")
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet ==
+      Set("slow", "error", "crash", "spark", "deprecated"))
+    // brute-force recount from the collected corpus
+    Seq("slow", "error", "crash", "spark", "deprecated").foreach { t =>
+      val docs = docTokens.count(_._2.contains(t)).toLong
+      val hits = docTokens.values.map(_.count(_ == t).toLong).sum
+      assert(rows(t) == ((docs, hits)), s"$t: ${rows(t)} vs ($docs, $hits)")
+    }
+    // absent terms MUST still be emitted (the left-join contract)
+    assert(rows("deprecated") == ((0L, 0L)))
+    assert(rows("slow")._2 >= rows("slow")._1 && rows("slow")._1 > 0)
+    // the blocklist relation must broadcast: the corpus-side explode is
+    // filtered map-side before any exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "blocklist probe fell to SMJ")
+  }
 }

@@ -96,6 +96,35 @@ class InferenceSpec extends AnyFunSuite {
     assert(n == ev.count())
   }
 
+  test("q_cuped preserves the pooled mean and shares one corpus exchange") {
+    val rows = SparkEntry.queries("q_cuped")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getBoolean(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == Set(true, false))
+    // CUPED adjusts arms in opposite directions around the pooled mean:
+    // sum n_i * mean_y_cuped_i == sum n_i * mean_y_i (Σ(x - x̄) = 0 pooled)
+    val rawTot = rows.map(r => r._2 * r._3).sum
+    val adjTot = rows.map(r => r._2 * r._4).sum
+    assert(math.abs(rawTot - adjTot) / math.abs(rawTot) < 1e-3,
+      s"CUPED moved the pooled mean: raw $rawTot vs adjusted $adjTot")
+    // corpus exchange (user rollup) + arm rollup exchange; the latter is
+    // map-side combined to 2 partial rows per task, so only the first
+    // moves corpus-proportional bytes
+    assert(hashExchanges("q_cuped") == 2)
+  }
+
+  test("q_srm: chi2 >= 0 and the flag agrees with the 3.8415 critical value") {
+    val rows = SparkEntry.queries("q_srm")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chi2, flag) = (r.getDouble(3), r.getBoolean(4))
+      assert(chi2 >= 0.0)
+      assert(flag == chi2 > 3.8415 ||
+        math.abs(chi2 - 3.8415) < 1e-3, // r4 boundary slack
+        s"${r.getString(0)}: flag $flag inconsistent with chi2 $chi2")
+    }
+  }
+
   test("q_did: the estimator recombines from its own emitted cell means") {
     val r = SparkEntry.queries("q_did")(spark, TestSpark.sf).head()
     val (mtp, mtq) = (r.getDouble(4), r.getDouble(5))
