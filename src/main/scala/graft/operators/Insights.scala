@@ -909,6 +909,221 @@ object Insights {
                CAST(SUM(CASE WHEN n_chars < lo OR n_chars > hi
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM documents d JOIN fr ON d.lang = fr.lang
-        GROUP BY d.lang ORDER BY d.lang"""))
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // Quantile-normalization mapping table (Bolstad et al. 2003 — the
+    // batch-effect corrector): for each language, the decile mapping
+    // raw group quantile → pooled-corpus quantile. Applying it forces
+    // every group onto the pooled length distribution; emitting the
+    // MAPPING (9×|langs| rows) instead of the normalized corpus keeps the
+    // output dimension-sized while exercising the full machinery.
+    //
+    // Determinism: nearest-rank (type-1) quantiles throughout — target
+    // rank k = ⌈d·n/10⌉ in pure integer arithmetic, quantile = min value
+    // with cumulative count ≥ k. No interpolation, no doubles anywhere.
+    //
+    // Scale shape: the corpus collapses ONCE to (lang, n_chars) counts —
+    // every later step (in-group cumsum, pooled rollup, decile explode,
+    // broadcast decile join) runs on that domain-bounded relation. The
+    // pooled cumsum's single-partition window is over DISTINCT VALUES
+    // (bounded by the length domain, not the corpus) — the same
+    // justification as q_ks_test's ECDF window.
+    "q_quantile_normalize" -> Q(
+      fn = (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+        val wg = Window.partitionBy("lang").orderBy("n_chars")
+        val gcum = counts
+          .withColumn("cum", sum(col("c")).over(wg))
+          .withColumn("gn", sum(col("c")).over(
+            Window.partitionBy("lang")
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+        val wp = Window.orderBy("n_chars")
+        val pcum = counts.groupBy("n_chars").agg(sum(col("c")).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nn", sum(col("c")).over(
+            wp.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        val deciles = explode(sequence(lit(1), lit(9))).as("decile")
+        val gq = gcum.select(col("lang"), col("n_chars"), col("cum"),
+            col("gn"), deciles)
+          .filter(col("cum") >= expr("(decile * gn + 9) div 10"))
+          .groupBy("lang", "decile").agg(min(col("n_chars")).as("raw_q"))
+        val pq = pcum.select(col("n_chars"), col("cum"), col("nn"), deciles)
+          .filter(col("cum") >= expr("(decile * nn + 9) div 10"))
+          .groupBy("decile").agg(min(col("n_chars")).as("norm_q"))
+        gq.join(broadcast(pq), "decile")
+          .select(col("lang"), col("decile").cast(LongType).as("decile"),
+            col("raw_q"), col("norm_q"))
+          .orderBy("lang", "decile")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT lang, n_chars, COUNT(*) AS c
+          FROM documents GROUP BY lang, n_chars),
+        gcum AS (
+          SELECT lang, n_chars,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                 SUM(c) OVER (PARTITION BY lang) AS gn
+          FROM counts),
+        pooled AS (
+          SELECT n_chars, SUM(c) AS c FROM counts GROUP BY n_chars),
+        pcum AS (
+          SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum,
+                 SUM(c) OVER () AS nn
+          FROM pooled),
+        gq AS (
+          SELECT lang, d.decile, MIN(n_chars) AS raw_q
+          FROM gcum, (SELECT unnest(range(1, 10)) AS decile) d
+          WHERE cum >= (d.decile * gn + 9) // 10
+          GROUP BY lang, d.decile),
+        pq AS (
+          SELECT d.decile, MIN(n_chars) AS norm_q
+          FROM pcum, (SELECT unnest(range(1, 10)) AS decile) d
+          WHERE cum >= (d.decile * nn + 9) // 10
+          GROUP BY d.decile)
+        SELECT lang, CAST(gq.decile AS BIGINT) AS decile, raw_q, norm_q
+        FROM gq JOIN pq ON gq.decile = pq.decile
+        ORDER BY lang, decile""")),
+
+    // Peak concurrent open orders per month — the classic "max concurrent
+    // intervals" sweep-line, restructured for scale: an order is open from
+    // o_orderdate to its last lineitem shipdate (inclusive). The naive
+    // sweep sorts every interval endpoint globally (unshardable at
+    // 100 TB); here the corpus collapses FIRST to daily net deltas
+    // (+1 open, −1 day after close → one hash agg, calendar-sized), and
+    // the running counter + month peaks run on that bounded relation. The
+    // month peak takes greatest(counter, counter-before-first-change) so
+    // a month whose book only shrinks still reports its entry level — but
+    // only when the pre-change segment actually extends into the month
+    // (a delta on the 1st means the previous level belongs wholly to the
+    // previous month); months with no book changes are not emitted
+    // (documented).
+    //
+    // The corpus does NOT maintain the TPC-H shipdate>=orderdate
+    // constraint (291/1473 orders at sf0.001 have their last shipment
+    // dated before the order) — an inverted interval would subtract from
+    // the counter before ever adding, silently deflating every later
+    // level. Intervals are clamped to close >= open (an order is open at
+    // least its order day) — the standard guard any interval sweep needs
+    // over real-world data.
+    //
+    // Determinism: pure integer counts and date arithmetic end to end.
+    "q_concurrency" -> Q(
+      fn = (s, d) => {
+        val closes = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+        val iv = Tables(s, d, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_day"))
+          .join(closes, col("o_orderkey") === col("l_orderkey"))
+          .withColumn("close_day", greatest(col("close_day"), col("open_day")))
+        val deltas = iv.select(col("open_day").as("day"), lit(1L).as("delta"))
+          .unionAll(iv.select(date_add(col("close_day"), 1).as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("day").agg(sum(col("delta")).as("net"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("open", sum(col("net")).over(wc))
+          .withColumn("month", trunc(col("day"), "month"))
+          .withColumn("pre",
+            when(col("day") > col("month"), col("open") - col("net"))
+              .otherwise(col("open")))
+          .groupBy(col("month"))
+          .agg(max(greatest(col("open"), col("pre"))).as("max_open"))
+          .orderBy("month")
+      },
+      oracle = Some("""
+        WITH closes AS (
+          SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+          FROM lineitem GROUP BY l_orderkey),
+        iv AS (
+          SELECT CAST(o_orderdate AS DATE) AS open_day,
+                 GREATEST(close_day, CAST(o_orderdate AS DATE)) AS close_day
+          FROM orders JOIN closes ON o_orderkey = l_orderkey),
+        deltas AS (
+          SELECT day, SUM(delta) AS net FROM (
+            SELECT open_day AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT close_day + 1 AS day, -1 AS delta FROM iv)
+          GROUP BY day),
+        run AS (
+          SELECT day, net, SUM(net) OVER (ORDER BY day) AS open
+          FROM deltas)
+        SELECT date_trunc('month', day) AS month,
+               CAST(MAX(GREATEST(open,
+                 CASE WHEN day > date_trunc('month', day)
+                      THEN open - net ELSE open END)) AS BIGINT) AS max_open
+        FROM run GROUP BY 1 ORDER BY month""")),
+
+    // Join-cardinality / skew profiler: the report a 100-TB engineer runs
+    // BEFORE a big join — exact output size Σ ca·cb over matched keys,
+    // per-side key counts, match rate, and the per-key multiplicity
+    // maxima that predict stragglers (a max_left_mult in the millions
+    // says "salt this key" — the q_skew_salted prescription). Computed
+    // WITHOUT executing the join: each side collapses to its key rollup
+    // (one exchange each), and the profile joins the two key relations —
+    // cost O(keys), not O(join output).
+    //
+    // Determinism: exact integer counts; products sum as DECIMAL(38,0)
+    // (Σ ca·cb is exactly the quantity that explodes on skewed keys).
+    "q_join_cardinality" -> Q(
+      fn = (s, d) => {
+        def profile(name: String, left: org.apache.spark.sql.DataFrame,
+            lk: String, right: org.apache.spark.sql.DataFrame, rk: String) = {
+          val la = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+          val rb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+          la.join(rb, Seq("k"), "full")
+            .agg(
+              count(col("ca")).as("nkeys_left"),
+              count(col("cb")).as("nkeys_right"),
+              count(when(col("ca").isNotNull && col("cb").isNotNull, 1))
+                .as("matched_keys"),
+              coalesce(sum((col("ca") * col("cb"))
+                .cast(DecimalType(38, 0))), lit(0))
+                .cast(LongType).as("join_rows"),
+              max(col("ca")).as("max_left_mult"),
+              max(col("cb")).as("max_right_mult"))
+            .select(lit(name).as("join_key"), col("*"))
+        }
+        profile("lineitem_orders", Tables(s, d, "lineitem"), "l_orderkey",
+            Tables(s, d, "orders"), "o_orderkey")
+          .unionAll(profile("orders_customer", Tables(s, d, "orders"),
+            "o_custkey", Tables(s, d, "customer"), "c_custkey"))
+          .orderBy("join_key")
+      },
+      oracle = Some("""
+        WITH la1 AS (SELECT l_orderkey AS k, COUNT(*) AS ca
+                     FROM lineitem GROUP BY 1),
+        rb1 AS (SELECT o_orderkey AS k, COUNT(*) AS cb
+                FROM orders GROUP BY 1),
+        la2 AS (SELECT o_custkey AS k, COUNT(*) AS ca
+                FROM orders GROUP BY 1),
+        rb2 AS (SELECT c_custkey AS k, COUNT(*) AS cb
+                FROM customer GROUP BY 1),
+        p1 AS (
+          SELECT 'lineitem_orders' AS join_key,
+                 COUNT(ca) AS nkeys_left, COUNT(cb) AS nkeys_right,
+                 COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                       THEN 1 END) AS matched_keys,
+                 CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL
+                   AND cb IS NOT NULL THEN ca * cb END), 0) AS BIGINT)
+                   AS join_rows,
+                 MAX(ca) AS max_left_mult, MAX(cb) AS max_right_mult
+          FROM la1 FULL JOIN rb1 USING (k)),
+        p2 AS (
+          SELECT 'orders_customer' AS join_key,
+                 COUNT(ca) AS nkeys_left, COUNT(cb) AS nkeys_right,
+                 COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                       THEN 1 END) AS matched_keys,
+                 CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL
+                   AND cb IS NOT NULL THEN ca * cb END), 0) AS BIGINT)
+                   AS join_rows,
+                 MAX(ca) AS max_left_mult, MAX(cb) AS max_right_mult
+          FROM la2 FULL JOIN rb2 USING (k))
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY join_key"""))
   )
 }

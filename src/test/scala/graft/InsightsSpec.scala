@@ -22,6 +22,71 @@ class InsightsSpec extends AnyFunSuite {
     assert(n1 == expected("click") && n2 == expected("purchase"))
   }
 
+  test("q_quantile_normalize: deciles complete, monotone, pooled column group-invariant") {
+    val rows = SparkEntry.queries("q_quantile_normalize")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 9L), s"$lang missing deciles")
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"$lang raw_q not monotone")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"$lang norm_q not monotone")
+    }
+    // the normalized target is the POOLED distribution: identical per decile
+    (1L to 9L).foreach { d =>
+      assert(rows.filter(_._2 == d).map(_._4).distinct.length == 1,
+        s"decile $d norm_q differs across langs")
+    }
+  }
+
+  test("q_concurrency matches a brute-force sweep over collected intervals") {
+    val iv = Tables(spark, TestSpark.sf, "orders")
+      .join(Tables(spark, TestSpark.sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(first(to_date(col("o_orderdate"))).as("open"),
+        max(to_date(col("l_shipdate"))).as("close"))
+      .collect()
+      .map { r =>
+        val (o, c) = (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate)
+        (o, if (c.isBefore(o)) o else c) // the operator's close>=open clamp
+      }
+    // brute force: day-by-day census over the full span
+    val days = Iterator.iterate(iv.map(_._1).min)(_.plusDays(1))
+      .takeWhile(!_.isAfter(iv.map(_._2).max)).toSeq
+    val expected = days.map(day =>
+        (day.withDayOfMonth(1),
+          iv.count(p => !day.isBefore(p._1) && !day.isAfter(p._2)).toLong))
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).max }
+    val got = SparkEntry.queries("q_concurrency")(spark, TestSpark.sf)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    got.foreach { case (m, v) =>
+      assert(expected(m) == v, s"$m: sweep $v vs brute ${expected(m)}")
+    }
+    // every month with a book CHANGE is emitted
+    assert(got.nonEmpty && got.keySet.subsetOf(expected.keySet))
+  }
+
+  test("q_join_cardinality predicts the exact executed join size") {
+    val rows = SparkEntry.queries("q_join_cardinality")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lo = Tables(spark, TestSpark.sf, "lineitem")
+      .join(Tables(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows("lineitem_orders").getLong(4) == lo)
+    val oc = Tables(spark, TestSpark.sf, "orders")
+      .join(Tables(spark, TestSpark.sf, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(rows("orders_customer").getLong(4) == oc)
+    rows.values.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)),
+        "matched keys exceed a side's key count")
+    }
+  }
+
   test("chi-square is non-negative with the right dof, and is ~0 on independent margins") {
     val r = SparkEntry.queries("q_chisq_independence")(spark, TestSpark.sf).head()
     val (chi2, dof) = (r.getDouble(0), r.getLong(1))
