@@ -259,6 +259,36 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-pass multi-pattern substring counter backed by a precompiled
+    * [[AhoAutomaton]] (built once at plan time from the literal pattern
+    * list, shipped to executors as a codegen reference object — NOT
+    * rebuilt per row/task). Returns one count per pattern, all
+    * occurrences including overlapping. The Spark-native alternatives
+    * both lose: a regex alternation scans once per alternative and
+    * `P × contains()` re-traverses the text P times; the automaton is
+    * O(bytes) regardless of pattern count — the shape a 10k-term
+    * substring blocklist needs at 100 TB.
+    */
+  case class MultiPatternCount(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "multi_pattern_count"
+
+    @transient private lazy val automaton = new AhoAutomaton(patterns)
+
+    override def nullSafeEval(v: Any): Any =
+      automaton.countAll(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ahoAutomaton", automaton,
+        classOf[AhoAutomaton].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countAll($c)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 8-bit random-hyperplane LSH signature of a double vector: bit p is the
     * sign of the dot product with pseudo-plane p, whose component j is a
     * hash-derived value in [-1, 1] (deterministic across runs — no stored
@@ -432,6 +462,13 @@ object VectorFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "multi_pattern_count",
+      exprs => MultiPatternCount(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
@@ -447,4 +484,7 @@ object VectorFunctions {
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))
   def pqEncode(v: Column): Column = call_function("pq_encode", v)
   def pqDtable(v: Column): Column = call_function("pq_dtable", v)
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column =
+    call_function("multi_pattern_count", text,
+      org.apache.spark.sql.functions.lit(patterns.toArray))
 }

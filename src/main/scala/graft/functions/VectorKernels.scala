@@ -308,3 +308,95 @@ object VectorKernels {
       sb.toString, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Aho–Corasick multi-pattern matcher over UTF-8 BYTES (Aho & Corasick
+  * 1975) — one pass over the text counts every pattern simultaneously,
+  * where the regex-alternation equivalent compiles to a backtracking
+  * scan per alternative. Byte-level matching of valid UTF-8 patterns in
+  * valid UTF-8 text cannot false-positive: UTF-8 is self-synchronizing
+  * (a continuation byte never equals a lead byte), so a byte-aligned
+  * match is always a character-aligned match.
+  *
+  * Semantics: ALL occurrences are counted, including overlapping ones
+  * ("aa" occurs 3× in "aaaa") — each pattern independently, exactly what
+  * the automaton's output links produce. For border-free patterns (no
+  * proper prefix that is also a suffix) this equals the non-overlapping
+  * count a replace()-based oracle computes.
+  *
+  * The goto function is precomputed DENSE (states × 256 ints; states are
+  * bounded by total pattern bytes, so a production blocklist of 10k terms
+  * × 20 bytes is ~200 MB per executor — broadcast once, shared by every
+  * task via the codegen reference object). The scan is then two array
+  * reads per input byte with no branching on fail links.
+  */
+final class AhoAutomaton(patterns: Seq[String]) extends Serializable {
+  val numPatterns: Int = patterns.length
+
+  // --- build: trie → BFS fail links → dense goto + merged output lists ---
+  private val (goto, out) = {
+    val pb = patterns.map(_.getBytes("UTF-8")).toArray
+    val maxStates = pb.map(_.length).sum + 1
+    val trie = Array.fill(maxStates, 256)(-1)
+    val ends = Array.fill(maxStates)(List.empty[Int])
+    var nStates = 1
+    var p = 0
+    while (p < pb.length) {
+      var st = 0
+      var i = 0
+      while (i < pb(p).length) {
+        val b = pb(p)(i) & 0xff
+        if (trie(st)(b) == -1) { trie(st)(b) = nStates; nStates += 1 }
+        st = trie(st)(b)
+        i += 1
+      }
+      ends(st) ::= p
+      p += 1
+    }
+    val fail = new Array[Int](nStates)
+    val g = Array.ofDim[Int](nStates, 256)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    var b = 0
+    while (b < 256) {
+      val t = trie(0)(b)
+      g(0)(b) = if (t == -1) 0 else { queue.enqueue(t); t }
+      b += 1
+    }
+    while (queue.nonEmpty) {
+      val st = queue.dequeue()
+      // merged output: a state reports its own endings plus everything its
+      // fail state reports (suffix matches surface without link-chasing)
+      ends(st) = ends(st) ::: ends(fail(st))
+      var b = 0
+      while (b < 256) {
+        val t = trie(st)(b)
+        if (t == -1) g(st)(b) = g(fail(st))(b)
+        else {
+          fail(t) = g(fail(st))(b)
+          g(st)(b) = t
+          queue.enqueue(t)
+        }
+        b += 1
+      }
+    }
+    (g, ends.map(e => if (e.isEmpty) null else e.toArray))
+  }
+
+  /** Counts of every pattern in `s` (ALL occurrences, overlapping
+    * included), aligned with the constructor's pattern order. */
+  def countAll(s: UTF8String): ArrayData = {
+    val counts = new Array[Long](numPatterns)
+    val bytes = s.getBytes
+    var st = 0
+    var i = 0
+    while (i < bytes.length) {
+      st = goto(st)(bytes(i) & 0xff)
+      val o = out(st)
+      if (o != null) {
+        var j = 0
+        while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+}

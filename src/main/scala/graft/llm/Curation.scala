@@ -657,7 +657,51 @@ object Curation {
         h AS (SELECT term, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS hits
               FROM tok JOIN bl ON token = term GROUP BY term)
         SELECT bl.term, COALESCE(docs, 0) AS docs, COALESCE(hits, 0) AS hits
-        FROM bl LEFT JOIN h USING (term) ORDER BY bl.term"""))
+        FROM bl LEFT JOIN h USING (term) ORDER BY bl.term""")),
+
+    // SUBSTRING-level blocklist scan — q_text_blocklist's token-exact
+    // probe misses phrases and intra-token matches; this one counts every
+    // occurrence of every pattern (multi-token phrases included) in ONE
+    // pass over the text via the graft [[AhoAutomaton]] custom expression
+    // (Aho–Corasick 1975). A regex alternation re-scans per alternative
+    // and P × contains() re-traverses the text P times; the automaton is
+    // O(bytes) no matter how many patterns — the only shape that holds
+    // when the blocklist reaches 10k terms.
+    //
+    // Patterns here are border-free (no proper prefix = suffix), so the
+    // all-occurrences automaton count equals the non-overlapping count
+    // the oracle's replace()-arithmetic computes (the overlap semantics
+    // themselves are pinned in VectorFunctionsSpec with "aa" in "aaaa").
+    //
+    // Scale shape: map-side expression + P-row explode; the exchange
+    // carries P×partitions partial rows. Plan stays inside whole-stage
+    // codegen — the automaton is a plan-time reference object, not a UDF.
+    "q_text_substring_scan" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val pats = Seq("slow", "merge part", "stream spark", "data leak")
+        Tables(s, d, "documents")
+          .select(posexplode(graft.functions.VectorFunctions
+            .multiPatternCount(col("text"), pats)).as(Seq("pos", "cnt")))
+          .groupBy("pos")
+          .agg(count(when(col("cnt") > 0, 1)).as("docs"),
+            sum(col("cnt")).as("hits"))
+          .select(
+            element_at(lit(pats.toArray), col("pos") + 1).as("pattern"),
+            col("docs"), col("hits"))
+          .orderBy("pattern")
+      },
+      oracle = Some("""
+        WITH pats AS (SELECT * FROM (VALUES ('slow'), ('merge part'),
+                        ('stream spark'), ('data leak')) t(pattern)),
+        h AS (
+          SELECT pattern,
+                 COUNT(CASE WHEN instr(text, pattern) > 0 THEN 1 END)
+                   AS docs,
+                 CAST(SUM((length(text) - length(replace(text, pattern, '')))
+                   // length(pattern)) AS BIGINT) AS hits
+          FROM documents, pats GROUP BY pattern)
+        SELECT pattern, docs, hits FROM h ORDER BY pattern"""))
   )
 
   /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on

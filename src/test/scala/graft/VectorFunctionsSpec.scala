@@ -80,4 +80,54 @@ class VectorFunctionsSpec extends AnyFunSuite {
         s"CMS overestimate out of bound for key ${r.getLong(0)}: $est vs $exact")
     }
   }
+
+  test("multi_pattern_count matches brute-force sliding counts incl. unicode") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val pats = Seq("ab", "bc", "abcab", "é x", "zz")
+    def brute(s: String, p: String): Long =
+      (0 to s.length - p.length).count(i => s.startsWith(p, i)).toLong
+    val texts = Seq("abcabcab", "", "xyz", "é xé x", "aébc x",
+      "ababab zz abcab", "ab" * 500 + "é x")
+    val got = texts.toDF("t")
+      .select(col("t"),
+        VectorFunctions.multiPatternCount(col("t"), pats).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(t)(i) == brute(t, p),
+          s"'$t' / '$p': got ${got(t)(i)}, want ${brute(t, p)}")
+      }
+    }
+  }
+
+  test("multi_pattern_count counts ALL occurrences, overlapping included") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq("aaaa").toDF("t")
+      .select(VectorFunctions.multiPatternCount(col("t"), Seq("aa", "aaa"))
+        .as("c"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(3L, 2L), s"overlap semantics broke: $got")
+  }
+
+  test("multi_pattern_count stays in whole-stage codegen (no fallback)") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // a literal input constant-folds to LocalTableScan (the interpreted
+    // eval path, covered above) — codegen only materializes over a real
+    // scan, so assert on the registered query's plan
+    val df = SparkEntry.queries("q_text_substring_scan")(spark, TestSpark.sf)
+    df.collect() // materialize the AQE final plan so codegen explain sees it
+    val code = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(code.contains(".countAll("),
+      "generated code does not call the automaton — expression fell back")
+    // null text → null result, not a crash
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(VectorFunctions.multiPatternCount(col("t"), Seq("b")).as("c"))
+      .head()
+    assert(n.isNullAt(0))
+  }
 }
