@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, Tables}
 import graft.Q._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -270,6 +271,75 @@ object Features {
                CAST(SUM(CASE WHEN i = 7 THEN sgn * xi ELSE 0 END)
                  AS BIGINT) AS y7_u
         FROM xi JOIN signs ON xi.j = signs.j
-        GROUP BY vec_id ORDER BY vec_id"""))
+        GROUP BY vec_id ORDER BY vec_id""")),
+
+    // Time-lagged feature table: per (user, active day), the features a
+    // churn/propensity model trains on — yesterday's spend, the spend a
+    // week ago, and the trailing-7-day total and active-day count. Lags
+    // are DAY-indexed (RANGE frames over the integer dayno), not
+    // row-indexed: a lag(1) row offset would silently fetch whatever the
+    // user's previous ACTIVE day was, which is a different feature.
+    // sum() over an empty range frame is NULL → coalesce to the true 0.
+    //
+    // Determinism: spend in exact cent longs; day counts are exact; the
+    // only division is none — features emit as cents. Scale shape: ONE
+    // corpus exchange — the user repartition is shared by the daily
+    // rollup and all three RANGE windows (same partitioning + ordering,
+    // one sort); the q_interpolate pattern.
+    "q_feature_lags" -> Q(
+      fn = (s, d) => {
+        val epoch = lit("1970-01-01").cast(DateType)
+        val daily = Tables(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .repartition(col("user_id"))
+          .groupBy(col("user_id"),
+            datediff(to_date(col("ts")), epoch).as("dayno"))
+          .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+        val w = Window.partitionBy("user_id").orderBy("dayno")
+        daily
+          .withColumn("lag1_cents",
+            coalesce(sum(col("cents")).over(w.rangeBetween(-1, -1)), lit(0L)))
+          .withColumn("lag7_cents",
+            coalesce(sum(col("cents")).over(w.rangeBetween(-7, -7)), lit(0L)))
+          .withColumn("trail7_cents",
+            sum(col("cents")).over(w.rangeBetween(-6, 0)))
+          .withColumn("trail7_days",
+            count(lit(1)).over(w.rangeBetween(-6, 0)))
+          .select(col("user_id"),
+            date_add(epoch, col("dayno")).as("day"), col("cents"),
+            col("lag1_cents"), col("lag7_cents"), col("trail7_cents"),
+            col("trail7_days"))
+          .orderBy("user_id", "day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dayno,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        f AS (
+          SELECT user_id, dayno, cents,
+                 COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY dayno
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0)
+                   AS lag1_cents,
+                 COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY dayno
+                   RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 0)
+                   AS lag7_cents,
+                 SUM(cents) OVER (PARTITION BY user_id ORDER BY dayno
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS trail7_cents,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY dayno
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS trail7_days
+          FROM daily)
+        SELECT user_id, DATE '1970-01-01' + CAST(dayno AS INTEGER) AS day,
+               cents,
+               CAST(lag1_cents AS BIGINT) AS lag1_cents,
+               CAST(lag7_cents AS BIGINT) AS lag7_cents,
+               CAST(trail7_cents AS BIGINT) AS trail7_cents,
+               CAST(trail7_days AS BIGINT) AS trail7_days
+        FROM f ORDER BY user_id, day"""))
   )
 }

@@ -275,5 +275,101 @@ object Multimodal {
                CAST(CASE WHEN p.corrupt THEN 0 ELSE 3 * s.s END AS BIGINT)
                  AS channel_sum
         FROM probe p LEFT JOIN sums s USING (doc_id)
-        ORDER BY p.doc_id""")))
+        ORDER BY p.doc_id""")),
+
+    // Perceptual-hash near-duplicate census over DECODED images — the
+    // multimodal counterpart of q_dedup_exact: every image goes PNG-encode
+    // → javax.imageio decode → 8×8 aHash (bit = pixel > image mean,
+    // Hamming-robust to small pixel noise), and images sharing a hash
+    // group as near-dups. Synthesis follows the q_multimodal_decode
+    // convention: the 8×8 pattern derives from base = doc_id/5 by pure id
+    // arithmetic (so ~5 consecutive ids are near-identical), plus a ±1
+    // per-id pixel noise the hash MUST absorb — pixels sit at 64/192
+    // around the ~128 mean, so a bit flip would mean the codec (not the
+    // noise) is broken. The oracle never sees a PNG: it recomputes the
+    // aHash closed-form from id arithmetic, so any decode/raster/threshold
+    // defect hash-mismatches.
+    //
+    // Determinism + scale: bit threshold is the integer cross-multiply
+    // 64·v > Σv (no division); output is the GROUP census (hash, n, id
+    // range) — bounded by the pattern space, never a member-list blowup.
+    // Map-side encode+decode+hash (mapPartitions, no shuffle before the
+    // census agg).
+    "q_multimodal_phash" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val base = id / 5
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val hi = (base * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
+                  val v = (if (hi) 192 else 64) +
+                    ((id + x * 3 + y * 5) % 3).toInt - 1
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val dimg = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bos.toByteArray))
+              // aHash over the DECODED raster
+              val px = new Array[Int](64)
+              var sum = 0L
+              var i = 0
+              while (i < 64) {
+                px(i) = (dimg.getRGB(i % 8, i / 8) >> 16) & 0xff
+                sum += px(i)
+                i += 1
+              }
+              var hash = 0L
+              i = 0
+              while (i < 64) {
+                if (64L * px(i) > sum) hash |= (1L << i)
+                i += 1
+              }
+              (id, hash)
+            }
+          }
+          .toDF("doc_id", "phash")
+          .groupBy("phash")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .select(format_string("%016x", col("phash")).as("phash_hex"),
+            col("n_docs"), col("min_doc"), col("max_doc"))
+          .orderBy("phash_hex")
+      },
+      oracle = Some("""
+        WITH grid AS (SELECT x.i AS xi, y.j AS yj
+                      FROM range(8) x(i), range(8) y(j)),
+        px AS (
+          SELECT d.doc_id, g.xi, g.yj,
+                 (CASE WHEN ((doc_id // 5) * 2654435761 + g.xi * 7919
+                             + g.yj * 104729) % 97 < 48
+                       THEN 192 ELSE 64 END)
+                   + (doc_id + g.xi * 3 + g.yj * 5) % 3 - 1 AS v
+          FROM documents d, grid g),
+        m AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+        h AS (
+          SELECT px.doc_id,
+                 CAST(SUM(CASE WHEN 64 * v > m.s
+                   THEN CASE WHEN yj * 8 + xi = 63
+                             THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << (yj * 8 + xi)) END
+                   ELSE 0 END) AS BIGINT) AS phash
+          FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        g AS (
+          SELECT phash, COUNT(*) AS n_docs,
+                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM h GROUP BY phash)
+        SELECT printf('%016x', phash) AS phash_hex, n_docs, min_doc, max_doc
+        FROM g ORDER BY phash_hex""")))
 }

@@ -961,5 +961,61 @@ object TextAnalysis {
         JOIN dfr da ON pairs.ta = da.token
         JOIN dfr db ON pairs.tb = db.token
         CROSS JOIN n
-        ORDER BY pmi DESC, ta ASC, tb ASC LIMIT 30""")))
+        ORDER BY pmi DESC, ta ASC, tb ASC LIMIT 30""")),
+
+    // Cross-lingual vocabulary overlap matrix: pairwise Jaccard of the
+    // per-language token vocabularies — the contamination/transfer signal
+    // a multilingual corpus audit leads with (high overlap between two
+    // "languages" usually means mislabeled docs or shared boilerplate;
+    // near-zero overlap means a shared tokenizer will fragment one of
+    // them). Lower-triangle pairs only (lang_a < lang_b), exact counts,
+    // Jaccard as one division.
+    //
+    // Scale shape: the corpus collapses ONCE to the distinct (lang,
+    // token) relation — VOCABULARY-sized, not corpus-sized; the pairwise
+    // intersection joins that relation with itself on token (vocab-sized
+    // exchange) and the per-language sizes broadcast back onto the
+    // |langs|² result.
+    "q_cross_lingual_overlap" -> Q(
+      fn = (s, d) => {
+        val vl = Tables(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val sizes = vl.groupBy("lang").agg(count(lit(1)).as("n"))
+        val inter = vl.as("a")
+          .join(vl.as("b"), Seq("token"))
+          .filter(col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.withColumnRenamed("lang", "lang_a")
+            .withColumnRenamed("n", "na")), "lang_a")
+          .join(broadcast(sizes.withColumnRenamed("lang", "lang_b")
+            .withColumnRenamed("n", "nb")), "lang_b")
+          .select(col("lang_a"), col("lang_b"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("vocab_union"),
+            r4(col("inter").cast(DoubleType) /
+              (col("na") + col("nb") - col("inter")).cast(DoubleType))
+              .as("jaccard"))
+          .orderBy("lang_a", "lang_b")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        vl AS (SELECT DISTINCT lang, token FROM tok),
+        sizes AS (SELECT lang, COUNT(*) AS n FROM vl GROUP BY lang),
+        inter AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS inter
+          FROM vl a JOIN vl b ON a.token = b.token AND a.lang < b.lang
+          GROUP BY 1, 2)
+        SELECT lang_a, lang_b, inter,
+               sa.n + sb.n - inter AS vocab_union,
+               CAST(ROUND(CAST(inter AS DOUBLE) /
+                 CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.lang = lang_a
+        JOIN sizes sb ON sb.lang = lang_b
+        ORDER BY lang_a, lang_b""")))
 }

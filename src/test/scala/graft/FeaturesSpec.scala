@@ -74,4 +74,25 @@ class FeaturesSpec extends AnyFunSuite {
       assert(std >= 0.0 && std <= (vmax - vmin) + 1e-3)
     }
   }
+
+  test("q_feature_lags: day-indexed lags match a brute-force per-user series") {
+    val rows = SparkEntry.queries("q_feature_lags")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(r => r._2 -> r._3).toMap
+    }
+    rows.foreach { case (u, day, cents, lag1, lag7, trail7, days7) =>
+      val series = byUser(u)
+      assert(lag1 == series.getOrElse(day.minusDays(1), 0L),
+        s"user $u $day lag1")
+      assert(lag7 == series.getOrElse(day.minusDays(7), 0L),
+        s"user $u $day lag7")
+      val window = (0 to 6).map(k => series.get(day.minusDays(k)))
+      assert(trail7 == window.flatten.sum, s"user $u $day trail7")
+      assert(days7 == window.count(_.isDefined), s"user $u $day days7")
+      assert(trail7 >= cents && days7 >= 1)
+    }
+  }
 }

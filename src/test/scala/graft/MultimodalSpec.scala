@@ -142,4 +142,21 @@ class MultimodalSpec extends AnyFunSuite {
     // id 1: 5 bytes → 1 chunk → index 0
     assert(sampled.filter(_._1 == 1L).map(_._2).sameElements(Seq(0L)))
   }
+
+  test("q_multimodal_phash: census covers the corpus, groups bounded by the pattern space") {
+    val rows = SparkEntry.queries("q_multimodal_phash")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "every image lands in one group")
+    // patterns are keyed by (doc_id/5) % 97 → at most 97 distinct hashes,
+    // and the ±1 pixel noise must NOT split groups (a split proves the
+    // aHash threshold is noise-fragile)
+    assert(rows.length <= 97, s"noise split the phash groups: ${rows.length}")
+    assert(rows.exists(_._2 > 1), "no near-dup group found")
+    rows.foreach { case (h, n, lo, hi) =>
+      assert(h.length == 16, s"hash hex width: $h")
+      assert(lo <= hi && n <= hi - lo + 1)
+    }
+  }
 }

@@ -313,4 +313,24 @@ class TextRetrievalSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q_outlier_mad")(spark, TestSpark.sf).collect()
     assert(out.length < nDocs / 2, "MAD gate must not flag the bulk of the corpus")
   }
+
+  test("cross-lingual overlap: complete lower triangle, Jaccard bounded by vocab sizes") {
+    val rows = SparkEntry.queries("q_cross_lingual_overlap")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    val vocab = Tables(spark, TestSpark.sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .distinct().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = vocab.size
+    assert(rows.length == k * (k - 1) / 2, "lower triangle incomplete")
+    rows.foreach { case (a, b, inter, uni, j) =>
+      assert(a < b, "pair not canonically ordered")
+      assert(inter <= math.min(vocab(a), vocab(b)))
+      assert(uni >= math.max(vocab(a), vocab(b)))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - inter.toDouble / uni) < 1e-3)
+    }
+  }
 }
