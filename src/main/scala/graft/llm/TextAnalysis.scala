@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1017,5 +1018,163 @@ object TextAnalysis {
         FROM inter
         JOIN sizes sa ON sa.lang = lang_a
         JOIN sizes sb ON sb.lang = lang_b
-        ORDER BY lang_a, lang_b""")))
+        ORDER BY lang_a, lang_b""")),
+
+    // Vocabulary-size-for-coverage decision table: the smallest
+    // frequency-ranked vocabulary covering 50/90/95/99% of corpus token
+    // mass — THE table read before fixing a tokenizer's vocab budget
+    // (the Zipf tail q_zipf_slope measures is exactly what makes the 99%
+    // row explode). Threshold crossing in exact integer cross-multiply
+    // (cum·100 ≥ pct·total — no division), rank ties broken token-ASC.
+    //
+    // Scale shape: corpus → token-frequency rollup ONCE (map-side
+    // combined); the rank/cumsum window runs single-partition over the
+    // VOCABULARY (domain-bounded — the q_ks_test ECDF justification) and
+    // the four threshold rows derive by explode + min-rank argmin.
+    "q_vocab_coverage" -> Q(
+      fn = (s, d) => {
+        val freq = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        val wr = Window.orderBy(col("c").desc, col("token").asc)
+        val ranked = freq
+          .withColumn("rank", row_number().over(wr).cast(LongType))
+          .withColumn("cum", sum(col("c")).over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("c")).over(
+            wr.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        ranked
+          .select(col("rank"), col("cum"), col("total"),
+            explode(lit(Array(50, 90, 95, 99))).as("coverage_pct"))
+          .filter(col("cum") * 100 >= col("coverage_pct") * col("total"))
+          .groupBy("coverage_pct")
+          .agg(min(struct(col("rank"), col("cum"), col("total"))).as("m"))
+          .select(col("coverage_pct").cast(LongType).as("coverage_pct"),
+            col("m.rank").as("vocab_size"),
+            col("m.cum").as("tokens_covered"),
+            col("m.total").as("total_tokens"))
+          .orderBy("coverage_pct")
+      },
+      oracle = Some("""
+        WITH freq AS (
+          SELECT token, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token),
+        ranked AS (
+          SELECT token, c,
+                 row_number() OVER (ORDER BY c DESC, token ASC) AS rank,
+                 SUM(c) OVER (ORDER BY c DESC, token ASC) AS cum,
+                 SUM(c) OVER () AS total
+          FROM freq),
+        t AS (
+          SELECT p.pct AS coverage_pct, MIN(rank) AS vocab_size
+          FROM ranked, (SELECT unnest([50, 90, 95, 99]) AS pct) p
+          WHERE cum * 100 >= p.pct * total
+          GROUP BY p.pct)
+        SELECT CAST(coverage_pct AS BIGINT) AS coverage_pct,
+               vocab_size,
+               CAST((SELECT cum FROM ranked r WHERE r.rank = t.vocab_size)
+                 AS BIGINT) AS tokens_covered,
+               CAST((SELECT MIN(total) FROM ranked) AS BIGINT)
+                 AS total_tokens
+        FROM t ORDER BY coverage_pct""")),
+
+    // Retrieval ranking metrics — NDCG@10 and MRR for three fixed term
+    // queries, ranked by exact term frequency (ties doc_id ASC) with
+    // graded relevance = frequency of an independent validation term.
+    // This is the EVALUATION half the retrieval family (inverted index,
+    // BM25, TextRank) was missing: a ranking change now moves a pinned,
+    // oracle-checked quality number instead of just reordering rows.
+    //
+    // Determinism: gains and discounts enter as round(1e8·rel/log2(i+1))
+    // fixed-point longs (the q_chisq_independence term8 convention —
+    // double sums over a handful of rows are order-dependent; integer
+    // sums are not); NDCG/MRR are single divisions at the end. log2 hits
+    // only i+1 ∈ 2..11; /1,/2 are exact and the irrational discounts are
+    // nowhere near the 5e-9 rounding boundary.
+    //
+    // Scale shape: the 3-query relation broadcasts onto ONE corpus scan;
+    // scoring is a map-side higher-order filter; both rankings are
+    // rank-pushdown windows (WindowGroupLimit keeps per-partition state
+    // at k=10) partitioned by qid.
+    "q_rank_ndcg" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val qs = Seq(("q1", "spark", "join"), ("q2", "merge", "table"),
+          ("q3", "stream", "batch")).toDF("qid", "term", "relterm")
+        val scored = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .crossJoin(broadcast(qs))
+          .select(col("qid"), col("doc_id"),
+            expr("size(filter(ts, t -> t = term))").cast(LongType)
+              .as("score"),
+            expr("size(filter(ts, t -> t = relterm))").cast(LongType)
+              .as("rel"))
+        val wScore = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val top = scored.filter(col("score") > 0)
+          .withColumn("rk", row_number().over(wScore))
+          .filter(col("rk") <= 10)
+        val dcg = top.groupBy("qid").agg(
+          sum(round(lit(1e8) * col("rel") / log2(col("rk") + 1))
+            .cast(LongType)).as("dcg8"),
+          min(when(col("rel") > 0, col("rk"))).as("first_rel"))
+        val wRel = Window.partitionBy("qid")
+          .orderBy(col("rel").desc, col("doc_id").asc)
+        val idcg = scored.filter(col("rel") > 0)
+          .withColumn("rk", row_number().over(wRel))
+          .filter(col("rk") <= 10)
+          .groupBy("qid").agg(
+            sum(round(lit(1e8) * col("rel") / log2(col("rk") + 1))
+              .cast(LongType)).as("idcg8"))
+        dcg.join(idcg, "qid")
+          .select(col("qid"),
+            r4(col("dcg8").cast(DoubleType) / col("idcg8").cast(DoubleType))
+              .as("ndcg10"),
+            r4(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr"))
+          .orderBy("qid")
+      },
+      oracle = Some("""
+        WITH qs AS (SELECT * FROM (VALUES ('q1', 'spark', 'join'),
+                      ('q2', 'merge', 'table'), ('q3', 'stream', 'batch'))
+                    t(qid, term, relterm)),
+        scored AS (
+          SELECT qid, doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x = term))
+                   AS score,
+                 len(list_filter(string_split(text, ' '), x -> x = relterm))
+                   AS rel
+          FROM documents, qs),
+        top AS (
+          SELECT * FROM (
+            SELECT qid, doc_id, rel,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored WHERE score > 0)
+          WHERE rk <= 10),
+        dcg AS (
+          SELECT qid,
+                 SUM(CAST(ROUND(1e8 * rel / log2(rk + 1)) AS BIGINT))
+                   AS dcg8,
+                 MIN(CASE WHEN rel > 0 THEN rk END) AS first_rel
+          FROM top GROUP BY qid),
+        ideal AS (
+          SELECT * FROM (
+            SELECT qid, rel,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, doc_id ASC) AS rk
+            FROM scored WHERE rel > 0)
+          WHERE rk <= 10),
+        idcg AS (
+          SELECT qid,
+                 SUM(CAST(ROUND(1e8 * rel / log2(rk + 1)) AS BIGINT))
+                   AS idcg8
+          FROM ideal GROUP BY qid)
+        SELECT qid,
+               CAST(ROUND(CAST(dcg8 AS DOUBLE) / CAST(idcg8 AS DOUBLE), 4)
+                 AS DOUBLE) AS ndcg10,
+               CAST(ROUND(COALESCE(1.0 / first_rel, 0.0), 4) AS DOUBLE)
+                 AS mrr
+        FROM dcg JOIN idcg USING (qid) ORDER BY qid""")))
 }

@@ -333,4 +333,56 @@ class TextRetrievalSpec extends AnyFunSuite {
       assert(math.abs(j - inter.toDouble / uni) < 1e-3)
     }
   }
+
+  test("vocab coverage table matches a brute-force frequency prefix scan") {
+    val freq = Tables(spark, TestSpark.sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = freq.map(_._2).sum
+    val cums = freq.scanLeft(0L)(_ + _._2).drop(1)
+    val rows = SparkEntry.queries("q_vocab_coverage")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 90L, 95L, 99L))
+    rows.foreach { r =>
+      val (pct, size, covered, tot) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tot == total)
+      val expectedSize = cums.indexWhere(_ * 100 >= pct * total) + 1
+      assert(size == expectedSize, s"pct $pct: $size vs $expectedSize")
+      assert(covered == cums(expectedSize - 1))
+      // minimality: one token fewer must NOT reach the target
+      if (expectedSize > 1)
+        assert(cums(expectedSize - 2) * 100 < pct * total)
+    }
+  }
+
+  test("ndcg/mrr bounded and consistent with a brute-force ranking for q1") {
+    val rows = SparkEntry.queries("q_rank_ndcg")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet == Set("q1", "q2", "q3"))
+    rows.values.foreach { case (ndcg, mrr) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg out of range: $ndcg")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr out of range: $mrr")
+    }
+    // brute force q1: term=spark, relterm=join
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val scored = docs.map { case (id, ts) =>
+      (id, ts.count(_ == "spark").toLong, ts.count(_ == "join").toLong) }
+    val top = scored.filter(_._2 > 0).sortBy(t => (-t._2, t._1)).take(10)
+    def dcg(rels: Seq[Long]): Double =
+      rels.zipWithIndex.map { case (rel, i) =>
+        math.round(1e8 * rel / (math.log(i + 2) / math.log(2))) / 1e8 }.sum
+    val ideal = scored.filter(_._3 > 0).sortBy(t => (-t._3, t._1)).take(10)
+    val expNdcg = dcg(top.map(_._3).toSeq) / dcg(ideal.map(_._3).toSeq)
+    assert(math.abs(rows("q1")._1 - expNdcg) < 1e-3,
+      s"q1 ndcg ${rows("q1")._1} vs brute $expNdcg")
+    val firstRel = top.indexWhere(_._3 > 0)
+    val expMrr = if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)
+    assert(math.abs(rows("q1")._2 - expMrr) < 1e-3)
+  }
 }
