@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -701,7 +702,68 @@ object Curation {
                  CAST(SUM((length(text) - length(replace(text, pattern, '')))
                    // length(pattern)) AS BIGINT) AS hits
           FROM documents, pats GROUP BY pattern)
-        SELECT pattern, docs, hits FROM h ORDER BY pattern"""))
+        SELECT pattern, docs, hits FROM h ORDER BY pattern""")),
+
+    // Quality-funnel census: per language, how many docs fall at each
+    // FIRST-failing Gopher rule and how many survive — the attribution
+    // table behind q_quality_gopher's per-doc booleans (a reviewer asks
+    // "what would relaxing rule 2 buy us per language", which per-doc
+    // flags can't answer without this rollup). Rules evaluate via the
+    // SAME gopherMetrics expressions as q_quality_gopher — one
+    // implementation, no drift; ordering is the documented funnel order.
+    //
+    // Scale shape: one corpus pass (map-side rule evaluation + hash agg
+    // to |langs|×5 cells); shares via a window over the census relation.
+    "q_quality_funnel" -> Q(
+      fn = (s, d) => {
+        val (n, meanLen, alphaFrac, stop) = gopherMetrics(col("n_chars"))
+        val census = docs(s, d)
+          .select(col("lang"), n.as("nw"), meanLen.as("ml"),
+            alphaFrac.as("af"), stop.as("st"))
+          .withColumn("stage",
+            when(!col("nw").between(20, 100000), "1_word_count")
+              .when(!col("ml").between(3.0, 10.0), "2_mean_word_len")
+              .when(col("af") < 0.8, "3_alpha_frac")
+              .when(col("st") < 2, "4_stopwords")
+              .otherwise("5_pass"))
+          .groupBy("lang", "stage").agg(count(lit(1)).as("n_docs"))
+        val wl = Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        census
+          .withColumn("lang_total", sum(col("n_docs")).over(wl))
+          .select(col("lang"), col("stage"), col("n_docs"),
+            r4(col("n_docs").cast(DoubleType) /
+              col("lang_total").cast(DoubleType)).as("share"))
+          .orderBy("lang", "stage")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS nw,
+                 CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ml,
+                 CAST(len(list_filter(string_split(text, ' '),
+                        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS af,
+                 len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a','the','to','of','and','that','with','be')))
+                   AS st
+          FROM documents),
+        c AS (
+          SELECT lang,
+                 CASE WHEN NOT (nw BETWEEN 20 AND 100000) THEN '1_word_count'
+                      WHEN NOT (ml BETWEEN 3.0 AND 10.0) THEN '2_mean_word_len'
+                      WHEN af < 0.8 THEN '3_alpha_frac'
+                      WHEN st < 2 THEN '4_stopwords'
+                      ELSE '5_pass' END AS stage,
+                 COUNT(*) AS n_docs
+          FROM m GROUP BY 1, 2),
+        w AS (SELECT *, SUM(n_docs) OVER (PARTITION BY lang) AS lang_total
+              FROM c)
+        SELECT lang, stage, n_docs,
+               CAST(ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(lang_total AS DOUBLE), 4) AS DOUBLE) AS share
+        FROM w ORDER BY lang, stage"""))
   )
 
   /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on

@@ -1176,5 +1176,96 @@ object TextAnalysis {
                  AS DOUBLE) AS ndcg10,
                CAST(ROUND(COALESCE(1.0 / first_rel, 0.0), 4) AS DOUBLE)
                  AS mrr
-        FROM dcg JOIN idcg USING (qid) ORDER BY qid""")))
+        FROM dcg JOIN idcg USING (qid) ORDER BY qid""")),
+
+    // Tokenizer fertility per language: BPE-ish subword tokens emitted
+    // per whitespace word (Σ subword / Σ word, corpus-weighted) — THE
+    // cross-lingual tokenizer-fairness number (a fertility of 2 means a
+    // language pays twice the sequence length, and with it twice the
+    // compute and half the effective context, for the same text). Uses
+    // the SAME two lexers as q_text_token_count, rolled up per lang.
+    //
+    // Determinism: both counts are exact ints; fertility is one division
+    // r4. Scale: one map-side-combined hash agg, exchange carries |langs|
+    // partials.
+    "q_tokenizer_fertility" -> Q(
+      fn = (s, d) => {
+        Tables(s, d, "documents")
+          .groupBy("lang")
+          .agg(
+            sum(size(split(col("text"), " ")).cast(LongType)).as("ws_tokens"),
+            sum(size(regexp_extract_all(col("text"),
+              lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+              .cast(LongType)).as("bpe_tokens"))
+          .select(col("lang"), col("ws_tokens"), col("bpe_tokens"),
+            r4(col("bpe_tokens").cast(DoubleType) /
+              col("ws_tokens").cast(DoubleType)).as("fertility"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT lang,
+                 SUM(len(string_split(text, ' '))) AS ws_tokens,
+                 SUM(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS bpe_tokens
+          FROM documents GROUP BY lang)
+        SELECT lang, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+               CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+               CAST(ROUND(CAST(bpe_tokens AS DOUBLE)
+                 / CAST(ws_tokens AS DOUBLE), 4) AS DOUBLE) AS fertility
+        FROM m ORDER BY lang""")),
+
+    // Context-length budget planning: for candidate max-sequence-lengths,
+    // how many documents truncate, what share of token mass is lost, and
+    // how well a naive one-doc-per-row layout utilizes the window — the
+    // table read BEFORE choosing seq_len and deciding whether
+    // q_pack_sequences' packing is worth running. Budgets explode
+    // map-side; everything is one conditional aggregation.
+    //
+    // Determinism: token counts, losses, and min(n,B) sums are exact
+    // longs; the two shares are single divisions r4.
+    "q_context_budget" -> Q(
+      fn = (s, d) => {
+        Tables(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast(LongType).as("n"),
+            explode(lit(Array(32, 64, 128))).as("budget"))
+          .groupBy("budget")
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("n") > col("budget"), 1L).otherwise(0L))
+              .as("truncated_docs"),
+            sum(col("n")).as("tokens_total"),
+            sum(greatest(col("n") - col("budget"), lit(0L)))
+              .as("tokens_lost"),
+            sum(least(col("n"), col("budget").cast(LongType))).as("kept"))
+          .select(col("budget").cast(LongType).as("budget"), col("docs"),
+            col("truncated_docs"),
+            r4(col("truncated_docs").cast(DoubleType) /
+              col("docs").cast(DoubleType)).as("truncated_share"),
+            col("tokens_total"), col("tokens_lost"),
+            r4(col("kept").cast(DoubleType) /
+              (col("docs") * col("budget")).cast(DoubleType))
+              .as("utilization"))
+          .orderBy("budget")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        b AS (SELECT CAST(unnest([32, 64, 128]) AS BIGINT) AS budget),
+        g AS (
+          SELECT budget, COUNT(*) AS docs,
+                 SUM(CASE WHEN n > budget THEN 1 ELSE 0 END)
+                   AS truncated_docs,
+                 SUM(n) AS tokens_total,
+                 SUM(GREATEST(n - budget, 0)) AS tokens_lost,
+                 SUM(LEAST(n, budget)) AS kept
+          FROM n, b GROUP BY budget)
+        SELECT budget, docs,
+               CAST(truncated_docs AS BIGINT) AS truncated_docs,
+               CAST(ROUND(CAST(truncated_docs AS DOUBLE)
+                 / CAST(docs AS DOUBLE), 4) AS DOUBLE) AS truncated_share,
+               CAST(tokens_total AS BIGINT) AS tokens_total,
+               CAST(tokens_lost AS BIGINT) AS tokens_lost,
+               CAST(ROUND(CAST(kept AS DOUBLE)
+                 / CAST(docs * budget AS DOUBLE), 4) AS DOUBLE)
+                 AS utilization
+        FROM g ORDER BY budget""")))
 }

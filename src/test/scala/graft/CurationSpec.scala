@@ -159,4 +159,28 @@ class CurationSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "blocklist probe fell to SMJ")
   }
+
+  test("q_quality_funnel: shares sum to 1 per lang, pass row equals q_quality_gopher") {
+    val rows = run("q_quality_funnel").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    val docCounts = Tables(spark, TestSpark.sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == docCounts(lang), s"$lang census incomplete")
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 5e-4, s"$lang shares != 1")
+    }
+    // the funnel's survivor row must agree with the per-doc boolean query
+    val gopherPass = run("q_quality_gopher").filter(col("pass"))
+      .join(Tables(spark, TestSpark.sf, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      val passRow = rs.filter(_._2 == "5_pass").map(_._3).sum
+      assert(passRow == gopherPass.getOrElse(lang, 0L),
+        s"$lang: funnel pass $passRow vs gopher ${gopherPass.get(lang)}")
+    }
+  }
 }

@@ -385,4 +385,35 @@ class TextRetrievalSpec extends AnyFunSuite {
     val expMrr = if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)
     assert(math.abs(rows("q1")._2 - expMrr) < 1e-3)
   }
+
+  test("tokenizer fertility >= 1 per language (subwords never fewer than words)") {
+    val rows = SparkEntry.queries("q_tokenizer_fertility")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: bpe < ws tokens")
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
+  test("context budget table: losses shrink and utilization behaves as budget grows") {
+    val rows = SparkEntry.queries("q_context_budget")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(32L, 64L, 128L))
+    assert(rows.map(_._2).distinct.length == 1, "doc counts differ per budget")
+    assert(rows.map(_._5).distinct.length == 1, "token totals differ per budget")
+    // more budget → fewer truncations, less loss
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq)
+    assert(rows.map(_._6).toSeq == rows.map(_._6).sorted.reverse.toSeq)
+    rows.foreach { case (b, docs, trunc, share, total, lost, util) =>
+      assert(util > 0.0 && util <= 1.0)
+      assert(lost <= total && trunc <= docs)
+      assert(math.abs(share - trunc.toDouble / docs) < 1e-3)
+      // kept = total - lost must equal util * docs * budget (r4 slack)
+      assert(math.abs((total - lost).toDouble / (docs * b) - util) < 1e-3)
+    }
+  }
 }
