@@ -763,7 +763,58 @@ object Curation {
         SELECT lang, stage, n_docs,
                CAST(ROUND(CAST(n_docs AS DOUBLE)
                  / CAST(lang_total AS DOUBLE), 4) AS DOUBLE) AS share
-        FROM w ORDER BY lang, stage"""))
+        FROM w ORDER BY lang, stage""")),
+
+    // Source novelty audit: per source, the share of its distinct 3-gram
+    // shingles that appear in NO other source — the "is this new corpus
+    // actually new content" number read before paying to mix a source in
+    // (a low-novelty source mostly re-states what the blend already has;
+    // q_decontaminate asks the same question against an eval set, this
+    // asks it between training sources). Same 3-gram shingle space as the
+    // dedup family (shingle_set custom expression / identical DuckDB
+    // spelling).
+    //
+    // Scale shape: the corpus collapses ONCE to the distinct (source,
+    // shingle) relation and is CHECKPOINTED — it feeds both the
+    // shingle-multiplicity rollup and the per-source join, and without
+    // the barrier the corpus explode would re-execute per consumer (the
+    // q_graph_triangles lesson). Everything downstream is shingle-
+    // vocabulary-sized.
+    "q_source_novelty" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val sh = graft.Tables.runScopedCheckpoint("q_source_novelty.sh",
+          Tables(s, d, "documents")
+            .select(col("source"),
+              explode(graft.functions.VectorFunctions.shingleSet(
+                split(col("text"), " "), 3)).as("sh"))
+            .distinct())
+        val counts = sh.groupBy("sh").agg(count(lit(1)).as("n_sources"))
+        sh.join(counts, "sh")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+              .as("n_unique"))
+          .select(col("source"), col("n_shingles"), col("n_unique"),
+            r4(col("n_unique").cast(DoubleType) /
+              col("n_shingles").cast(DoubleType)).as("novelty"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT DISTINCT source, s FROM (
+            SELECT source, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        c AS (SELECT s, COUNT(*) AS n_sources FROM sh0 GROUP BY s)
+        SELECT source, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unique,
+               CAST(ROUND(CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS novelty
+        FROM sh0 JOIN c USING (s)
+        GROUP BY source ORDER BY source"""))
   )
 
   /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on

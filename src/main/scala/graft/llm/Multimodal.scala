@@ -371,5 +371,120 @@ object Multimodal {
                  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
           FROM h GROUP BY phash)
         SELECT printf('%016x', phash) AS phash_hex, n_docs, min_doc, max_doc
-        FROM g ORDER BY phash_hex""")))
+        FROM g ORDER BY phash_hex""")),
+
+    // Hamming-tolerant perceptual near-dup pairs — the scale path that
+    // completes q_multimodal_phash (exact-hash census): a re-encoded or
+    // slightly-retouched image lands a few BITS away, not hash-equal.
+    // Same pigeonhole banding as q_dedup_simhash: 4×16-bit bands of the
+    // aHash — any pair within Hamming ≤ 3 shares at least one intact band
+    // (4 bands, 3 flips), so the band join is provably complete at the
+    // tolerance; never an all-pairs comparison. Images synthesize as in
+    // q_multimodal_phash, except ids with id%11==0 get ONE inverted pixel
+    // — a single guaranteed aHash bit flip (the pixel sits ~64 gray
+    // levels from the mean; the mean itself moves 2 levels, which cannot
+    // flip any other bit) — so the expected output is exactly the
+    // (flipped, unflipped-canonical) pairs at Hamming 1.
+    //
+    // Output is the bounded census per Hamming distance (n_pairs over
+    // distinct unordered hash pairs, distances 1..3), not member lists.
+    // Oracle recomputes hashes closed-form and verifies via brute pair
+    // join over the DISTINCT-hash relation (hash-space-sized, not
+    // corpus-sized).
+    "q_multimodal_phash_pairs" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val hashes = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val base = id / 5
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val hi0 = (base * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
+                  // retouch: one inverted pixel for id%11==0 at cell id%64
+                  val hi = if (id % 11 == 0 && (y * 8 + x) == (id % 64).toInt)
+                    !hi0 else hi0
+                  val v = (if (hi) 192 else 64) +
+                    ((id + x * 3 + y * 5) % 3).toInt - 1
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val dimg = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bos.toByteArray))
+              val px = new Array[Int](64)
+              var sum = 0L
+              var i = 0
+              while (i < 64) {
+                px(i) = (dimg.getRGB(i % 8, i / 8) >> 16) & 0xff
+                sum += px(i)
+                i += 1
+              }
+              var hash = 0L
+              i = 0
+              while (i < 64) {
+                if (64L * px(i) > sum) hash |= (1L << i)
+                i += 1
+              }
+              hash
+            }
+          }
+          .toDF("phash")
+          .distinct()
+        val banded = hashes
+          .select(col("phash"), explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("phash"), col("band"),
+            expr("shiftrightunsigned(phash, band * 16)")
+              .bitwiseAND(lit(0xffffL)).as("sig"))
+        val pairs = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.phash") < col("b.phash"))
+          .select(col("a.phash").as("ha"), col("b.phash").as("hb"))
+          .distinct()
+          .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("dist").between(1, 3))
+        pairs.groupBy("dist")
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("dist").cast(LongType).as("hamming"), col("n_pairs"))
+          .orderBy("hamming")
+      },
+      oracle = Some("""
+        WITH grid AS (SELECT x.i AS xi, y.j AS yj
+                      FROM range(8) x(i), range(8) y(j)),
+        px AS (
+          SELECT d.doc_id, g.xi, g.yj,
+                 (CASE WHEN (CASE WHEN ((doc_id // 5) * 2654435761
+                                + g.xi * 7919 + g.yj * 104729) % 97 < 48
+                             THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 11 = 0
+                                AND g.yj * 8 + g.xi = doc_id % 64
+                                THEN 1 ELSE 0 END) = 1
+                       THEN 192 ELSE 64 END)
+                   + (doc_id + g.xi * 3 + g.yj * 5) % 3 - 1 AS v
+          FROM documents d, grid g),
+        m AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+        h AS (
+          SELECT px.doc_id,
+                 CAST(SUM(CASE WHEN 64 * v > m.s
+                   THEN CASE WHEN yj * 8 + xi = 63
+                             THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << (yj * 8 + xi)) END
+                   ELSE 0 END) AS BIGINT) AS phash
+          FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        hs AS (SELECT DISTINCT phash FROM h),
+        pairs AS (
+          SELECT bit_count(xor(a.phash, b.phash)) AS hamming
+          FROM hs a JOIN hs b ON a.phash < b.phash
+          WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3)
+        SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(*) AS n_pairs
+        FROM pairs GROUP BY hamming ORDER BY hamming""")))
 }

@@ -183,4 +183,26 @@ class CurationSpec extends AnyFunSuite {
         s"$lang: funnel pass $passRow vs gopher ${gopherPass.get(lang)}")
     }
   }
+
+  test("q_source_novelty matches a brute-force shingle uniqueness census") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap(_._2.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" "))).toSet
+    }
+    val got = run("q_source_novelty").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, shingles) =>
+      val others = bySource.filter(_._1 != src).values.flatten.toSet
+      val unique = shingles.count(!others.contains(_)).toLong
+      val (n, u, nov) = got(src)
+      assert(n == shingles.size.toLong, s"$src shingle count")
+      assert(u == unique, s"$src unique: $u vs $unique")
+      assert(math.abs(nov - unique.toDouble / shingles.size) < 1e-3)
+    }
+  }
 }

@@ -159,4 +159,34 @@ class MultimodalSpec extends AnyFunSuite {
       assert(lo <= hi && n <= hi - lo + 1)
     }
   }
+
+  test("q_multimodal_phash_pairs matches a closed-form brute force over distinct hashes") {
+    // recompute every phash from the id arithmetic (what the oracle does),
+    // then brute-force all pairs — the query must agree through the REAL
+    // encode/decode path and the banded join
+    val ids = Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def phash(id: Long): Long = {
+      val px = Array.tabulate(64) { i =>
+        val (x, y) = (i % 8, i / 8)
+        val hi0 = ((id / 5) * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
+        val hi = if (id % 11 == 0 && i == (id % 64).toInt) !hi0 else hi0
+        (if (hi) 192 else 64) + ((id + x * 3 + y * 5) % 3).toInt - 1
+      }
+      val sum = px.map(_.toLong).sum
+      px.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (64L * v > sum) h | (1L << i) else h
+      }
+    }
+    val hashes = ids.map(phash).distinct
+    val expected = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      if d >= 1 && d <= 3
+    } yield d).groupBy(identity).map { case (d, xs) => d.toLong -> xs.size.toLong }
+    val got = SparkEntry.queries("q_multimodal_phash_pairs")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got, want $expected")
+    assert(got.getOrElse(1L, 0L) > 0, "retouched images must yield Hamming-1 pairs")
+  }
 }

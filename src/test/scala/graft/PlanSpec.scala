@@ -692,7 +692,9 @@ class PlanSpec extends AnyFunSuite {
       "q_embed_project",
       // checkpointed day-relation inequality self-join (calendar-bounded)
       // + 1-row tie-stats broadcast / 1-row corpus-size broadcast
-      "q_mk_trend", "q_text_pmi", "q_theil_sen")
+      "q_mk_trend", "q_text_pmi", "q_theil_sen",
+      // 3-row literal query relation broadcast onto the corpus scan
+      "q_rank_ndcg")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
