@@ -340,6 +340,63 @@ object Features {
                CAST(lag7_cents AS BIGINT) AS lag7_cents,
                CAST(trail7_cents AS BIGINT) AS trail7_cents,
                CAST(trail7_days AS BIGINT) AS trail7_days
-        FROM f ORDER BY user_id, day"""))
+        FROM f ORDER BY user_id, day""")),
+
+    // Label-balance audit over the embedding corpus: class counts,
+    // Shannon entropy of the label distribution, effective number of
+    // classes (exp H — "how many classes is this REALLY"), and the
+    // majority share — the first table read before training any
+    // classifier on the corpus (a 0.9 max_share dataset needs
+    // reweighting before it needs architecture). Entropy terms enter as
+    // round(1e8·p·ln p) fixed-point longs (term8 convention: a k-row
+    // double sum is order-dependent, an integer sum is not); p itself is
+    // a single division of exact counts.
+    //
+    // Scale shape: one map-side-combined hash agg to |labels| rows, then
+    // constant-sized arithmetic via a window over that relation.
+    "q_label_balance" -> Q(
+      fn = (s, d) => {
+        val g = Tables(s, d, "embeddings")
+          .groupBy("label").agg(count(lit(1)).as("n"))
+        val wT = Window.orderBy("label")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val p = col("n").cast(DoubleType) / col("tot").cast(DoubleType)
+        g.withColumn("tot", sum(col("n")).over(wT))
+          .select(col("label"), col("n"), col("tot"),
+            round(lit(1e8) * p * log(p)).cast(LongType).as("term8"),
+            p.as("share"))
+          .agg(count(lit(1)).as("n_classes"),
+            first(col("tot")).as("n_vectors"),
+            sum(col("term8")).as("t8"),
+            max(col("share")).as("max_share"))
+          .select(col("n_classes"), col("n_vectors"),
+            r4(-col("t8").cast(DoubleType) / 1e8).as("entropy"),
+            r4(exp(-col("t8").cast(DoubleType) / 1e8))
+              .as("effective_classes"),
+            r4(col("max_share")).as("max_share"))
+      },
+      oracle = Some("""
+        WITH g AS (SELECT label, COUNT(*) AS n FROM embeddings
+                   GROUP BY label),
+        w AS (SELECT *, SUM(n) OVER () AS tot FROM g),
+        t AS (
+          SELECT label, n, tot,
+                 CAST(ROUND(1e8 * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+                   AS BIGINT) AS term8,
+                 CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+          FROM w),
+        f AS (
+          SELECT COUNT(*) AS n_classes, CAST(MIN(tot) AS BIGINT)
+                   AS n_vectors,
+                 SUM(term8) AS t8, MAX(share) AS max_share
+          FROM t)
+        SELECT n_classes, n_vectors,
+               CAST(ROUND(-CAST(t8 AS DOUBLE) / 1e8, 4) AS DOUBLE)
+                 AS entropy,
+               CAST(ROUND(EXP(-CAST(t8 AS DOUBLE) / 1e8), 4) AS DOUBLE)
+                 AS effective_classes,
+               CAST(ROUND(max_share, 4) AS DOUBLE) AS max_share
+        FROM f"""))
   )
 }

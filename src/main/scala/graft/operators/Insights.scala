@@ -1124,6 +1124,60 @@ object Insights {
                    AS join_rows,
                  MAX(ca) AS max_left_mult, MAX(cb) AS max_right_mult
           FROM la2 FULL JOIN rb2 USING (k))
-        SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY join_key"""))
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY join_key""")),
+
+    // Order-to-fulfilment cycle time per priority class: mean, median,
+    // p95 and worst-case days from order placement to the last shipment
+    // — the operational SLA table q_concurrency's order-book view is
+    // usually read next to. Same inverted-interval clamp (cycle >= 0);
+    // day counts are exact ints, the mean is one division, and the
+    // interpolated percentiles follow the quantile_cont convention
+    // (q_theil_sen precedent — identical arithmetic cross-engine).
+    //
+    // Scale shape: one lineitem rollup (exchange on orderkey), one
+    // orders join on the same key, one hash agg to |priorities| rows.
+    "q_cycle_time" -> Q(
+      fn = (s, d) => {
+        val closes = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("open_day"))
+          .join(closes, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            greatest(datediff(col("close_day"), col("open_day")), lit(0))
+              .cast(LongType).as("days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("days")).as("s"),
+            expr("percentile(days, 0.5)").as("p50"),
+            expr("percentile(days, 0.95)").as("p95"),
+            max(col("days")).as("max_days"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            r4(col("s").cast(DoubleType) /
+              col("n_orders").cast(DoubleType)).as("mean_days"),
+            r4(col("p50")).as("p50_days"), r4(col("p95")).as("p95_days"),
+            col("max_days"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH closes AS (
+          SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+          FROM lineitem GROUP BY l_orderkey),
+        cyc AS (
+          SELECT o_orderpriority,
+                 GREATEST(date_diff('day', CAST(o_orderdate AS DATE),
+                   close_day), 0) AS days
+          FROM orders JOIN closes ON o_orderkey = l_orderkey)
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(ROUND(CAST(SUM(days) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS mean_days,
+               CAST(ROUND(quantile_cont(days, 0.5), 4) AS DOUBLE)
+                 AS p50_days,
+               CAST(ROUND(quantile_cont(days, 0.95), 4) AS DOUBLE)
+                 AS p95_days,
+               CAST(MAX(days) AS BIGINT) AS max_days
+        FROM cyc GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

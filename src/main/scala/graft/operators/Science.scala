@@ -944,6 +944,70 @@ object Science {
     // is <=1 row per customer — linear in the probe side — where the naive
     // all-pairs-within-radius form is quadratic in corpus density. Ties on
     // distance break by s_suppkey.
+    // Trailing-7-day regression slope of the daily purchase-revenue
+    // series — the rolling version of q_agg_linreg's global fit and the
+    // short-horizon companion of q_theil_sen (which fits ONE robust slope
+    // to the whole series; this tracks how the local trend itself moves).
+    // Slope from the closed form over windowed sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx²), all exact integer sums over a RANGE frame
+    // keyed by dayno; emitted null for the first day (n=1 → undefined).
+    //
+    // Scale shape: the corpus collapses ONCE to the daily rollup
+    // (map-side-combined agg, calendar-sized); the five windowed sums run
+    // single-partition over that bounded relation (the q_ks_test
+    // justification) in ONE window pass (shared frame).
+    "q_rolling_regression" -> Q(
+      fn = (s, d) => {
+        val daily = Tables(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast(DateType)).as("dayno"))
+          .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+        val w = Window.orderBy("dayno").rangeBetween(-6, 0)
+        def dd(c: Column) = c.cast(DoubleType)
+        val slope =
+          (dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+            (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("dayno")).over(w))
+          .withColumn("sy", sum(col("cents")).over(w))
+          .withColumn("sxy", sum(col("dayno") * col("cents")).over(w))
+          .withColumn("sxx", sum(col("dayno") * col("dayno")).over(w))
+          .select(
+            date_add(lit("1970-01-01").cast(DateType), col("dayno"))
+              .as("day"),
+            col("cents"), col("n").as("n_days"),
+            when(col("n") >= 2, r4(slope / 100.0)).as("slope"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dayno,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        w AS (
+          SELECT dayno, cents,
+                 COUNT(*) OVER fr AS n,
+                 SUM(dayno) OVER fr AS sx,
+                 SUM(cents) OVER fr AS sy,
+                 SUM(dayno * cents) OVER fr AS sxy,
+                 SUM(dayno * dayno) OVER fr AS sxx
+          FROM daily
+          WINDOW fr AS (ORDER BY dayno
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT DATE '1970-01-01' + CAST(dayno AS INTEGER) AS day, cents,
+               CAST(n AS BIGINT) AS n_days,
+               CASE WHEN n >= 2 THEN
+                 CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 4)
+                   AS DOUBLE) END AS slope
+        FROM w ORDER BY day""")),
+
     "q_geo_knn" -> Q(
       fn = (s, d) => {
         val r = 15.0

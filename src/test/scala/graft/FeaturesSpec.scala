@@ -95,4 +95,16 @@ class FeaturesSpec extends AnyFunSuite {
       assert(trail7 >= cents && days7 >= 1)
     }
   }
+
+  test("q_label_balance: entropy bounded by ln(k), effective classes in [1, k]") {
+    val r = SparkEntry.queries("q_label_balance")(spark, TestSpark.sf).head()
+    val (k, n, h, eff, maxShare) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n == Tables(spark, TestSpark.sf, "embeddings").count())
+    assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-4,
+      s"entropy $h out of [0, ln $k]")
+    assert(eff >= 1.0 - 1e-4 && eff <= k + 1e-4)
+    assert(math.abs(eff - math.exp(h)) < 2e-3)
+    assert(maxShare >= 1.0 / k - 1e-4 && maxShare <= 1.0)
+  }
 }

@@ -70,6 +70,50 @@ class InsightsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.keySet.subsetOf(expected.keySet))
   }
 
+  test("q_rolling_regression matches a brute-force trailing-window fit") {
+    val daily = Tables(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value") * 100).cast("long").as("cents")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).sortBy(_._1)
+    val got = SparkEntry.queries("q_rolling_regression")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.length == daily.length)
+    got.foreach { case (day, nDays, slope) =>
+      val win = daily.filter { case (d, _) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7)) }
+      assert(nDays == win.length, s"$day window size")
+      if (win.length < 2) assert(slope.isEmpty)
+      else {
+        val n = win.length.toDouble
+        val xs = win.map(_._1.toEpochDay.toDouble)
+        val ys = win.map(_._2.toDouble)
+        val expected = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+          xs.sum * ys.sum) / (n * xs.map(x => x * x).sum -
+          xs.sum * xs.sum) / 100.0
+        assert(math.abs(slope.get - expected) < 1e-2,
+          s"$day: ${slope.get} vs $expected")
+      }
+    }
+  }
+
+  test("q_cycle_time: percentile ladder ordered, mean within range, clamp respected") {
+    val rows = SparkEntry.queries("q_cycle_time")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val totalOrders = Tables(spark, TestSpark.sf, "orders")
+      .join(Tables(spark, TestSpark.sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_._2).sum == totalOrders)
+    rows.foreach { case (prio, n, mean, p50, p95, maxd) =>
+      assert(p50 <= p95 + 1e-9 && p95 <= maxd + 1e-9, s"$prio ladder")
+      assert(mean >= 0.0 && mean <= maxd + 1e-9, s"$prio mean")
+      assert(maxd >= 0, s"$prio clamp violated")
+    }
+  }
+
   test("q_join_cardinality predicts the exact executed join size") {
     val rows = SparkEntry.queries("q_join_cardinality")(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r).toMap
