@@ -283,6 +283,91 @@ object Dedup {
     // probability (1−0.9²)³² ≈ 1e-23 — recall is 1 up to cosmic rays. The
     // banding parameters are part of the operator's contract for this
     // corpus-style workload; DedupSpec asserts the recall math.
+    // LSH band-tuning decision table: for 16 MinHash permutations split as
+    // 16×1 / 8×2 / 4×4 (bands × rows), the EMPIRICAL candidate-pair
+    // volume, collision-bucket census and worst bucket size on this
+    // corpus — the table that decides q_dedup_fuzzy's banding before a
+    // 100 TB run (theory gives the S-curve; the candidate VOLUME — the
+    // actual shuffle+recheck cost — depends on the corpus). Candidate
+    // counts come from bucket-size arithmetic (Σ n(n−1)/2), never pair
+    // materialization.
+    //
+    // Determinism: permutation hashes are md5-lower-64 of "kk#shingle"
+    // shifted to the positive 2^53 range (the q_sample_reservoir
+    // convention — signed-vs-unsigned MIN cannot diverge), so DuckDB
+    // reproduces every signature bit. Scale shape: the corpus collapses
+    // to the distinct (doc, shingle) relation, then to the CHECKPOINTED
+    // (doc, perm, min-hash) relation (16 rows/doc) feeding all three
+    // configs; bucket censuses are hash aggs over doc×16×3 rows. The
+    // md5-per-perm family costs 16 digests per shingle — at 100 TB this
+    // planning table runs on a sample (it estimates RATES, not pairs);
+    // the production signature path (q_dedup_fuzzy) keeps the 1-hash
+    // XXH64+avalanche family.
+    "q_lsh_tuning" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.VectorFunctions.shingleSet(
+              split(col("text"), " "), 3)).as("sh"))
+          .distinct()
+        val mh = graft.Tables.runScopedCheckpoint("q_lsh_tuning.mh",
+          sh.select(col("doc_id"), col("sh"),
+              explode(sequence(lit(0), lit(15))).as("k"))
+            .groupBy("doc_id", "k")
+            .agg(min(shiftrightunsigned(
+              graft.functions.VectorFunctions.md5Lower(concat(
+                lpad(col("k").cast(StringType), 2, "0"), lit("#"),
+                col("sh"))), 11)).as("m")))
+        val sigs = mh
+          .select(col("doc_id"), col("k"), col("m"),
+            explode(lit(Array(1, 2, 4))).as("r"))
+          .withColumn("band", expr("k div r"))
+          .groupBy("doc_id", "r", "band")
+          .agg(array_join(array_sort(collect_list(concat(
+            lpad(col("k").cast(StringType), 2, "0"), lit(":"),
+            col("m")))), "-").as("sig"))
+        sigs.groupBy("r", "band", "sig").agg(count(lit(1)).as("n"))
+          .groupBy("r")
+          .agg(sum(expr("n * (n - 1) div 2")).as("candidate_pairs"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("buckets_gt1"),
+            max(col("n")).as("max_bucket"))
+          .select(expr("16 div r").cast(LongType).as("bands"),
+            col("r").cast(LongType).as("rows_per_band"),
+            col("candidate_pairs").cast(LongType).as("candidate_pairs"),
+            col("buckets_gt1"), col("max_bucket"))
+          .orderBy("rows_per_band")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
+            LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
+          WHERE i + 2 <= len(t)),
+        perms AS (SELECT unnest(range(16)) AS k),
+        mh AS (
+          SELECT doc_id, k,
+                 MIN(md5_number_lower(lpad(CAST(k AS VARCHAR), 2, '0') ||
+                   '#' || s) >> 11) AS m
+          FROM sh, perms GROUP BY doc_id, k),
+        cfg AS (SELECT unnest([1, 2, 4]) AS r),
+        sigs AS (
+          SELECT doc_id, r, k // r AS band,
+                 string_agg(lpad(CAST(k AS VARCHAR), 2, '0') || ':' ||
+                   CAST(m AS VARCHAR), '-' ORDER BY k) AS sig
+          FROM mh, cfg GROUP BY doc_id, r, k // r),
+        buckets AS (
+          SELECT r, band, sig, COUNT(*) AS n
+          FROM sigs GROUP BY r, band, sig)
+        SELECT CAST(16 // r AS BIGINT) AS bands,
+               CAST(r AS BIGINT) AS rows_per_band,
+               CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS buckets_gt1,
+               CAST(MAX(n) AS BIGINT) AS max_bucket
+        FROM buckets GROUP BY r ORDER BY rows_per_band""")),
+
     "q_dedup_fuzzy" -> Q(
       fn = (s, d) =>
         minHashDedup(shingleSets(s, d), numHashes = 64, bands = 32, tau = 0.3)

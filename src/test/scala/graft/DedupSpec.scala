@@ -194,4 +194,21 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == brute,
       s"pigeonhole blocking must be exhaustive: missing=${brute -- blocked} extra=${blocked -- brute}")
   }
+
+  test("q_lsh_tuning: candidate volume shrinks monotonically as rows-per-band grows") {
+    val rows = SparkEntry.queries("q_lsh_tuning")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._2)
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((16L, 1L), (8L, 2L), (4L, 4L)))
+    // longer band signatures are strictly harder to collide on: candidate
+    // pairs and colliding buckets must be non-increasing in rows-per-band
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      s"candidate pairs not monotone: ${rows.map(_._3).toSeq}")
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.reverse.toSeq)
+    rows.foreach { case (b, r, pairs, bk, maxB) =>
+      assert(b * r == 16)
+      assert(maxB >= 1 && pairs >= bk, s"($b,$r): pairs $pairs buckets $bk")
+    }
+  }
 }
