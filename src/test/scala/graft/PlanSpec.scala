@@ -371,6 +371,28 @@ class PlanSpec extends AnyFunSuite {
     assert(rScans == 0, s"text_rank re-scans the corpus: $rScans scans")
   }
 
+  test("q_source_novelty and q_lsh_tuning read their checkpointed relation — one corpus pass") {
+    // both feed a multi-consumer derived relation (distinct (source,shingle)
+    // / the 16-perm signature matrix) through runScopedCheckpoint; without
+    // the barrier the corpus explode re-executes per consumer (the r5
+    // q_graph_triangles defect class). After the checkpoint, the final
+    // plan must contain ZERO parquet scans.
+    Seq("q_source_novelty", "q_lsh_tuning").foreach { k =>
+      val p = planOf(k)
+      val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 0, s"$k re-scans the corpus past its checkpoint: $scans")
+    }
+  }
+
+  test("q_concurrency scans each input once: deltas collapse before the sweep") {
+    val p = planOf("q_concurrency")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    // one lineitem scan (close rollup) + one orders scan; the +1/−1
+    // endpoints explode map-side from ONE pass over the interval relation
+    // — a union of two selects would re-execute the join per branch
+    assert(scans == 2, s"delta generation re-scans the fact tables: $scans scans")
+  }
+
   test("q_dedup_bloom probes the sketch map-side; only the ground-truth check joins") {
     val p = planOf("q_dedup_bloom")
     // the bloom probe itself is a scalar-subquery broadcast + map-side
