@@ -1267,5 +1267,84 @@ object TextAnalysis {
                CAST(ROUND(CAST(kept AS DOUBLE)
                  / CAST(docs * budget AS DOUBLE), 4) AS DOUBLE)
                  AS utilization
-        FROM g ORDER BY budget""")))
+        FROM g ORDER BY budget""")),
+
+    // Per-source token-distribution drift: PSI of each source against the
+    // REST of the corpus over the global top-20 tokens — q_psi_drift's
+    // idea (population stability) applied to the signal corpus mixing
+    // cares about (a high-PSI source writes in a different register than
+    // the blend; mixing it at weight w shifts the token distribution
+    // detectably). Laplace +1 smoothing keeps ln defined when a source
+    // never uses a top token; shares renormalize within the top-20
+    // subset (documented — PSI over a fixed token panel, the standard
+    // monitoring practice).
+    //
+    // Determinism: counts exact; each PSI term is round(1e8·(p−q)·ln(p/q))
+    // from single-expression doubles over exact ints (term8 convention).
+    // Scale shape: corpus → (source, token) counts ONCE; the top-20
+    // panel, the 20×|sources| grid, and every PSI sum are panel-sized.
+    "q_token_drift" -> Q(
+      fn = (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        val top = counts.groupBy("token").agg(sum(col("c")).as("g"))
+          .orderBy(col("g").desc, col("token").asc).limit(20)
+        val grid = counts.select(col("source")).distinct()
+          .crossJoin(broadcast(top))
+        val cells = grid.join(counts, Seq("source", "token"), "left")
+          .select(col("source"), col("token"), col("g"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wS = Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val p = (col("c") + 1).cast(DoubleType) /
+          (col("ct") + 20).cast(DoubleType)
+        val q = (col("g") - col("c") + 1).cast(DoubleType) /
+          (col("gt") - col("ct") + 20).cast(DoubleType)
+        cells
+          .withColumn("ct", sum(col("c")).over(wS))
+          .withColumn("gt", sum(col("g")).over(wS))
+          .select(col("source"),
+            round(lit(1e8) * (p - q) * log(p / q)).cast(LongType)
+              .as("term8"))
+          .groupBy("source")
+          .agg(r4(sum(col("term8")).cast(DoubleType) / 1e8).as("psi"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT source, token, COUNT(*) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          GROUP BY source, token),
+        top AS (
+          SELECT token, SUM(c) AS g FROM counts GROUP BY token
+          ORDER BY g DESC, token ASC LIMIT 20),
+        grid AS (
+          SELECT s.source, t.token, t.g
+          FROM (SELECT DISTINCT source FROM counts) s, top t),
+        cells AS (
+          SELECT g.source, g.token, g.g, COALESCE(c.c, 0) AS c
+          FROM grid g LEFT JOIN counts c
+            ON g.source = c.source AND g.token = c.token),
+        w AS (
+          SELECT *, SUM(c) OVER (PARTITION BY source) AS ct,
+                 SUM(g) OVER (PARTITION BY source) AS gt
+          FROM cells),
+        t AS (
+          SELECT source,
+                 CAST(ROUND(1e8 *
+                   (CAST(c + 1 AS DOUBLE) / CAST(ct + 20 AS DOUBLE)
+                     - CAST(g - c + 1 AS DOUBLE)
+                       / CAST(gt - ct + 20 AS DOUBLE)) *
+                   ln((CAST(c + 1 AS DOUBLE) / CAST(ct + 20 AS DOUBLE)) /
+                      (CAST(g - c + 1 AS DOUBLE)
+                        / CAST(gt - ct + 20 AS DOUBLE)))) AS BIGINT)
+                   AS term8
+          FROM w)
+        SELECT source,
+               CAST(ROUND(CAST(SUM(term8) AS DOUBLE) / 1e8, 4) AS DOUBLE)
+                 AS psi
+        FROM t GROUP BY source ORDER BY source""")))
 }

@@ -1184,6 +1184,59 @@ object Insights {
                CAST(ROUND(quantile_cont(days, 0.95), 4) AS DOUBLE)
                  AS p95_days,
                CAST(MAX(days) AS BIGINT) AS max_days
-        FROM cyc GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM cyc GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Daily active users split new vs returning (+ cumulative acquired) —
+    // the growth-accounting table between q_cumulative_users (total
+    // acquisition curve) and q_retention_cohort (per-cohort decay): a flat
+    // DAU with rising "new" share means churn is eating acquisition.
+    //
+    // Scale shape: ONE corpus exchange — the user repartition is shared
+    // by the (user, day) distinct (HashPartitioning(user) satisfies the
+    // (user, day) clustering) and the first-day window; the daily rollup
+    // is calendar-sized, as is the cumulative window. Exact counts only.
+    "q_new_returning" -> Q(
+      fn = (s, d) => {
+        val act = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .repartition(col("user_id"))
+          .distinct()
+        val w = Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val daily = act
+          .withColumn("first_day", min(col("day")).over(w))
+          .groupBy("day")
+          .agg(
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("new_users"),
+            sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+              .as("returning_users"))
+        daily
+          .withColumn("cum_new", sum(col("new_users")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("new_users"), col("returning_users"),
+            col("cum_new"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        f AS (
+          SELECT user_id, day,
+                 MIN(day) OVER (PARTITION BY user_id) AS first_day
+          FROM act),
+        daily AS (
+          SELECT day,
+                 SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                   AS new_users,
+                 SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+                   AS returning_users
+          FROM f GROUP BY day)
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(returning_users AS BIGINT) AS returning_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                 AS cum_new
+        FROM daily ORDER BY day"""))
   )
 }

@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class InsightsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Hash exchanges in the pre-AQE plan (the InferenceSpec helper). */
+  private def hashExchanges(name: String): Int = {
+    val p = SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(p).length
+  }
+
   test("ks statistic is in [0,1] and sample sizes cover the filtered corpus") {
     val r = SparkEntry.queries("q_ks_test")(spark, TestSpark.sf).head()
     val (d, n1, n2) = (r.getDouble(0), r.getLong(1), r.getLong(2))
@@ -68,6 +75,27 @@ class InsightsSpec extends AnyFunSuite {
     }
     // every month with a book CHANGE is emitted
     assert(got.nonEmpty && got.keySet.subsetOf(expected.keySet))
+  }
+
+  test("q_new_returning: users partition exactly, cumulative equals distinct users, one corpus exchange") {
+    val rows = SparkEntry.queries("q_new_returning")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val ev = Tables(spark, TestSpark.sf, "events")
+    assert(rows.map(_._2).sum ==
+      ev.select("user_id").distinct().count(),
+      "every user is new exactly once")
+    assert(rows.last._4 == rows.map(_._2).sum, "cumulative != total acquired")
+    // DAU = new + returning must equal the distinct (user, day) census
+    val dau = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().groupBy("d").count().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    rows.foreach { case (day, nu, ru, _) =>
+      assert(nu + ru == dau(day), s"$day: ${nu + ru} vs ${dau(day)}")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(hashExchanges("q_new_returning") <= 2,
+      "user repartition not shared by distinct + first-day window")
   }
 
   test("q_rolling_regression matches a brute-force trailing-window fit") {

@@ -416,4 +416,16 @@ class TextRetrievalSpec extends AnyFunSuite {
       assert(math.abs((total - lost).toDouble / (docs * b) - util) < 1e-3)
     }
   }
+
+  test("q_token_drift: PSI >= 0 for every source, all sources covered") {
+    val rows = SparkEntry.queries("q_token_drift")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val sources = Tables(spark, TestSpark.sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == sources)
+    // PSI is a sum of (p-q)ln(p/q) terms, each individually >= 0
+    rows.foreach { case (src, psi) =>
+      assert(psi >= -1e-4, s"$src: negative PSI $psi")
+    }
+  }
 }
