@@ -716,7 +716,9 @@ class PlanSpec extends AnyFunSuite {
       // + 1-row tie-stats broadcast / 1-row corpus-size broadcast
       "q_mk_trend", "q_text_pmi", "q_theil_sen",
       // 3-row literal query relation broadcast onto the corpus scan
-      "q_rank_ndcg")
+      "q_rank_ndcg",
+      // |sources| × broadcast top-20 token panel grid (both tiny)
+      "q_token_drift")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }
