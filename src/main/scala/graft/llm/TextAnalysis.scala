@@ -1346,5 +1346,64 @@ object TextAnalysis {
         SELECT source,
                CAST(ROUND(CAST(SUM(term8) AS DOUBLE) / 1e8, 4) AS DOUBLE)
                  AS psi
-        FROM t GROUP BY source ORDER BY source""")))
+        FROM t GROUP BY source ORDER BY source""")),
+
+    // Corpus-comparison log-odds ("Fightin' Words", Monroe et al. 2008,
+    // uniform Dirichlet prior alpha=1): which tokens are over-represented
+    // in the English slice vs the rest of the corpus, as smoothed
+    // log-odds-ratio z-scores. The PSI table above says THAT sources
+    // drifted; this says WHICH tokens carry the difference — the lead
+    // table of any corpus-slice audit (quality tier vs rest, one crawl
+    // snapshot vs the last). Tokens below 20 total occurrences are
+    // excluded (their z is prior-dominated noise on both sides).
+    //
+    // Scale shape: ONE corpus pass explodes tokens with a 0/1 group flag
+    // and collapses to the vocab-sized (token, y1, y2) relation — the only
+    // data-sized exchange. Totals (n1, n2, V) reduce that relation to one
+    // broadcast row; delta and z are then per-row arithmetic on the vocab
+    // relation. Nothing downstream of the first group-by scales with the
+    // corpus.
+    "q_text_logodds" -> Q(
+      fn = (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(when(col("lang") === "en", 1L).otherwise(0L).as("g"),
+            explode(toks).as("token"))
+          .groupBy("token")
+          .agg(sum(col("g")).as("y1"), sum(lit(1L) - col("g")).as("y2"))
+        val tot = counts.agg(sum(col("y1")).as("n1"), sum(col("y2")).as("n2"),
+          count(lit(1)).as("v"))
+        val dlt =
+          log((col("y1") + 1).cast(DoubleType) /
+              (col("n1") + col("v") - col("y1") - 1).cast(DoubleType)) -
+          log((col("y2") + 1).cast(DoubleType) /
+              (col("n2") + col("v") - col("y2") - 1).cast(DoubleType))
+        val sd = sqrt(lit(1.0) / (col("y1") + 1).cast(DoubleType) +
+          lit(1.0) / (col("y2") + 1).cast(DoubleType))
+        counts.crossJoin(broadcast(tot))
+          .filter(col("y1") + col("y2") >= 20)
+          .select(col("token"), col("y1").as("cnt_en"),
+            col("y2").as("cnt_rest"), r4(dlt / sd).as("z"))
+          .orderBy(col("z").desc, col("token").asc)
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (
+          SELECT token, CAST(SUM(g) AS BIGINT) AS y1,
+                 CAST(SUM(1 - g) AS BIGINT) AS y2
+          FROM tok GROUP BY token),
+        t AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2, COUNT(*) AS v FROM c)
+        SELECT token, y1 AS cnt_en, y2 AS cnt_rest,
+               CAST(ROUND(
+                 (ln(CAST(y1 + 1 AS DOUBLE) / CAST(n1 + v - y1 - 1 AS DOUBLE))
+                  - ln(CAST(y2 + 1 AS DOUBLE)
+                       / CAST(n2 + v - y2 - 1 AS DOUBLE)))
+                 / sqrt(1.0 / CAST(y1 + 1 AS DOUBLE)
+                        + 1.0 / CAST(y2 + 1 AS DOUBLE)), 4) AS DOUBLE) AS z
+        FROM c CROSS JOIN t
+        WHERE y1 + y2 >= 20
+        ORDER BY z DESC, token ASC LIMIT 30""")))
 }

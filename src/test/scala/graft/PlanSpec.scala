@@ -718,7 +718,9 @@ class PlanSpec extends AnyFunSuite {
       // 3-row literal query relation broadcast onto the corpus scan
       "q_rank_ndcg",
       // |sources| × broadcast top-20 token panel grid (both tiny)
-      "q_token_drift")
+      "q_token_drift",
+      // 1-row (n1,n2,V) totals broadcast onto the vocab relation
+      "q_text_logodds")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
     val badCart = plans.collect {
       case (k, p) if p.contains("CartesianProduct") => k }

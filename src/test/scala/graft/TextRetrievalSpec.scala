@@ -428,4 +428,29 @@ class TextRetrievalSpec extends AnyFunSuite {
       assert(psi >= -1e-4, s"$src: negative PSI $psi")
     }
   }
+
+  test("q_text_logodds: z matches a brute-force recount; ordered desc; min-count respected") {
+    val rows = SparkEntry.queries("q_text_logodds")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getDouble(3))
+    assert(zs.sameElements(zs.sorted.reverse), "not z-descending")
+    rows.foreach(r => assert(r.getLong(1) + r.getLong(2) >= 20, "min-count"))
+    // brute-force the top row's z from the raw corpus
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("lang"), split(col("text"), " ").as("t")).collect()
+      .map(r => (r.getString(0) == "en", r.getSeq[String](1)))
+    val all = docs.flatMap { case (en, ts) => ts.map(t => (t, en)) }
+    val v = all.map(_._1).distinct.length.toLong
+    val n1 = all.count(_._2).toLong
+    val n2 = all.length - n1
+    val top = rows.head
+    val tok = top.getString(0)
+    val y1 = all.count(p => p._1 == tok && p._2).toLong
+    val y2 = all.count(p => p._1 == tok && !p._2).toLong
+    assert(y1 == top.getLong(1) && y2 == top.getLong(2))
+    val dlt = math.log((y1 + 1).toDouble / (n1 + v - y1 - 1)) -
+      math.log((y2 + 1).toDouble / (n2 + v - y2 - 1))
+    val z = dlt / math.sqrt(1.0 / (y1 + 1) + 1.0 / (y2 + 1))
+    assert(math.abs(z - top.getDouble(3)) < 1e-3, s"z ${top.getDouble(3)} vs brute $z")
+  }
 }
