@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Overlay `updates` (key → raw JSON value text) onto a flat one-level
+    * JSON object, preserving every existing key not updated. This is what
+    * keeps single-query `SPARK_GRAFT_ONLY`/`SPARK_GRAFT_SKIP` runs from
+    * truncating the full-battery BENCH_LOCAL.json/BENCH_RUNS.json to a
+    * one-entry file (which shipped two broken commits in round 7 — the
+    * merge makes the artifact safe by construction, not by operator
+    * discipline). Existing keys keep their position; new keys append.
+    */
+  def mergeJson(existing: String, updates: Seq[(String, String)]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(
+      if (existing.trim.isEmpty) "{}" else existing)
+    val kept = scala.collection.mutable.LinkedHashMap[String, String]()
+    tree.fields().forEachRemaining(e => kept(e.getKey) = e.getValue.toString)
+    updates.foreach { case (k, v) => kept(k) = v }
+    kept.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}") + "\n"
+  }
+
+  /** Write `updates` to `path`: merged into the existing file when this is
+    * a partial (filtered) run, full overwrite for a complete battery. */
+  private def writeBenchFile(
+      path: String, updates: Seq[(String, String)], partial: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val existing =
+      if (partial && java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p)
+      else "{}"
+    java.nio.file.Files.writeString(p, mergeJson(existing, updates))
+  }
   /** Headline queries reported per-query in the JSON line. The driver's log
     * tail is finite — emitting all ~80 query timings overflowed it in round 1
     * ("parsed": null), so the line stays short: total over everything,
@@ -113,18 +142,18 @@ object Bench {
     val line =
       s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // Full per-query detail goes to a file, not stdout (tail budget).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      results.map { case (k, v) => s"\"$k\":${r3(v)}" }
-        .mkString("{", ",", "}") + "\n")
+    // Full per-query detail goes to a file, not stdout (tail budget). A
+    // filtered run (ONLY/SKIP) merges into the existing battery file
+    // instead of truncating it.
+    val partial = only.nonEmpty || skip.nonEmpty
+    writeBenchFile("/root/repo/BENCH_LOCAL.json",
+      results.map { case (k, v) => k -> r3(v) }.toSeq, partial)
     // All three raw runs per query, for drift-vs-noise analysis. A failed
     // run serializes as null (NaN is not JSON).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_RUNS.json"),
+    writeBenchFile("/root/repo/BENCH_RUNS.json",
       runs.map { case (k, ts) =>
-        s"\"$k\":[${ts.map(t => if (t.isNaN) "null" else r3(t)).mkString(",")}]"
-      }.mkString("{", ",", "}") + "\n")
+        k -> ts.map(t => if (t.isNaN) "null" else r3(t)).mkString("[", ",", "]")
+      }.toSeq, partial)
     spark.stop()
   }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed, exact order-statistics over corpus-proportional relations —
+  * the scale-safe replacement for the single-reducer `Window.orderBy(...)` /
+  * `Window.partitionBy(fewKeys).orderBy(...)` idiom (the round-7 weak class:
+  * a global rank or running sum funnels the whole relation through one — or
+  * |fewKeys| — reducers).
+  *
+  * Shape (the classic two-phase parallel prefix sum, re-expressed in the
+  * DataFrame API so Catalyst/AQE still own the physical plan):
+  *
+  *  1. ONE `approx_percentile` pass sketches `buckets` range-boundary values
+  *     of the order key (Greenwald–Khanna: fixed per-partition state, only
+  *     sketches cross the exchange) → a 1-row broadcast.
+  *  2. Every row is assigned its range bucket MAP-SIDE against the broadcast
+  *     boundary array (monotone in the order key; ties always share a
+  *     bucket, so bucket-local order concatenates to the exact global
+  *     order).
+  *  3. The only corpus-sized exchange hash-partitions by
+  *     (partitionCols, bucket) — `buckets`-way parallel — and a bucket-local
+  *     window computes ranks / running sums.
+  *  4. Per-bucket totals collapse to a tiny (|partitions| × buckets) relation
+  *     whose running offsets are a bounded-domain window (allowlisted by the
+  *     PlanSpec bounded-window invariant), broadcast back, and added to the
+  *     bucket-local values — the exact global rank / prefix sum, no reducer
+  *     ever seeing more than ~1/buckets of any partition's rows.
+  *
+  * Exactness: bucket boundaries only steer PLACEMENT — any monotone split
+  * yields the same rank — so the sketch's error bound is a load-balance
+  * concern, never a correctness one. Sums stay exact when the weight column
+  * is integral or DECIMAL (offset + local is one addition per row).
+  *
+  * The input frame is consumed by phases 1/2/4 (sketch, counts, window) —
+  * callers pass a materialized (checkpointed) relation when recomputing the
+  * lineage is not free, mirroring the q_text_pmi house pattern.
+  */
+object PrefixSum {
+
+  /** Exact integer division for non-negative longs (Column `/` is a double
+    * divide): subtract the remainder first, so the quotient is an exact
+    * multiple and the double division is error-free for |a| < 2^53.
+    */
+  def idiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast(LongType)
+
+  private def bucketOf(v: Column, bounds: Column, buckets: Int, asc: Boolean): Column = {
+    // Ties share a bucket by construction (the comparison is a pure function
+    // of the value); NULL and NaN rows are pinned to the end Spark's sort
+    // order puts them at (NULLS FIRST for asc, NaN greater than +Inf).
+    val vd = v.cast(DoubleType)
+    val cmp =
+      if (buckets <= 1) lit(0L)
+      else (1 until buckets).map { j =>
+        val b = bounds.getItem(j - 1)
+        when(if (asc) vd > b else vd < b, 1L).otherwise(0L)
+      }.reduce(_ + _)
+    val nullBkt = if (asc) lit(-1L) else lit(buckets.toLong)
+    val nanBkt = if (asc) lit(buckets.toLong) else lit(-1L)
+    when(v.isNull, nullBkt)
+      .when(isnan(vd), nanBkt)
+      .otherwise(cmp)
+  }
+
+  /** 1-row frame holding the boundary array for [[bucketOf]]. */
+  private def boundaries(df: DataFrame, primary: Column, buckets: Int): DataFrame =
+    if (buckets <= 1)
+      // degenerate single bucket: no boundaries needed (the plain window)
+      df.agg(count(lit(1)).as("__cnt"))
+        .select(array().cast(ArrayType(DoubleType)).as("__bounds"))
+    else {
+      val pcts = lit((1 until buckets).map(_.toDouble / buckets).toArray)
+      df.agg(percentile_approx(primary.cast(DoubleType), pcts, lit(1000)).as("__bounds"))
+    }
+
+  /** Adds column `out` = exact `row_number()` over
+    * `Window.partitionBy(partCols).orderBy(primary [asc|desc], tieBreaks...)`
+    * — same values, but distributed over `buckets` reducers per partition
+    * instead of one. `tieBreaks` must complete a total order (the same
+    * contract row_number itself has).
+    */
+  def withRank(
+      df: DataFrame,
+      partCols: Seq[String],
+      primary: Column,
+      asc: Boolean,
+      tieBreaks: Seq[Column],
+      out: String,
+      buckets: Int = 32): DataFrame = {
+    val ordered = (if (asc) primary.asc else primary.desc) +: tieBreaks
+    val b = df.crossJoin(broadcast(boundaries(df, primary, buckets)))
+      .withColumn("__bkt", bucketOf(primary, col("__bounds"), buckets, asc))
+      .drop("__bounds")
+    val counts = b.groupBy((partCols :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val offs = counts.withColumn("__off",
+      sum(col("__n")).over(
+        Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__n"))
+      .drop("__n")
+    b.withColumn("__rn", row_number().over(
+        Window.partitionBy((partCols :+ "__bkt").map(col): _*).orderBy(ordered: _*)))
+      .join(broadcast(offs), partCols :+ "__bkt")
+      .withColumn(out, col("__off") + col("__rn"))
+      .drop("__bkt", "__rn", "__off")
+  }
+
+  /** Adds column `out` = exact running `sum(weight)` over
+    * `Window.partitionBy(partCols).orderBy(primary asc)` (ROWS UNBOUNDED
+    * PRECEDING..CURRENT ROW), distributed the same way. Callers needing
+    * RANGE-frame semantics must pass a `primary` that is distinct within
+    * each partition (the grouped-relation idiom), where the two frames
+    * coincide.
+    */
+  def withCumSum(
+      df: DataFrame,
+      partCols: Seq[String],
+      primary: Column,
+      weight: Column,
+      out: String,
+      buckets: Int = 32): DataFrame = {
+    val b = df.crossJoin(broadcast(boundaries(df, primary, buckets)))
+      .withColumn("__bkt", bucketOf(primary, col("__bounds"), buckets, asc = true))
+      .drop("__bounds")
+      .withColumn("__w", weight)
+    val totals = b.groupBy((partCols :+ "__bkt").map(col): _*)
+      .agg(sum(col("__w")).as("__bw"))
+    val offs = totals.withColumn("__off",
+      sum(col("__bw")).over(
+        Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__bw"))
+      .drop("__bw")
+    b.withColumn("__cumloc", sum(col("__w")).over(
+        Window.partitionBy((partCols :+ "__bkt").map(col): _*).orderBy(primary.asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offs), partCols :+ "__bkt")
+      .withColumn(out, col("__off") + col("__cumloc"))
+      .drop("__bkt", "__w", "__cumloc", "__off")
+  }
+
+  /** `ntile(k)` derived in closed form from an exact 1-based rank and the
+    * partition row count — the SQL-standard split (the first `n mod k` tiles
+    * take `ceil(n/k)` rows): positional, tie-agnostic, identical to what
+    * `ntile` itself assigns over the same total order.
+    */
+  def tileOf(rank: Column, n: Column, k: Int): Column = {
+    val q = idiv(n, lit(k.toLong))
+    val rem = n % lit(k.toLong)
+    val cut = rem * (q + lit(1L))
+    when(rank <= cut, idiv(rank - 1, q + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(rank - cut - 1, q) + lit(1L))
+      .cast(IntegerType)
+  }
+}

@@ -973,15 +973,18 @@ object TextAnalysis {
     // Jaccard as one division.
     //
     // Scale shape: the corpus collapses ONCE to the distinct (lang,
-    // token) relation — VOCABULARY-sized, not corpus-sized; the pairwise
-    // intersection joins that relation with itself on token (vocab-sized
-    // exchange) and the per-language sizes broadcast back onto the
-    // |langs|² result.
+    // token) relation — VOCABULARY-sized, not corpus-sized, and
+    // checkpointed: three consumers (sizes + both self-join sides) would
+    // otherwise each replay the corpus explode+distinct (ADVICE r8). The
+    // pairwise intersection joins the materialized relation with itself
+    // on token (vocab-sized exchange) and the per-language sizes
+    // broadcast back onto the |langs|² result.
     "q_cross_lingual_overlap" -> Q(
       fn = (s, d) => {
-        val vl = Tables(s, d, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-          .distinct()
+        val vl = Tables.runScopedCheckpoint("q_clo_vl",
+          Tables(s, d, "documents")
+            .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+            .distinct())
         val sizes = vl.groupBy("lang").agg(count(lit(1)).as("n"))
         val inter = vl.as("a")
           .join(vl.as("b"), Seq("token"))
@@ -1281,14 +1284,17 @@ object TextAnalysis {
     //
     // Determinism: counts exact; each PSI term is round(1e8·(p−q)·ln(p/q))
     // from single-expression doubles over exact ints (term8 convention).
-    // Scale shape: corpus → (source, token) counts ONCE; the top-20
-    // panel, the 20×|sources| grid, and every PSI sum are panel-sized.
+    // Scale shape: corpus → (source, token) counts ONCE — checkpointed,
+    // because three consumers (top-20 panel, source grid, cells join)
+    // would otherwise each replay the corpus explode+agg (ADVICE r8);
+    // the panel, the 20×|sources| grid, and every PSI sum are panel-sized.
     "q_token_drift" -> Q(
       fn = (s, d) => {
-        val counts = Tables(s, d, "documents")
-          .select(col("source"),
-            explode(split(col("text"), " ")).as("token"))
-          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        val counts = Tables.runScopedCheckpoint("q_token_drift_counts",
+          Tables(s, d, "documents")
+            .select(col("source"),
+              explode(split(col("text"), " ")).as("token"))
+            .groupBy("source", "token").agg(count(lit(1)).as("c")))
         val top = counts.groupBy("token").agg(sum(col("c")).as("g"))
           .orderBy(col("g").desc, col("token").asc).limit(20)
         val grid = counts.select(col("source")).distinct()
