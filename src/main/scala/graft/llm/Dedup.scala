@@ -52,6 +52,36 @@ object Dedup {
         element_at(col("t"), col("i") + 2)).as("s"))
       .distinct()
 
+  /** 16-permutation md5-family MinHash signature as a (doc_id, seed, mh)
+    * relation, computed in ONE pass: every permutation's hash is a column
+    * of the same row, the per-doc mins are one wide map-side-combined
+    * aggregate (one row per doc crosses the exchange), and the 16-row
+    * per-doc shape comes from a post-agg explode of the doc relation —
+    * never a 16× explode of the corpus-sized shingle relation. Value-
+    * identical to the seed-exploded spelling (MinhashAuditSpec asserts).
+    */
+  private[graft] def minhashSigWide(sh: DataFrame, perms: Int): DataFrame = {
+    val mins = sh.groupBy("doc_id").agg(
+      min(shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+        concat(lit("mh0-"), col("s"))), 11)).as("m0"),
+      (1 until perms).map(k =>
+        min(shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+          concat(lit(s"mh$k-"), col("s"))), 11)).as(s"m$k")): _*)
+    mins.select(col("doc_id"),
+      explode(array((0 until perms).map(k =>
+        struct(lit(k).as("seed"), col(s"m$k").as("mh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
+  }
+
+  /** Seed-exploded spelling of [[minhashSigWide]] — the shape the DuckDB
+    * oracle writes; kept only as the parity reference for the spec. */
+  private[graft] def minhashSigExploded(sh: DataFrame, perms: Int): DataFrame =
+    sh.withColumn("seed", explode(sequence(lit(0), lit(perms - 1))))
+      .groupBy("doc_id", "seed")
+      .agg(min(shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
+        concat(lit("mh"), col("seed").cast(StringType), lit("-"), col("s"))),
+        11)).as("mh"))
+
   val qs: Map[String, Q] = Map(
 
     // Exact dedup: survivor = min doc_id per identical text. Deliberately a
@@ -559,16 +589,22 @@ object Dedup {
     // family. Permutations use the cross-engine md5-lower-64 convention
     // (positive 2^53 range) so BOTH engines derive identical signatures.
     //
-    // Scale shape: signatures are one explode(16) + (doc, seed) hash agg
-    // over the DISTINCT shingle relation (map-side combined; at scale
-    // the MinHashSignature expression computes all 16 in one row pass —
-    // this query keeps the seed-exploded spelling because the oracle
-    // must replicate it exactly); the audited pair set is near-dup-sized,
-    // so the signature join touches pairs × 16 rows, never corpus².
+    // Scale shape: the shingle relation is checkpointed ONCE (four
+    // consumers: sizes, both self-join sides, signatures — each would
+    // otherwise replay the corpus explode+distinct). Signatures compute
+    // all 16 permutations in ONE pass over that relation: a wide 16-column
+    // min-aggregate (map-side combined, one row per doc crosses the
+    // exchange) instead of a 16× row explode — the same one-row-pass shape
+    // as the production MinHashSignature kernel, but over the md5-lower-64
+    // family the DuckDB oracle replicates verbatim (the kernel's XXH64+
+    // splitmix64 family has no DuckDB spelling). MinhashAuditSpec asserts
+    // the wide spelling is value-identical to the seed-exploded one. The
+    // audited pair set is near-dup-sized, so the signature join touches
+    // pairs × 16 rows, never corpus².
     "q_dedup_minhash_audit" -> Q(
       fn = (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        val sh = shingles(s, d)
+        val sh = graft.Tables.runScopedCheckpoint("q_mha_sh", shingles(s, d))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = sh.select(col("doc_id").as("da"), col("s"))
           .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
@@ -580,12 +616,7 @@ object Dedup {
             (col("na") + col("nb") - col("c")).cast(DoubleType))
           .filter(col("jac") >= 0.05)
           .select("da", "db", "jac")
-        val sig = sh
-          .withColumn("seed", explode(sequence(lit(0), lit(15))))
-          .groupBy("doc_id", "seed")
-          .agg(min(shiftrightunsigned(graft.functions.VectorFunctions.md5Lower(
-            concat(lit("mh"), col("seed").cast(StringType), lit("-"), col("s"))),
-            11)).as("mh"))
+        val sig = minhashSigWide(sh, 16)
         pairs
           .join(sig.select(col("doc_id").as("da"), col("seed"),
             col("mh").as("ma")), "da")

@@ -29,4 +29,20 @@ class MinhashAuditSpec extends AnyFunSuite {
     val meanErr = rows.map(_._4).sum / rows.length
     assert(meanErr < 0.125, s"mean |est - jac| = $meanErr: estimator is off")
   }
+
+  test("wide one-pass signature spelling is value-identical to the seed-exploded oracle spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // shingle-shaped relation with shared and private tokens across docs
+    val sh = (1 to 40).flatMap { i =>
+      val doc = (i % 7).toLong
+      Seq((doc, s"tok a$i"), (doc, s"shared ${i % 5}"), (doc, s"b$i c"))
+    }.toDF("doc_id", "s").distinct()
+    val wide = graft.llm.Dedup.minhashSigWide(sh, 16)
+    val exploded = graft.llm.Dedup.minhashSigExploded(sh, 16)
+    assert(wide.count() == exploded.count())
+    assert(wide.except(exploded).isEmpty && exploded.except(wide).isEmpty,
+      "one-pass signatures diverge from the seed-exploded md5 family")
+  }
 }
