@@ -161,6 +161,45 @@ object EventTime {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ORDER BY event_id""")),
 
+    // Stream-stream interval join, oracle-checked through batch-mode
+    // equivalence: the EXACT code path of the streaming operator
+    // (graft.streaming.Streams.signupToPurchase — watermarks and all) runs
+    // here over the batch corpus; `EliminateEventTimeWatermark` drops the
+    // watermark nodes on a non-streaming child, leaving the identical
+    // interval-join condition the micro-batch engine executes. This is the
+    // missing oracle for the §2.4 ◻ stream-stream join: StreamingSpec
+    // additionally asserts MemoryStream output == this batch output on the
+    // same rows, so the DuckDB comparison transitively covers the
+    // streaming semantics (inner join; outer-emission timing is
+    // watermark-dependent and stays ◻ by contract).
+    //
+    // Scale shape: equi-key (user_id) hash join with a residual time-range
+    // predicate — one exchange per side; in streaming mode the same
+    // condition bounds the join state (rows evicted once the watermark
+    // passes signup_ts + 1h).
+    "q_stream_interval_join" -> Q(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+        graft.streaming.Streams.signupToPurchase(
+            ev.filter(col("event_type") === "signup"),
+            ev.filter(col("event_type") === "purchase"),
+            within = "1 hour", joinType = "inner")
+          .orderBy("signup_id", "purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+              FROM e WHERE event_type = 'signup'),
+        p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                     ts AS purchase_ts
+              FROM e WHERE event_type = 'purchase')
+        SELECT signup_id, purchase_id, user_id, signup_ts, purchase_ts
+        FROM s JOIN p ON user_id = p_user
+          AND purchase_ts >= signup_ts
+          AND purchase_ts <= signup_ts + INTERVAL '1 hour'
+        ORDER BY signup_id, purchase_id""")),
+
     "q_session_window" -> Q(
       fn = (s, d) =>
         Tables(s, d, "events")

@@ -188,7 +188,81 @@ object Sources {
                CAST(SUM(${graft.Q.revenueSql}) AS DOUBLE) AS rev,
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // MERGE INTO-style upsert on a partitioned parquet sink, read-back
+    // verified — the Delta-ish maintenance operation expressed in plain
+    // Spark: target = the orders snapshot; source = a deterministic
+    // changeset (UPDATE rows: keys ≡ 0 mod 7 with price uplifted 10%;
+    // INSERT rows: negated keys ≡ 0 mod 97, disjoint from every real key).
+    // MERGE semantics = target rows whose key has no source match
+    // (left_anti, the WHEN NOT MATCHED BY SOURCE arm) ∪ source rows (the
+    // WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT arms — source keys are
+    // unique, so no survivor window is needed). The merged relation is
+    // WRITTEN partitioned by priority and READ BACK before aggregating, so
+    // the sink round-trip (partition pruning layout, decimal/flag
+    // preservation through partition dirs) is inside the verified path.
+    //
+    // Scale shape: one key-hash exchange for the anti join (source side
+    // broadcasts when small, as a real changeset is), a partitioned write
+    // (the pay-layout-once pattern of q_join_bucketed), and a map-side
+    // aggregate on read-back. All money stays DECIMAL; the 10% uplift is
+    // an exact scale-4 decimal product on both engines.
+    "q_merge_upsert" -> graft.Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        import graft.Q._
+        val target = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+            dec2(col("o_totalprice")).as("price"),
+            lit(0L).as("is_upd"), lit(0L).as("is_ins"))
+        val updates = target.filter(col("k") % 7 === 0)
+          .select(col("k"), col("pri"),
+            (col("price") * lit(1.10).cast(Dec12)).as("price"),
+            lit(1L).as("is_upd"), lit(0L).as("is_ins"))
+        val inserts = target.filter(col("k") % 97 === 0)
+          .select((-col("k")).as("k"), col("pri"),
+            col("price").cast(updates.schema("price").dataType),
+            lit(0L).as("is_upd"), lit(1L).as("is_ins"))
+        val source = updates.union(inserts)
+        val merged = target
+          .join(source.select(col("k")), Seq("k"), "left_anti")
+          .union(source)
+        val out = s"/tmp/graft_merge_${ProcessHandle.current().pid()}"
+        merged.write.mode(SaveMode.Overwrite).partitionBy("pri").parquet(out)
+        s.read.parquet(out)
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n_rows"),
+            dec4(sum(col("price"))).as("total_price"),
+            sum(col("is_upd")).as("n_updated"),
+            sum(col("is_ins")).as("n_inserted"))
+          .orderBy("pri")
+      },
+      oracle = Some("""
+        WITH target AS (
+          SELECT o_orderkey AS k, o_orderpriority AS pri,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                 0 AS is_upd, 0 AS is_ins
+          FROM orders),
+        updates AS (
+          SELECT k, pri, price * CAST(1.10 AS DECIMAL(12,2)) AS price,
+                 1 AS is_upd, 0 AS is_ins
+          FROM target WHERE k % 7 = 0),
+        inserts AS (
+          SELECT -k AS k, pri, CAST(price AS DECIMAL(25,4)) AS price,
+                 0 AS is_upd, 1 AS is_ins
+          FROM target WHERE k % 97 = 0),
+        source AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+        merged AS (
+          SELECT t.k, t.pri, CAST(t.price AS DECIMAL(25,4)) AS price,
+                 t.is_upd, t.is_ins
+          FROM target t ANTI JOIN source s ON t.k = s.k
+          UNION ALL SELECT * FROM source)
+        SELECT pri, COUNT(*) AS n_rows,
+               CAST(CAST(SUM(price) AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+               CAST(SUM(is_upd) AS BIGINT) AS n_updated,
+               CAST(SUM(is_ins) AS BIGINT) AS n_inserted
+        FROM merged GROUP BY pri ORDER BY pri""")))
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -129,6 +129,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join agrees with the oracle-checked batch query on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // batch side: q_stream_interval_join — the SAME Streams.signupToPurchase
+    // code path, oracle-checked against DuckDB. Streaming output through the
+    // same helper over MemoryStreams fed the same corpus rows must be
+    // row-identical, so the DuckDB oracle transitively verifies the
+    // stream-stream join semantics.
+    val batch = SparkEntry.queries("q_stream_interval_join")(spark, TestSpark.sf)
+      .select(col("signup_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val sg = MemoryStream[Event]
+    val pu = MemoryStream[Event]
+    val out = Streams.signupToPurchase(sg.toDF(), pu.toDF(), "1 hour", "inner")
+    val q = out.writeStream.format("memory").queryName("sjparity")
+      .outputMode("append").start()
+    try {
+      sg.addData(corpus.filter(_.event_type == "signup").toIndexedSeq)
+      pu.addData(corpus.filter(_.event_type == "purchase").toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sjparity")
+        .select(col("signup_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"batch-only=${(batch -- streamed).take(3)} stream-only=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream join emits signup→purchase pairs within the bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
