@@ -146,11 +146,15 @@ object Bench {
     // filtered run (ONLY/SKIP) merges into the existing battery file
     // instead of truncating it.
     val partial = only.nonEmpty || skip.nonEmpty
-    writeBenchFile("/root/repo/BENCH_LOCAL.json",
+    // Off-battery experiments (scale spot-runs at synthetic SFs) redirect
+    // their artifacts so they can never merge foreign-scale timings into
+    // the canonical sf0.1 battery files.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo")
+    writeBenchFile(s"$outDir/BENCH_LOCAL.json",
       results.map { case (k, v) => k -> r3(v) }.toSeq, partial)
     // All three raw runs per query, for drift-vs-noise analysis. A failed
     // run serializes as null (NaN is not JSON).
-    writeBenchFile("/root/repo/BENCH_RUNS.json",
+    writeBenchFile(s"$outDir/BENCH_RUNS.json",
       runs.map { case (k, ts) =>
         k -> ts.map(t => if (t.isNaN) "null" else r3(t)).mkString("[", ",", "]")
       }.toSeq, partial)
