@@ -77,6 +77,78 @@ object PrefixSum {
       df.agg(percentile_approx(primary.cast(DoubleType), pcts, lit(1000)).as("__bounds"))
     }
 
+  /** The shared kernel: any subset of { exact row_number, exact running
+    * sums of several weights } over the SAME total order
+    * `Window.partitionBy(partCols).orderBy(primary [asc|desc],
+    * tieBreaks...)`, all from ONE bucket assignment, ONE
+    * (partCols, bucket) hash exchange and ONE offsets broadcast — a
+    * caller needing rank AND cumulative mass (ECDF/coverage tables) pays
+    * the corpus pass once instead of per statistic. Running sums use the
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW frame under the full tie-broken
+    * order; callers wanting RANGE semantics pass a `primary` distinct per
+    * partition (the grouped-relation idiom), where the frames coincide.
+    */
+  def withOrderStats(
+      df: DataFrame,
+      partCols: Seq[String],
+      primary: Column,
+      asc: Boolean,
+      tieBreaks: Seq[Column],
+      rankOut: Option[String],
+      cumWeights: Seq[(Column, String)],
+      buckets: Int = 32): DataFrame = {
+    require(rankOut.nonEmpty || cumWeights.nonEmpty, "nothing to compute")
+    val ordered = (if (asc) primary.asc else primary.desc) +: tieBreaks
+    val wi = cumWeights.indices
+    val b0 = df.crossJoin(broadcast(boundaries(df, primary, buckets)))
+      .withColumn("__bkt", bucketOf(primary, col("__bounds"), buckets, asc))
+      .drop("__bounds")
+    // Weights materialize as columns BEFORE the two consumers, so the
+    // per-bucket totals and the bucket-local window sum identical values.
+    val b = cumWeights.zip(wi).foldLeft(b0) { case (d, ((w, _), i)) =>
+      d.withColumn(s"__w$i", w)
+    }
+    val perBucketAggs =
+      rankOut.map(_ => count(lit(1)).as("__n")).toSeq ++
+        wi.map(i => sum(col(s"__w$i")).as(s"__bw$i"))
+    val totals = b.groupBy((partCols :+ "__bkt").map(col): _*)
+      .agg(perBucketAggs.head, perBucketAggs.tail: _*)
+    // Offsets: a running total over the ≤(|partCols-groups| × buckets)-row
+    // bucket-totals relation — the bounded-domain window the PlanSpec
+    // invariant recognizes structurally (child agg groups by __bkt).
+    val offWin = Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs0 = rankOut.foldLeft(totals) { (d, _) =>
+      d.withColumn("__offn", sum(col("__n")).over(offWin) - col("__n"))
+    }
+    val offs = wi.foldLeft(offs0) { (d, i) =>
+        d.withColumn(s"__off$i", sum(col(s"__bw$i")).over(offWin) - col(s"__bw$i"))
+      }
+      .drop(rankOut.map(_ => "__n").toSeq ++ wi.map(i => s"__bw$i"): _*)
+    // Bucket-local statistics: row_number takes the function's required
+    // default frame, the sums take the explicit ROWS frame — same
+    // (partition, order) spec, so Catalyst plans ONE WindowExec for all.
+    val locWin = Window.partitionBy((partCols :+ "__bkt").map(col): _*)
+      .orderBy(ordered: _*)
+    val locRows = locWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc0 = rankOut.foldLeft(b) { (d, _) =>
+      d.withColumn("__rn", row_number().over(locWin))
+    }
+    val loc = wi.foldLeft(loc0) { (d, i) =>
+      d.withColumn(s"__cl$i", sum(col(s"__w$i")).over(locRows))
+    }
+    val joined = loc.join(broadcast(offs), partCols :+ "__bkt")
+    val withRankCol = rankOut.foldLeft(joined) { (d, o) =>
+      d.withColumn(o, col("__offn") + col("__rn"))
+    }
+    val withCums = cumWeights.zip(wi).foldLeft(withRankCol) {
+      case (d, ((_, o), i)) => d.withColumn(o, col(s"__off$i") + col(s"__cl$i"))
+    }
+    withCums.drop(
+      Seq("__bkt") ++ rankOut.map(_ => "__rn") ++ rankOut.map(_ => "__offn") ++
+        wi.flatMap(i => Seq(s"__w$i", s"__cl$i", s"__off$i")): _*)
+  }
+
   /** Adds column `out` = exact `row_number()` over
     * `Window.partitionBy(partCols).orderBy(primary [asc|desc], tieBreaks...)`
     * — same values, but distributed over `buckets` reducers per partition
@@ -90,24 +162,9 @@ object PrefixSum {
       asc: Boolean,
       tieBreaks: Seq[Column],
       out: String,
-      buckets: Int = 32): DataFrame = {
-    val ordered = (if (asc) primary.asc else primary.desc) +: tieBreaks
-    val b = df.crossJoin(broadcast(boundaries(df, primary, buckets)))
-      .withColumn("__bkt", bucketOf(primary, col("__bounds"), buckets, asc))
-      .drop("__bounds")
-    val counts = b.groupBy((partCols :+ "__bkt").map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val offs = counts.withColumn("__off",
-      sum(col("__n")).over(
-        Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__n"))
-      .drop("__n")
-    b.withColumn("__rn", row_number().over(
-        Window.partitionBy((partCols :+ "__bkt").map(col): _*).orderBy(ordered: _*)))
-      .join(broadcast(offs), partCols :+ "__bkt")
-      .withColumn(out, col("__off") + col("__rn"))
-      .drop("__bkt", "__rn", "__off")
-  }
+      buckets: Int = 32): DataFrame =
+    withOrderStats(df, partCols, primary, asc, tieBreaks,
+      rankOut = Some(out), cumWeights = Seq.empty, buckets = buckets)
 
   /** Adds column `out` = exact running `sum(weight)` over
     * `Window.partitionBy(partCols).orderBy(primary asc)` (ROWS UNBOUNDED
@@ -122,25 +179,9 @@ object PrefixSum {
       primary: Column,
       weight: Column,
       out: String,
-      buckets: Int = 32): DataFrame = {
-    val b = df.crossJoin(broadcast(boundaries(df, primary, buckets)))
-      .withColumn("__bkt", bucketOf(primary, col("__bounds"), buckets, asc = true))
-      .drop("__bounds")
-      .withColumn("__w", weight)
-    val totals = b.groupBy((partCols :+ "__bkt").map(col): _*)
-      .agg(sum(col("__w")).as("__bw"))
-    val offs = totals.withColumn("__off",
-      sum(col("__bw")).over(
-        Window.partitionBy(partCols.map(col): _*).orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__bw"))
-      .drop("__bw")
-    b.withColumn("__cumloc", sum(col("__w")).over(
-        Window.partitionBy((partCols :+ "__bkt").map(col): _*).orderBy(primary.asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offs), partCols :+ "__bkt")
-      .withColumn(out, col("__off") + col("__cumloc"))
-      .drop("__bkt", "__w", "__cumloc", "__off")
-  }
+      buckets: Int = 32): DataFrame =
+    withOrderStats(df, partCols, primary, asc = true, tieBreaks = Seq.empty,
+      rankOut = None, cumWeights = Seq(weight -> out), buckets = buckets)
 
   /** `ntile(k)` derived in closed form from an exact 1-based rank and the
     * partition row count — the SQL-standard split (the first `n mod k` tiles

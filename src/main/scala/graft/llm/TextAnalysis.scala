@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.{Q, Tables}
+import graft.{PrefixSum, Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1031,22 +1031,21 @@ object TextAnalysis {
     // (cum·100 ≥ pct·total — no division), rank ties broken token-ASC.
     //
     // Scale shape: corpus → token-frequency rollup ONCE (map-side
-    // combined); the rank/cumsum window runs single-partition over the
-    // VOCABULARY (domain-bounded — the q_ks_test ECDF justification) and
-    // the four threshold rows derive by explode + min-rank argmin.
+    // combined, checkpointed); rank AND cumulative mass come from a
+    // single PrefixSum pass over the vocabulary (one bucket exchange, no
+    // single-reducer sort as the vocab grows), the grand total rides a
+    // 1-row broadcast, and the four threshold rows derive by explode +
+    // min-rank argmin.
     "q_vocab_coverage" -> Q(
       fn = (s, d) => {
-        val freq = Tables(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("c"))
-        val wr = Window.orderBy(col("c").desc, col("token").asc)
-        val ranked = freq
-          .withColumn("rank", row_number().over(wr).cast(LongType))
-          .withColumn("cum", sum(col("c")).over(
-            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("total", sum(col("c")).over(
-            wr.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+        val freq = Tables.runScopedCheckpoint("q_vc_freq",
+          Tables(s, d, "documents")
+            .select(explode(split(col("text"), " ")).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("c")))
+        val ranked = PrefixSum.withOrderStats(freq, Seq.empty, col("c"),
+            asc = false, tieBreaks = Seq(col("token").asc),
+            rankOut = Some("rank"), cumWeights = Seq(col("c") -> "cum"))
+          .crossJoin(broadcast(freq.agg(sum(col("c")).as("total"))))
         ranked
           .select(col("rank"), col("cum"), col("total"),
             explode(lit(Array(50, 90, 95, 99))).as("coverage_pct"))

@@ -27,9 +27,10 @@ object Insights {
     //
     // Scale shape: the fact-sized work is ONE hash aggregation to per-value
     // counts (distinct values ≪ rows — the ECDF only moves at observed
-    // points); the ordered prefix-sum window then runs over the DISTINCT
-    // values only. At cluster scale that ordered pass range-partitions by
-    // value (sort exchange on the aggregated relation, not the corpus).
+    // points), materialized once (checkpoint) for its three consumers.
+    // Both cumulative counts then come from ONE PrefixSum pass (bucketed
+    // by sketch boundaries, offsets broadcast) — no single-reducer sort
+    // even if the distinct-value relation grows with the corpus.
     //
     // Determinism: counts are exact longs; each ECDF value is ONE division
     // of two longs (correctly rounded, bit-identical cross-engine); the max
@@ -41,13 +42,15 @@ object Insights {
             col("value").isNotNull)
           .select(col("value"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
-        val perValue = sample.groupBy("value")
-          .agg(sum(col("is1")).as("c1"),
-            (count(lit(1)) - sum(col("is1"))).as("c2"))
-        val w = Window.orderBy("value")
-        val cum = perValue
-          .withColumn("k1", sum(col("c1")).over(w))
-          .withColumn("k2", sum(col("c2")).over(w))
+        val perValue = Tables.runScopedCheckpoint("q_ks_pv",
+          sample.groupBy("value")
+            .agg(sum(col("is1")).as("c1"),
+              (count(lit(1)) - sum(col("is1"))).as("c2")))
+        // grouped values are distinct, so the ROWS cumsum ≡ the RANGE
+        // ECDF window it replaces
+        val cum = PrefixSum.withOrderStats(perValue, Seq.empty,
+          col("value"), asc = true, tieBreaks = Seq.empty, rankOut = None,
+          cumWeights = Seq(col("c1") -> "k1", col("c2") -> "k2"))
         val tot = perValue.agg(
           sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         cum.crossJoin(broadcast(tot))
@@ -927,16 +930,17 @@ object Insights {
     // rank k = ⌈d·n/10⌉ in pure integer arithmetic, quantile = min value
     // with cumulative count ≥ k. No interpolation, no doubles anywhere.
     //
-    // Scale shape: the corpus collapses ONCE to (lang, n_chars) counts —
-    // every later step (in-group cumsum, pooled rollup, decile explode,
-    // broadcast decile join) runs on that domain-bounded relation. The
-    // pooled cumsum's single-partition window is over DISTINCT VALUES
-    // (bounded by the length domain, not the corpus) — the same
-    // justification as q_ks_test's ECDF window.
+    // Scale shape: the corpus collapses ONCE to (lang, n_chars) counts
+    // (checkpointed for its consumers) — every later step (in-group
+    // cumsum, pooled rollup, decile explode, broadcast decile join) runs
+    // on that domain-bounded relation. The pooled cumsum is PrefixSum-
+    // distributed and the pooled total rides a 1-row broadcast, so no
+    // single-partition window remains even if the length domain grows.
     "q_quantile_normalize" -> Q(
       fn = (s, d) => {
-        val counts = Tables(s, d, "documents")
-          .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+        val counts = Tables.runScopedCheckpoint("q_qn_counts",
+          Tables(s, d, "documents")
+            .groupBy("lang", "n_chars").agg(count(lit(1)).as("c")))
         val wg = Window.partitionBy("lang").orderBy("n_chars")
         val gcum = counts
           .withColumn("cum", sum(col("c")).over(wg))
@@ -944,13 +948,11 @@ object Insights {
             Window.partitionBy("lang")
               .rowsBetween(Window.unboundedPreceding,
                 Window.unboundedFollowing)))
-        val wp = Window.orderBy("n_chars")
-        val pcum = counts.groupBy("n_chars").agg(sum(col("c")).as("c"))
-          .withColumn("cum", sum(col("c")).over(
-            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("nn", sum(col("c")).over(
-            wp.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+        val pooled = counts.groupBy("n_chars").agg(sum(col("c")).as("c"))
+        // distinct n_chars ⇒ the ROWS cumsum ≡ the RANGE window it replaces
+        val pcum = PrefixSum.withCumSum(pooled, Seq.empty, col("n_chars"),
+            col("c"), "cum")
+          .crossJoin(broadcast(pooled.agg(sum(col("c")).as("nn"))))
         val deciles = explode(sequence(lit(1), lit(9))).as("decile")
         val gq = gcum.select(col("lang"), col("n_chars"), col("cum"),
             col("gn"), deciles)

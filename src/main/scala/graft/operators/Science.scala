@@ -522,18 +522,19 @@ object Science {
     // diagnostic next to q_text_vocab: least-squares slope of ln(freq) on
     // ln(rank) over the top-1000 tokens (healthy natural-language corpora
     // sit near slope −1; a flat or cliffed curve flags template spam or
-    // truncated vocabularies). One corpus explode + hash agg; the rank
-    // window sorts only the vocabulary-sized count relation; the
-    // closed-form regression runs on 1000 rows. ln() may differ in final
-    // ulps across engines, so slope/intercept are r4.
+    // truncated vocabularies). One corpus explode + hash agg, materialized
+    // once (checkpoint); the frequency rank is PrefixSum-distributed over
+    // the vocabulary relation (no single-reducer sort even as the vocab
+    // grows), and the closed-form regression runs on 1000 rows. ln() may
+    // differ in final ulps across engines, so slope/intercept are r4.
     "q_zipf_slope" -> Q(
       fn = (s, d) => {
-        val counts = Tables(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("freq"))
-        val ranked = counts
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("freq").desc, col("tok").asc)))
+        val counts = Tables.runScopedCheckpoint("q_zipf_counts",
+          Tables(s, d, "documents")
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("freq")))
+        val ranked = PrefixSum.withRank(counts, Seq.empty, col("freq"),
+            asc = false, tieBreaks = Seq(col("tok").asc), out = "rank")
           .filter(col("rank") <= 1000)
           .select(log(col("rank").cast(DoubleType)).as("x"),
             log(col("freq").cast(DoubleType)).as("y"))

@@ -584,16 +584,19 @@ class PlanSpec extends AnyFunSuite {
       "the day-window must not plan a nested-loop range join")
   }
 
-  test("q_ks_test aggregates to per-value counts BEFORE the ordered ECDF window") {
+  test("q_ks_test: checkpointed per-value rollup, PrefixSum ECDF, no corpus rescan") {
+    // r8: the per-value rollup materializes once; both cumulative counts
+    // come from one PrefixSum pass, so the final plan never rescans events
+    // and every window is bucket-distributed or a bounded offsets window.
     val p = planOf("q_ks_test")
-    // the Window's child chain must contain the value-keyed HashAggregate —
-    // i.e. the sort is over the distinct-value relation, not raw events
-    val winAt = p.indexOf("Window")
-    assert(winAt > 0)
-    assert(p.substring(0, winAt).contains("HashAggregate"),
-      "ECDF window must consume the aggregated per-value relation")
-    assert(p.split("\n").count(_.contains("events.parquet")) <= 2,
-      "cum + totals may scan events at most twice")
+    assert(p.split("\n").count(_.contains("events.parquet")) == 0,
+      "events must be scanned only at checkpoint time")
+    val ws = physical("q_ks_test").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty || prefixSumShaped(w),
+      "ECDF windows must be PrefixSum-distributed"))
   }
 
   test("q_interval_merge: one events scan, one user_id exchange shared by windows and aggs") {
@@ -723,6 +726,7 @@ class PlanSpec extends AnyFunSuite {
       // 1-row PrefixSum boundary-sketch broadcasts (q_rfm above predates
       // the helper; its stages now broadcast the same 1-row relations)
       "q_gini", "q_mannwhitney_u", "q_percentile_weighted",
+      "q_zipf_slope", "q_quantile_normalize", "q_vocab_coverage",
       // 1-row (n1,n2,V) totals broadcast onto the vocab relation
       "q_text_logodds")
     val plans = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> planOf(k))
@@ -786,14 +790,11 @@ class PlanSpec extends AnyFunSuite {
       "q_rolling_regression" -> "trailing-7-day sums over the per-day rollup",
       "q_cumulative_users" -> "running total over the per-day rollup",
       "q_concurrency" -> "sweep-line over the per-hour boundary rollup",
-      "q_kaplan_meier" -> "life table over distinct duration days",
-      // distinct-value / vocabulary relations with documented sublinear
-      // growth (events.value: 6.6k distinct @10k rows -> 17.8k @100k;
-      // vocab: Heaps' law). Candidates for PrefixSum if growth ever bites.
-      "q_ks_test" -> "ECDF over distinct event values (sublinear)",
-      "q_quantile_normalize" -> "rank map over per-type distinct values (sublinear)",
-      "q_zipf_slope" -> "log-log fit over token-frequency ranks (vocab)",
-      "q_vocab_coverage" -> "cumulative token mass over vocabulary (Heaps)")
+      "q_kaplan_meier" -> "life table over distinct duration days")
+    // (q_ks_test / q_quantile_normalize / q_zipf_slope / q_vocab_coverage
+    // moved OFF this allowlist in r8: their distinct-value/vocab windows —
+    // sublinear but growing — now run through PrefixSum and are recognized
+    // structurally below.)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
       val ws = physical(k).collect { case w: WindowExec => w }
       ws.collect {
