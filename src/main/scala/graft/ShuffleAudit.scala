@@ -62,8 +62,12 @@ object ShuffleAudit {
 
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Same partial-run contract as Bench: ONLY/SKIP runs MERGE into the
+    // existing artifact instead of truncating it to the filtered keys.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (k, _) => skip(k) }
+      .filter { case (k, _) => (only.isEmpty || only(k)) && !skip(k) }
       .flatMap { case (name, fn) =>
         val (sw0, in0) = quiesce()
         try {
@@ -78,10 +82,16 @@ object ShuffleAudit {
             None
         }
       }
-    val json = rows.map { case (k, (sw, in, n)) =>
-      f""""$k":{"shuffle_write_mb":${sw / 1048576.0}%.2f,"input_mb":${in / 1048576.0}%.2f,"out_rows":$n}"""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    val updates = rows.map { case (k, (sw, in, n)) =>
+      k -> f"""{"shuffle_write_mb":${sw / 1048576.0}%.2f,"input_mb":${in / 1048576.0}%.2f,"out_rows":$n}"""
+    }
+    val p = java.nio.file.Paths.get(out)
+    val partial = only.nonEmpty || skip.nonEmpty
+    val existing =
+      if (partial && java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p)
+      else "{}"
+    java.nio.file.Files.writeString(p, Bench.mergeJson(existing, updates))
     println(s"audited ${rows.size} queries -> $out")
     spark.stop()
   }
