@@ -610,8 +610,12 @@ object Dedup {
           .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
           .filter(col("da") < col("db"))
           .groupBy("da", "db").agg(count(lit(1)).as("c"))
-          .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
-          .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+          // no broadcast hints: the per-doc size relation is corpus-
+          // proportional (one row per doc) — AQE broadcasts it while it is
+          // actually small and falls back to a keyed shuffle join at scale
+          // (the forced spelling was the q_dedup_fuzzy sf100 failure class)
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
           .withColumn("jac", col("c").cast(DoubleType) /
             (col("na") + col("nb") - col("c")).cast(DoubleType))
           .filter(col("jac") >= 0.05)
@@ -873,16 +877,18 @@ object Dedup {
       .distinct()
 
     // Exact re-check joins the (few) candidates back to the shingle sets.
-    // The pair side is broadcast: near-dup candidates are a vanishing
-    // fraction of the corpus by construction (at a higher dup rate AQE's
-    // runtime size check would pick the same or a shuffle join — drop the
-    // hint if candidates can approach corpus scale).
-    val withTa = docSets
-      .select(col("doc_id").as("da"), col("tokens").as("ta"))
-      .join(broadcast(candPairs), "da")
-    docSets
-      .select(col("doc_id").as("db"), col("tokens").as("tb"))
-      .join(broadcast(withTa), "db")
+    // NO broadcast hints here: the pair relation is near-dup-sized — a
+    // vanishing fraction of the corpus, but still corpus-PROPORTIONAL, and
+    // the second join's build side would carry a token array per pair. A
+    // forced broadcast of that relation grew past the 1 GiB driver-collect
+    // ceiling in the sf100 decade run (~5M candidate pairs × tokens);
+    // unhinted, AQE's runtime size check broadcasts while the pairs are
+    // actually small and degrades to a key-partitioned shuffle join at
+    // scale — the shape that survives 100 TB.
+    val withTa = candPairs
+      .join(docSets.select(col("doc_id").as("da"), col("tokens").as("ta")), "da")
+    withTa
+      .join(docSets.select(col("doc_id").as("db"), col("tokens").as("tb")), "db")
       .withColumn("jac",
         size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
           size(array_union(col("ta"), col("tb"))))
