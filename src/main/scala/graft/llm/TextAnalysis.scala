@@ -247,8 +247,11 @@ object TextAnalysis {
         val dropped = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("lbl"))
           .select(col("id").as("doc_id"))
+        // unhinted anti-join: the dropped-id relation is near-dup-sized —
+        // corpus-proportional — so AQE broadcasts it while small and keys
+        // the exchange at scale (the q_dedup_fuzzy sf100 failure class)
         Tables(s, d, "documents")
-          .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+          .join(dropped, Seq("doc_id"), "left_anti")
           .withColumn("n_tokens", size(toks).cast(LongType))
           .withColumn("space_ratio",
             length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
