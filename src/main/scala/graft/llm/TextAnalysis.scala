@@ -634,10 +634,12 @@ object TextAnalysis {
     // where p(t) = corpus frequency of t over total tokens. Low (very
     // negative) scores = rare-token soup; high = common fluent text. The
     // same single-scan derivation chain as bm25 (one explode/(doc,token)
-    // exchange feeds per-doc tf, corpus freqs AND the total), frequencies
-    // broadcast back (vocab ≪ corpus — at 100 TB the freq table is the
-    // bounded side by construction), and the per-doc Σ c·ln(p) is the
-    // q_text_entropy aggregation shape.
+    // exchange feeds per-doc tf, corpus freqs AND the total). The freq
+    // join is UNHINTED: vocab ≪ corpus but the vocabulary GROWS with it
+    // (sublinearly — the same growth law that moved the rank quartet onto
+    // PrefixSum), so AQE sizes the join at runtime: broadcast while the
+    // vocab is actually small, keyed shuffle at 100 TB. The per-doc
+    // Σ c·ln(p) is the q_text_entropy aggregation shape.
     "q_text_lm_score" -> Q(
       fn = (s, d) => {
         val tfAll = Tables(s, d, "documents")
@@ -645,7 +647,7 @@ object TextAnalysis {
           .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
         val freq = tfAll.groupBy("token").agg(sum(col("c")).as("cf"))
         val total = freq.agg(sum(col("cf")).cast(DoubleType).as("n_total"))
-        tfAll.join(broadcast(freq), "token")
+        tfAll.join(freq, "token")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_tokens"),
@@ -936,11 +938,14 @@ object TextAnalysis {
           .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
           .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
           .filter(col("ndocs") >= 5)
+        // marginal joins UNHINTED: the df relation is vocabulary-sized and
+        // the vocabulary grows with the corpus (the q_text_lm_score class)
+        // — AQE broadcasts while small, keys the exchange at 100 TB
         pairs
-          .join(broadcast(dfRel.select(col("token").as("ta"),
-            col("df").as("df_a"))), "ta")
-          .join(broadcast(dfRel.select(col("token").as("tb"),
-            col("df").as("df_b"))), "tb")
+          .join(dfRel.select(col("token").as("ta"),
+            col("df").as("df_a")), "ta")
+          .join(dfRel.select(col("token").as("tb"),
+            col("df").as("df_b")), "tb")
           .crossJoin(broadcast(nDocs))
           .select(col("ta"), col("tb"), col("ndocs"), col("df_a"), col("df_b"),
             r4(log((col("ndocs") * col("n_docs")).cast(DoubleType) /

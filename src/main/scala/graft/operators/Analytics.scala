@@ -303,8 +303,10 @@ object Analytics {
 
     // Retention cohorts: users grouped by the week of their FIRST event,
     // crossed with the weeks they were active — the classic triangular
-    // retention matrix. Two hash aggs + one join; cohort assignment
-    // broadcasts (distinct users ≪ events).
+    // retention matrix. Two hash aggs + one join. The cohort-assignment
+    // join is UNHINTED: distinct users ≪ events but the user base is
+    // corpus-PROPORTIONAL (the q_dedup_fuzzy sf100 failure class) — AQE
+    // broadcasts it while small and keys the exchange at scale.
     "q_retention_cohort" -> Q(
       fn = (s, d) => {
         val ev = Tables(s, d, "events")
@@ -315,7 +317,7 @@ object Analytics {
             date_trunc("week", col("first_ts")).cast(DateType).as("cohort_week"))
         ev.select(col("user_id"),
             date_trunc("week", col("ts")).cast(DateType).as("act_week"))
-          .join(broadcast(cohorts), "user_id")
+          .join(cohorts, "user_id")
           .groupBy("cohort_week", "act_week")
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_week", "act_week")

@@ -807,6 +807,132 @@ class PlanSpec extends AnyFunSuite {
       s"unaudited single-partition window(s): ${offenders.mkString("; ")}")
   }
 
+  // ---------------------------------------------------------------------
+  // Bounded-broadcast-hint invariant (round-8): no forced broadcast of a
+  // corpus-proportional relation. The sf100 decade run found the failure
+  // class the bounded-window invariant has for windows: q_dedup_fuzzy,
+  // q_dedup_cluster and q_pipeline_e2e force-broadcast near-dup-pair /
+  // dropped-id relations — a vanishing FRACTION of the corpus but still
+  // corpus-PROPORTIONAL — and died at the 1 GiB driver-collect ceiling
+  // (~5M pairs). No smaller SF exposes it. This test makes the fix a
+  // fleet-wide contract: every `broadcast()` hint in every registered
+  // query's analyzed plan must sit on a relation bounded by SCHEMA,
+  // CALENDAR, a LIMIT, a global aggregate, or the workload model's
+  // dimension tables — never on a relation that grows with the corpus.
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+    GlobalLimit, LeafNode, LogicalPlan, ResolvedHint}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  /** Corpus-proportional base tables: relations derived from these grow
+    * with the data unless collapsed by a global agg or limit. The five
+    * TPC-H-style dims (region/nation/customer/supplier/part) are the
+    * workload model's broadcast side (ScaleGen and the 100-TB sizing in
+    * SCALE.md keep them dim-sized); the class this invariant polices is
+    * FACT-derived hint subtrees — pair sets, id lists, per-doc rollups. */
+  private val corpusTables = Seq("lineitem", "orders", "events",
+    "documents", "embeddings")
+
+  private def leafIsCorpus(l: LeafNode): Boolean = l match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation =>
+        val p = h.location.rootPaths.mkString(",")
+        corpusTables.exists(t => p.contains(s"$t.parquet"))
+      case _ => false
+    }
+    // A checkpointed relation (LogicalRDD) is opaque — in this codebase
+    // checkpoints hold collapsed CORPUS relations (shingle sets, token
+    // rollups), so assume corpus-derived: it must be bounded by structure
+    // ABOVE it (global agg / limit / __bkt totals) or carry an audit entry.
+    case rdd if rdd.nodeName == "LogicalRDD" => true
+    // Literal relations (LocalRelation, Range, OneRowRelation) are bounded.
+    case _ => false
+  }
+
+  /** A hinted subtree is bounded if every path to a corpus leaf passes a
+    * global (grouping-free) aggregate, a limit, or the PrefixSum helper's
+    * per-bucket totals (≤ partitions × buckets rows by construction)
+    * before reaching it. */
+  private def hintSubtreeBounded(p: LogicalPlan): Boolean = p match {
+    case a: LAgg if a.groupingExpressions.isEmpty => true
+    case a: LAgg if a.groupingExpressions.exists(
+      _.references.exists(_.name == "__bkt")) => true
+    case _: GlobalLimit => true
+    case l: LeafNode => !leafIsCorpus(l)
+    case other => other.children.forall(hintSubtreeBounded)
+  }
+
+  test("fleet invariant: every broadcast hint sits on a domain-bounded relation") {
+    // A key listed here carries the documented reason its hinted relation
+    // is bounded even though the structural walk cannot see it. A NEW key
+    // failing this test should almost always DROP the hint (AQE broadcasts
+    // small relations by itself at runtime — the hint adds nothing but the
+    // failure mode), not grow this list.
+    val hintAudited: Map[String, String] = Map(
+      "q_basket_lift" -> "per-item support counts — part-catalog(dim)-sized",
+      "q_boxplot" -> "per-language quartile fences — |langs| rows",
+      "q_chisq_independence" -> "row/col marginals — |langs| and |sources| rows",
+      "q_cohort_ltv" -> "per-cohort sizes — calendar-week-bounded",
+      "q_cross_lingual_overlap" -> "per-language vocab sizes — |langs| rows",
+      "q_decontaminate" -> "eval-split shingles — benchmark set fixed-size by construction",
+      "q_dedup_incremental" -> "ingest-batch shingles/ids — batch-sized operator input, never the standing corpus",
+      "q_kmeans" -> "centroid codebook checkpoint — k rows by construction",
+      "q_levene" -> "per-group deviation stats — |event_types| rows",
+      "q_mixture_resample" -> "per-source rates — |sources| rows",
+      "q_outlier_mad" -> "per-language median/MAD stats — |langs| rows",
+      "q_outlier_zscore" -> "per-language mean/stddev — |langs| rows",
+      "q_percentile_weighted" -> "per-returnflag weight totals — 3 schema-bounded rows",
+      "q_psi_drift" -> "bucket × period grid — 10 × |periods| rows",
+      "q_quantile_normalize" -> "per-decile reference stats — 10 rows",
+      "q_rolling_distinct" -> "distinct day spine — calendar-bounded",
+      "q_rolling_distinct_approx" -> "per-day HLL partials — calendar-bounded",
+      "q_rollup_share" -> "parent-level totals — region/nation dims",
+      "q_similarity_ann" -> "query vector + hyperplane matrix — fixed size",
+      "q_similarity_ivf" -> "centroid codebook — k rows",
+      "q_similarity_pq_search" -> "PQ codebook — subspaces × 256 rows",
+      "q_similarity_topk" -> "single query vector — 1 row",
+      "q_text_bm25" -> "df restricted to the 3 fixed query terms (isin)",
+      "q_winsorize" -> "per-brand clamp bounds — |brands| rows")
+    // Negative control: the walk must actually SEE corpus relations — a
+    // hinted raw corpus scan and a hinted per-key rollup are unbounded; a
+    // hinted global aggregate of the same scan is bounded.
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    assert(!hintSubtreeBounded(docs.queryExecution.analyzed),
+      "control: raw documents scan must classify corpus-proportional")
+    assert(!hintSubtreeBounded(
+      docs.groupBy("doc_id").count().queryExecution.analyzed),
+      "control: per-doc rollup must classify corpus-proportional")
+    assert(hintSubtreeBounded(
+      docs.agg(count(lit(1))).queryExecution.analyzed),
+      "control: global aggregate must classify bounded")
+    var seen = 0
+    val used = scala.collection.mutable.Set[String]()
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+      val hints = SparkEntry.queries(k)(spark, TestSpark.sf)
+        .queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.equalsIgnoreCase("broadcast")) => h }
+      seen += hints.size
+      hints.collect {
+        case h if !hintSubtreeBounded(h.child) =>
+          used += k
+          s"$k: broadcast(${h.child.nodeName}...)"
+      }
+    }.filterNot(o => hintAudited.contains(o.takeWhile(_ != ':')))
+    // The operator fleet hints ~120 call sites; if the collect ever stops
+    // matching (a Spark upgrade moving ResolvedHint out of the analyzed
+    // plan would green-wash this test), fail loudly instead.
+    assert(seen >= 50,
+      s"hint walk saw only $seen ResolvedHint nodes — detector broken?")
+    assert(offenders.isEmpty,
+      s"broadcast hint on a corpus-proportional relation: ${offenders.mkString("; ")}")
+    // Stale audit entries hide future regressions — the list must match
+    // the keys whose hinted subtrees the walk actually cannot bound.
+    assert(hintAudited.keySet == used.toSet,
+      s"hint allowlist out of sync: stale=${hintAudited.keySet -- used}, missing=${used.toSet -- hintAudited.keySet}")
+  }
+
   test("q_token_drift and q_cross_lingual_overlap collapse the corpus once (checkpointed)") {
     // ADVICE r8: both fan their (source|lang, token) relation out to three
     // consumers — the materialization plus this zero-rescan pin replaces
