@@ -573,10 +573,13 @@ object TextAnalysis {
           .select("ta", "tb")
         val und = edges.select(col("ta").as("src"), col("tb").as("dst"))
           .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
-        // Degree attaches to the edge list ONCE; each iteration then joins
-        // the (nodes-sized) rank table in as a BROADCAST — the edge
-        // relation, the big side at scale, is never reshuffled across the
-        // 10 iterations, and the only per-iteration exchange is the
+        // Degree attaches to the edge list ONCE; each iteration joins the
+        // (nodes-sized) rank table back in UNHINTED: the node set is
+        // vocabulary-derived — it GROWS with the corpus (the broadcast-
+        // hint fleet-invariant class) — so AQE sizes the join per
+        // iteration: broadcast while the rank table is actually small
+        // (every tested SF), keyed join when the vocabulary outgrows the
+        // executors. The only per-iteration exchange either way is the
         // |nodes|-row share aggregation.
         // Per-generation reclamation via checkpointEager handles —
         // Dataset.unpersist is a no-op on localCheckpoint'd frames
@@ -588,7 +591,7 @@ object TextAnalysis {
             .select(col("token"), lit(1000000L).as("pr")))
         for (_ <- 1 to 10) {
           val (next, releaseNext) = Tables.checkpointEager(adj
-            .join(broadcast(pr.select(col("token").as("src"), col("pr"))), "src")
+            .join(pr.select(col("token").as("src"), col("pr")), "src")
             .select(col("dst").as("token"), expr("pr div deg").as("share"))
             .groupBy("token")
             .agg((lit(150000L) + expr("(sum(share) * 17) div 20")).as("pr")))
