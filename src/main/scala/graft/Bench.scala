@@ -150,8 +150,11 @@ object Bench {
     // their artifacts so they can never merge foreign-scale timings into
     // the canonical sf0.1 battery files.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo")
+    // A failed query writes an explicit null (never silently keeps its
+    // stale timing from a previous battery when this is a partial run).
     writeBenchFile(s"$outDir/BENCH_LOCAL.json",
-      results.map { case (k, v) => k -> r3(v) }.toSeq, partial)
+      results.map { case (k, v) => k -> r3(v) }.toSeq ++
+        failed.toSeq.map(k => k -> "null"), partial)
     // All three raw runs per query, for drift-vs-noise analysis. A failed
     // run serializes as null (NaN is not JSON).
     writeBenchFile(s"$outDir/BENCH_RUNS.json",

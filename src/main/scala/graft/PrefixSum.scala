@@ -83,7 +83,20 @@ object PrefixSum {
     * tieBreaks...)`, all from ONE bucket assignment, ONE
     * (partCols, bucket) hash exchange and ONE offsets broadcast — a
     * caller needing rank AND cumulative mass (ECDF/coverage tables) pays
-    * the corpus pass once instead of per statistic. Running sums use the
+    * the corpus pass once instead of per statistic.
+    *
+    * PRECONDITION — `partCols` must be LOW-CARDINALITY (schema- or
+    * calendar-bounded: returnflag, event_type, day): the offsets relation
+    * is |partCols groups| × buckets rows and is force-BROADCAST below, and
+    * the PlanSpec fleet broadcast invariant green-lights any __bkt-grouped
+    * aggregate on that structural evidence alone. A high-cardinality
+    * partition key (user_id, doc_id) would make the broadcast
+    * corpus-proportional — exactly the class the invariant polices — so
+    * such callers need the plain `Window.partitionBy` idiom instead (many
+    * keys already parallelize; PrefixSum exists for the FEW-key case).
+    * NULL partition-column values are kept as their own partition (the
+    * offsets join is null-safe), matching Window.partitionBy. Running
+    * sums use the
     * ROWS UNBOUNDED PRECEDING..CURRENT ROW frame under the full tie-broken
     * order; callers wanting RANGE semantics pass a `primary` distinct per
     * partition (the grouped-relation idiom), where the frames coincide.
@@ -137,7 +150,17 @@ object PrefixSum {
     val loc = wi.foldLeft(loc0) { (d, i) =>
       d.withColumn(s"__cl$i", sum(col(s"__w$i")).over(locRows))
     }
-    val joined = loc.join(broadcast(offs), partCols :+ "__bkt")
+    // Null-SAFE on partCols: Window.partitionBy keeps NULL as a partition
+    // value (and groupBy above groups it), so the offsets join must match
+    // it too — a plain equi-join would silently drop NULL-keyed rows,
+    // diverging from the window idiom this helper replaces.
+    val offsR = offs
+      .withColumnsRenamed(
+        (partCols :+ "__bkt").map(c => c -> s"__o_$c").toMap)
+    val joinCond = (partCols.map(c => col(c) <=> col(s"__o_$c")) :+
+      (col("__bkt") === col("__o___bkt"))).reduce(_ && _)
+    val joined = loc.join(broadcast(offsR), joinCond)
+      .drop((partCols :+ "__bkt").map(c => s"__o_$c"): _*)
     val withRankCol = rankOut.foldLeft(joined) { (d, o) =>
       d.withColumn(o, col("__offn") + col("__rn"))
     }

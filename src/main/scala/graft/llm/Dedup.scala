@@ -133,25 +133,17 @@ object Dedup {
     // Containment similarity C(sub→sup) = |A∩B| / |A|: the asymmetric
     // dedup signal that catches a document EMBEDDED in a larger one, where
     // Jaccard stays low because the union is dominated by the superset.
-    // Same shingle-blocking candidate generation as q_dedup_ngram; each
-    // unordered candidate pair yields up to two directed rows.
+    // Same shingle-blocking candidate generation as q_dedup_ngram_capped —
+    // frequency-capped blocking with the stop-shingle mask keeping counts
+    // exact, under the ASYMMETRIC guard bound (a missed directed pair
+    // needs ⌈τ·n_sub⌉ stop shingles in the subset doc; see
+    // containmentPairs). Each unordered candidate pair yields up to two
+    // directed rows. This was the last uncapped corpus-pair join (839 s /
+    // d3 17.3 at sf100 in round 8); capped, it rides the
+    // q_dedup_ngram_capped curve.
     "q_dedup_containment" -> Q(
-      fn = (s, d) => {
-        val sh = shingles(s, d)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("da"), col("s"))
-        val b = sh.select(col("doc_id").as("db"), col("s"))
-        val shared = a.join(b, Seq("s")).filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("c"))
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        val fwd = shared.select(col("da").as("d_sub"), col("db").as("d_sup"),
-          (col("c").cast(DoubleType) / col("na")).as("cont"))
-        val rev = shared.select(col("db").as("d_sub"), col("da").as("d_sup"),
-          (col("c").cast(DoubleType) / col("nb")).as("cont"))
-        fwd.union(rev).filter(col("cont") >= 0.8)
-          .orderBy("d_sub", "d_sup")
-      },
+      fn = (s, d) => containmentPairs(shingles(s, d), tau = 0.8, dfCap = Some(16))
+        .orderBy("d_sub", "d_sup"),
       oracle = Some("""
         WITH sh AS (
           SELECT DISTINCT doc_id, s FROM (
@@ -755,7 +747,73 @@ object Dedup {
     * guard passes with wide margin; it is low-τ tiny-doc corpora that
     * legitimately need the full join.
     */
-  def ngramPairs(shInput: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame = {
+  def ngramPairs(shInput: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame =
+    // Guard bound (symmetric Jaccard): a qualifying pair shares
+    // c ≥ ⌈τ/(1+τ)·(nA+nB)⌉ shingles, so a MISSED pair (all shared
+    // shingles stop) needs some doc holding ≥ ⌈τ/(1+τ)·(nX+n_min)⌉ stop
+    // shingles — the bound checked per doc against its own mask.
+    sharedShingleCounts(shInput, dfCap, "ngramPairs.sh",
+      (n, nMin) => ceil(lit(tau / (1.0 + tau)) * (n + nMin)))
+      // raw ratio, not rounded: rounding a rational can land on an
+      // exact .xxxx5 boundary where the engines' round() diverge; the
+      // unrounded division is bit-identical (same IEEE ops both sides)
+      .withColumn("jac", col("c").cast(DoubleType) /
+        (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= tau)
+      .select("da", "db", "jac")
+
+  /** Directed containment pairs C(sub→sup) = |A∩B| / |A_sub| ≥ tau over the
+    * same (optionally frequency-capped) shingle blocking as [[ngramPairs]].
+    * Each unordered candidate pair yields up to two directed rows.
+    *
+    * Guard bound (asymmetric): a qualifying DIRECTED pair shares
+    * c ≥ ⌈τ·n_sub⌉ shingles, all of which the sub doc holds — so a missed
+    * pair requires some doc to hold ≥ ⌈τ·n_doc⌉ stop shingles. The runtime
+    * guard checks exactly that per-doc condition (tighter than the
+    * ⌈τ·n_min⌉ corpus-wide bound: it uses each doc's own size) and falls
+    * back to the uncapped exact join on violation — exactness is
+    * unconditional, the cap engages exactly when provably safe.
+    */
+  def containmentPairs(shInput: DataFrame, tau: Double, dfCap: Option[Int]): DataFrame = {
+    val shared = sharedShingleCounts(shInput, dfCap, "containmentPairs.sh",
+      (n, _) => ceil(lit(tau) * n))
+    val fwd = shared.select(col("da").as("d_sub"), col("db").as("d_sup"),
+      (col("c").cast(DoubleType) / col("na")).as("cont"))
+    val rev = shared.select(col("db").as("d_sub"), col("da").as("d_sup"),
+      (col("c").cast(DoubleType) / col("nb")).as("cont"))
+    fwd.union(rev).filter(col("cont") >= tau)
+  }
+
+  /** Shared kernel of [[ngramPairs]] / [[containmentPairs]]: the EXACT
+    * per-pair shared-shingle counts `(da < db, c, na, nb)` from a
+    * shingle-blocking self-join, optionally with frequency-capped blocking.
+    *
+    * Uncapped (`dfCap = None`): candidates are every pair sharing a
+    * shingle — exact, but in-bucket pair work is O(df²) per shingle and a
+    * stop-shingle bucket at 100 TB explodes.
+    *
+    * Capped (`dfCap = Some(cap)`): the hottest shingles (df > cap, at most
+    * 63 of them — one bit each) are REMOVED from the blocking join, so no
+    * bucket in the self-join exceeds max(cap, 64th-hottest df). The
+    * intersection count stays EXACT: each doc carries a 64-bit membership
+    * mask over the stop set, and a found pair's shared-stop count is
+    * recovered as bit_count(maskA & maskB) — the mask rides the join as
+    * one long per doc.
+    *
+    * Completeness: a qualifying pair can only be missed if ALL its shared
+    * shingles are stop shingles. `violationBound(n, nMin)` gives, for a doc
+    * of size n, the minimum stop-shingle count that could hide a
+    * qualifying pair under the CALLER's similarity predicate; the kernel
+    * CHECKS that condition on the data (one aggregate over the tiny mask
+    * table) and falls back to the uncapped exact join when capping would
+    * be unsound — exactness is unconditional; the cap engages exactly when
+    * provably safe. For the near-dup regime (τ ≥ 0.3, documents of
+    * hundreds of shingles) the guard passes with wide margin; it is low-τ
+    * tiny-doc corpora that legitimately need the full join.
+    */
+  private def sharedShingleCounts(
+      shInput: DataFrame, dfCap: Option[Int], checkpointKey: String,
+      violationBound: (Column, Column) => Column): DataFrame = {
     // The capped path reads the shingle relation from five sub-plans (df
     // table, stop-mask build, sizes, guard, blocking) plus the guard's
     // separate action — materialize it once instead of re-running the
@@ -766,7 +824,7 @@ object Dedup {
     // plan reads it), so per-invocation release is impossible here — but
     // keying it frees the PREVIOUS invocation's blocks (bench loops).
     val sh = if (dfCap.isDefined)
-      graft.Tables.runScopedCheckpoint("ngramPairs.sh", shInput)
+      graft.Tables.runScopedCheckpoint(checkpointKey, shInput)
     else shInput
     // The capped path reads per-doc sizes from two separate actions (the
     // guard count, then the final pair plan) — cache the tiny relation so
@@ -775,7 +833,7 @@ object Dedup {
     val sizesRaw = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizes = if (dfCap.isDefined) sizesRaw.cache() else sizesRaw
 
-    def pairsFrom(blocking: DataFrame, stopShared: Option[DataFrame]): DataFrame = {
+    def countsFrom(blocking: DataFrame, stopShared: Option[DataFrame]): DataFrame = {
       val a = blocking.select(col("doc_id").as("da"), col("s"))
       val b = blocking.select(col("doc_id").as("db"), col("s"))
       val low = a.join(b, Seq("s")).filter(col("da") < col("db"))
@@ -792,19 +850,12 @@ object Dedup {
       shared
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        // raw ratio, not rounded: rounding a rational can land on an
-        // exact .xxxx5 boundary where the engines' round() diverge; the
-        // unrounded division is bit-identical (same IEEE ops both sides)
-        .withColumn("jac", col("c").cast(DoubleType) /
-          (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= tau)
-        .select("da", "db", "jac")
+        .select("da", "db", "c", "na", "nb")
     }
 
     dfCap match {
-      case None => pairsFrom(sh, None)
+      case None => countsFrom(sh, None)
       case Some(cap) =>
-        val r = tau / (1.0 + tau)
         // Bit positions 0..62 for the ≤63 stop shingles. orderBy+limit
         // plans TakeOrderedAndProject (single output partition, already
         // sorted); re-asserting the order locally and numbering with
@@ -825,12 +876,11 @@ object Dedup {
           .cache() // tiny; the guard count below materializes it lazily
         val nMin = sizes.agg(min(col("n")).as("n_min"))
         val violations = masks.join(sizes, "doc_id").crossJoin(nMin)
-          .filter(bit_count(col("mask")) >=
-            ceil(lit(r) * (col("n") + col("n_min"))))
+          .filter(bit_count(col("mask")) >= violationBound(col("n"), col("n_min")))
           .count()
         val result =
-          if (violations > 0) pairsFrom(sh, None) // cap unsound here: stay exact
-          else pairsFrom(sh.join(broadcast(stop), Seq("s"), "left_anti"), Some(masks))
+          if (violations > 0) countsFrom(sh, None) // cap unsound here: stay exact
+          else countsFrom(sh.join(broadcast(stop), Seq("s"), "left_anti"), Some(masks))
         result
     }
   }

@@ -228,7 +228,11 @@ object Sources {
         val merged = target
           .join(source.select(col("k")), Seq("k"), "left_anti")
           .union(source)
-        val out = s"/tmp/graft_merge_${ProcessHandle.current().pid()}"
+        // Per-invocation scratch dir (same concurrency rationale as the
+        // round-trip sources above: a fixed per-JVM path collides under
+        // parallel execution, overwriting partition dirs mid-read-back).
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_merge_").toString
         merged.write.mode(SaveMode.Overwrite).partitionBy("pri").parquet(out)
         s.read.parquet(out)
           .groupBy("pri")

@@ -105,9 +105,9 @@ class DedupSpec extends AnyFunSuite {
     } yield (a, b) -> j).toMap
   }
 
-  private def ngramOn(corpus: Seq[(Long, String)], tau: Double, cap: Option[Int]) = {
+  private def shingleDF(corpus: Seq[(Long, String)]) = {
     import spark.implicits._
-    val sh = corpus.toDF("doc_id", "text")
+    corpus.toDF("doc_id", "text")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
       .withColumn("n1", lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("i")))
@@ -115,7 +115,20 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("n2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w"), col("n1"), col("n2")).as("s"))
       .distinct()
-    Dedup.ngramPairs(sh, tau, cap)
+  }
+
+  private def ngramOn(corpus: Seq[(Long, String)], tau: Double, cap: Option[Int]) =
+    Dedup.ngramPairs(shingleDF(corpus), tau, cap)
+
+  /** Brute-force DIRECTED containment pair set: (sub, sup) -> |∩| / |sub|. */
+  private def bruteCont(corpus: Seq[(Long, String)], tau: Double): Map[(Long, Long), Double] = {
+    def sh(t: String) = t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size if inter > 0
+      c = inter.toDouble / sa.size if c >= tau
+    } yield (a, b) -> c).toMap
   }
 
   test("capped ngram blocking: hot shingle removed from the join, pair set stays exact") {
@@ -149,6 +162,42 @@ class DedupSpec extends AnyFunSuite {
       "cap engaged on a corpus where dropping hot shingles loses pairs")
     val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotPairs == bruteJac(corpus, 0.3).keySet)
+  }
+
+  test("capped containment blocking: hot shingle removed from the join, directed pair set stays exact") {
+    // 40 docs sharing one universal shingle (df=41 >> cap=8) + one doc
+    // whose token sequence is a PREFIX of doc 7's — containment 1.0 in the
+    // sub→sup direction while Jaccard stays low (the asymmetric signal).
+    // Each doc holds exactly 1 stop shingle, far under the ⌈τ·n⌉ guard
+    // bound, so the capped path must engage (left-anti prune) and still
+    // return the exact brute-force directed pair set, hot shingle INCLUDED
+    // in every intersection count via the stop-mask.
+    val base = (0L until 40L).map(i =>
+      i -> ("h0 h1 h2 " + (0 until 30).map(k => s"u${i}_$k").mkString(" ")))
+    val sub = Seq(41L -> ("h0 h1 h2 " + (0 until 10).map(k => s"u7_$k").mkString(" ")))
+    val corpus = base ++ sub
+    val got = Dedup.containmentPairs(shingleDF(corpus), 0.7, Some(8))
+    assert(got.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "df cap did not engage on a corpus where it is provably safe")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteCont(corpus, 0.7)
+    assert(want.contains((41L, 7L)), "test corpus must contain a planted containment pair")
+    assert(gotPairs.keySet == want.keySet,
+      s"missing=${want.keySet -- gotPairs.keySet} extra=${gotPairs.keySet -- want.keySet}")
+    gotPairs.foreach { case (p, c) => assert(math.abs(c - want(p)) < 1e-12) }
+  }
+
+  test("capped containment falls back to the exact join when the cap is unsound") {
+    // Ten identical tiny docs: every shingle is hot AND every doc is
+    // entirely stop shingles — dropping them would lose the C=1 pairs.
+    // The per-doc ⌈τ·n⌉ guard must detect the violation and run the
+    // uncapped join.
+    val corpus = (0L until 10L).map(i => i -> "a b c d e")
+    val got = Dedup.containmentPairs(shingleDF(corpus), 0.8, Some(4))
+    assert(!got.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "cap engaged on a corpus where dropping hot shingles loses pairs")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == bruteCont(corpus, 0.8).keySet)
   }
 
   test("bloom ingest gate probes map-side: no join, no shuffle of the batch") {

@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
       "token arrays riding the banding exchange")
   }
 
+  test("q_dedup_containment engages the frequency-capped blocking path") {
+    // The round-8 scale-killer: containment reused the UNCAPPED shingle
+    // self-join (O(df²) per shingle bucket — 839 s at sf100). The capped
+    // path (stop-shingle left-anti prune + mask-exact recovery, the
+    // q_dedup_ngram_capped machinery under the asymmetric ⌈τ·n_sub⌉
+    // guard) must engage on the real corpus — if the guard ever starts
+    // falling back here, the 100-TB story is silently gone.
+    val plan = SparkEntry.queries("q_dedup_containment")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      "capped blocking did not engage on the corpus (guard fallback?)")
+  }
+
   test("q_profile reads lineitem in a single scan") {
     val p = planOf("q_profile")
     // formatted mode lists each operator twice (tree + detail header);
@@ -853,7 +866,16 @@ class PlanSpec extends AnyFunSuite {
   /** A hinted subtree is bounded if every path to a corpus leaf passes a
     * global (grouping-free) aggregate, a limit, or the PrefixSum helper's
     * per-bucket totals (≤ partitions × buckets rows by construction)
-    * before reaching it. */
+    * before reaching it.
+    *
+    * The __bkt escape hatch trusts PrefixSum's documented precondition
+    * (withOrderStats: partCols must be schema/calendar-bounded — the
+    * offsets relation is |partCols groups| × buckets rows). A future
+    * caller partitioning by a high-cardinality key would be green-lit
+    * here structurally while actually broadcasting a corpus-proportional
+    * relation; the precondition note on the helper is the contract that
+    * prevents it, and any new PrefixSum call site should be audited
+    * against it in review. */
   private def hintSubtreeBounded(p: LogicalPlan): Boolean = p match {
     case a: LAgg if a.groupingExpressions.isEmpty => true
     case a: LAgg if a.groupingExpressions.exists(

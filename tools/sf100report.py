@@ -26,12 +26,16 @@ def main():
         for lo, hi, name in ((a.get(k), b.get(k), "d1"),
                              (b.get(k), c.get(k), "d2"),
                              (c.get(k), d.get(k), "d3")):
-            if lo and hi:
+            # `is not None`, not truthiness: a 0.0 timing is a real (if
+            # suspicious) measurement, not a missing one; guard the
+            # division so it can never raise.
+            if lo is not None and hi is not None and lo > 0:
                 r = round(hi / lo, 2)
                 row[f"ratio_{name}"] = r
                 decades.append(r)
-        row["ratio_1000x"] = round(d[k] / a[k], 2)
-        row["linear_1000x"] = row["ratio_1000x"] <= 1200.0
+        row["ratio_1000x"] = round(d[k] / a[k], 2) if a[k] > 0 else None
+        row["linear_1000x"] = (row["ratio_1000x"] is not None
+                               and row["ratio_1000x"] <= 1200.0)
         row["per_decade_max"] = max(decades) if decades else None
         out[k] = row
     tot01 = sum(a[k] for k in out)
@@ -40,7 +44,7 @@ def main():
         "queries": len(out),
         "total_sf0.1_sec": round(tot01, 3),
         "total_sf100_sec": round(tot100, 3),
-        "total_ratio_1000x": round(tot100 / tot01, 2),
+        "total_ratio_1000x": round(tot100 / tot01, 2) if tot01 > 0 else None,
         "all_linear_1000x": all(v["linear_1000x"] for v in out.values()),
     }
     print(json.dumps({"summary": summary, "per_query": out}, indent=1))
