@@ -317,38 +317,43 @@ object Dedup {
     // Determinism: permutation hashes are md5-lower-64 of "kk#shingle"
     // shifted to the positive 2^53 range (the q_sample_reservoir
     // convention — signed-vs-unsigned MIN cannot diverge), so DuckDB
-    // reproduces every signature bit. Scale shape: the corpus collapses
-    // to the distinct (doc, shingle) relation, then to the CHECKPOINTED
-    // (doc, perm, min-hash) relation (16 rows/doc) feeding all three
-    // configs; bucket censuses are hash aggs over doc×16×3 rows. The
-    // md5-per-perm family costs 16 digests per shingle — at 100 TB this
-    // planning table runs on a sample (it estimates RATES, not pairs);
-    // the production signature path (q_dedup_fuzzy) keeps the 1-hash
-    // XXH64+avalanche family.
+    // reproduces every signature bit.
+    //
+    // Scale shape (round 9 — this is a PLANNING table, it estimates
+    // RATES, not pairs): it runs on a deterministic 25% doc sample
+    // (doc_id ≡ 0 mod 4 — reproducible on both engines, so the oracle
+    // samples identically and the hash-match is exact), and the
+    // signatures come from the ONE-PASS wide shape: all 16 permutation
+    // mins are columns of a single map-side-combined aggregate (one row
+    // per doc crosses the exchange), and every (r, band) signature of all
+    // three configs is a string built FROM that row — no 16× row explode
+    // of the shingle relation, no checkpoint, no collect_list sort. The
+    // round-8 spelling cost 502 s at sf100 (16 md5 digests per shingle
+    // over the FULL corpus + a doc×16-row shuffle); this one pays 1/4 the
+    // digests and one exchange. The production signature path
+    // (q_dedup_fuzzy) keeps the 1-hash XXH64+avalanche family and the
+    // full corpus — only the tuning census samples.
     "q_lsh_tuning" -> Q(
       fn = (s, d) => {
         graft.functions.VectorFunctions.register(s)
         val sh = Tables(s, d, "documents")
+          .filter(col("doc_id") % 4 === 0)
           .select(col("doc_id"),
             explode(graft.functions.VectorFunctions.shingleSet(
               split(col("text"), " "), 3)).as("sh"))
           .distinct()
-        val mh = graft.Tables.runScopedCheckpoint("q_lsh_tuning.mh",
-          sh.select(col("doc_id"), col("sh"),
-              explode(sequence(lit(0), lit(15))).as("k"))
-            .groupBy("doc_id", "k")
-            .agg(min(shiftrightunsigned(
-              graft.functions.VectorFunctions.md5Lower(concat(
-                lpad(col("k").cast(StringType), 2, "0"), lit("#"),
-                col("sh"))), 11)).as("m")))
-        val sigs = mh
-          .select(col("doc_id"), col("k"), col("m"),
-            explode(lit(Array(1, 2, 4))).as("r"))
-          .withColumn("band", expr("k div r"))
-          .groupBy("doc_id", "r", "band")
-          .agg(array_join(array_sort(collect_list(concat(
-            lpad(col("k").cast(StringType), 2, "0"), lit(":"),
-            col("m")))), "-").as("sig"))
+        def mhMin(k: Int) = min(shiftrightunsigned(
+          graft.functions.VectorFunctions.md5Lower(concat(
+            lit(f"$k%02d#"), col("sh"))), 11)).as(s"m$k")
+        val mins = sh.groupBy("doc_id")
+          .agg(mhMin(0), (1 until 16).map(mhMin): _*)
+        val sigStructs = for { r <- Seq(1, 2, 4); band <- 0 until 16 / r }
+          yield struct(lit(r).as("r"), lit(band).as("band"),
+            concat_ws("-", (band * r until (band + 1) * r).map(k =>
+              concat(lit(f"$k%02d:"), col(s"m$k").cast(StringType))): _*).as("sig"))
+        val sigs = mins.select(explode(array(sigStructs: _*)).as("e"))
+          .select(col("e.r").as("r"), col("e.band").as("band"),
+            col("e.sig").as("sig"))
         sigs.groupBy("r", "band", "sig").agg(count(lit(1)).as("n"))
           .groupBy("r")
           .agg(sum(expr("n * (n - 1) div 2")).as("candidate_pairs"),
@@ -363,7 +368,8 @@ object Dedup {
       oracle = Some("""
         WITH sh AS (
           SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 4 = 0),
             LATERAL (SELECT generate_subscripts(t, 1) AS i) u,
             LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s) g
           WHERE i + 2 <= len(t)),
