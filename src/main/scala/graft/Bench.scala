@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Accumulates scan-input record counts across all tasks — the work
+    * proxy for the per-query IO decomposition. (inputMetrics.BYTESREAD is
+    * useless here: the vectorized parquet reader's data path bypasses the
+    * Hadoop FileSystem statistics it is wired to — measured 17 KB
+    * "read" for a 600k-row scan — so byte volumes come from
+    * /proc/self/io instead, which also splits LOGICAL reads (rchar)
+    * from PHYSICAL storage reads (read_bytes): exactly the
+    * page-cache-regime evidence the scale sweeps need.) */
+  private final class InputRecordsListener extends org.apache.spark.scheduler.SparkListener {
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    /** Listener-bus delivery is async; poll until the counter is stable. */
+    def settled(): Long = {
+      var prev = -1L; var cur = records.get()
+      while (cur != prev) { Thread.sleep(50); prev = cur; cur = records.get() }
+      cur
+    }
+  }
+
+  /** (rchar, read_bytes) of this JVM: logical bytes through read syscalls
+    * vs bytes actually fetched from storage (a page-cache hit counts in
+    * the former only). Linux-specific; (0, 0) elsewhere. */
+  private def procIo(): (Long, Long) = {
+    val p = java.nio.file.Paths.get("/proc/self/io")
+    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    else {
+      val m = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala
+        .map(_.split(":\\s*"))
+        .collect { case Array(k, v) => k -> v.trim.toLong }.toMap
+      (m.getOrElse("rchar", 0L), m.getOrElse("read_bytes", 0L))
+    }
+  }
   /** Overlay `updates` (key → raw JSON value text) onto a flat one-level
     * JSON object, preserving every existing key not updated. This is what
     * keeps single-query `SPARK_GRAFT_ONLY`/`SPARK_GRAFT_SKIP` runs from
@@ -72,7 +106,16 @@ object Bench {
     // silently benchmark as a fast success and deflate the total. Failed
     // keys are excluded from the total and surfaced in the JSON line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val ioListener = new InputRecordsListener
+    spark.sparkContext.addSparkListener(ioListener)
+    // Last completed run's IO profile per query: (logical bytes, physical
+    // bytes, scan records). Logical bytes and records are plan-
+    // deterministic; physical bytes depend on the page-cache state — on a
+    // warmed corpus they go to ~0, which is itself the measurement.
+    val ioProfile = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      ioListener.settled(); ioListener.records.set(0L)
+      val (rchar0, disk0) = procIo()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -93,7 +136,12 @@ object Bench {
       // plan across runs, so a truncated lineage is never re-executed.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (ok) sec else Double.NaN
+      if (ok) {
+        val recs = ioListener.settled()
+        val (rchar1, disk1) = procIo()
+        ioProfile(name) = (rchar1 - rchar0, disk1 - disk0, recs)
+        sec
+      } else Double.NaN
     }
     // Optional comma-separated filter for local single-query profiling;
     // the driver never sets it, so round benches always cover everything.
@@ -139,8 +187,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
+    // Per-query regression gate (round-9): compare this battery against
+    // the committed last-round baseline so a slowdown surfaces IN-ROUND
+    // (in this JSON line, which the driver archives as BENCH_r{N}.json)
+    // instead of at judge time. Only meaningful for the canonical sf0.1
+    // battery — sweep runs at other SFs would flag everything. A query
+    // regresses at >1.5× baseline AND >0.2 s absolute (the floor keeps
+    // millisecond-scale noise on tiny queries out of the gate).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "/root/repo/BENCH_BASELINE.json")
+    val regressions: Seq[(String, Double, Double)] =
+      if (!sfDir.endsWith("sf0.1") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))) Seq.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val tree = mapper.readTree(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
+        results.toSeq.flatMap { case (k, cur) =>
+          Option(tree.get(k)).filter(_.isNumber).map(_.asDouble()) match {
+            case Some(base) if cur > 1.5 * base && cur - base > 0.2 =>
+              Some((k, cur, base))
+            case _ => None
+          }
+        }.sortBy { case (_, cur, base) => base - cur }
+      }
+    regressions.foreach { case (k, cur, base) =>
+      System.err.println(f"[bench] REGRESSION $k: $cur%.3f s vs baseline $base%.3f s") }
+    val regJson = regressions.take(12)
+      .map { case (k, cur, base) => s"""\"$k\":[${r3(cur)},${r3(base)}]""" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // Full per-query detail goes to a file, not stdout (tail budget). A
     // filtered run (ONLY/SKIP) merges into the existing battery file
@@ -161,6 +238,15 @@ object Bench {
       runs.map { case (k, ts) =>
         k -> ts.map(t => if (t.isNaN) "null" else r3(t)).mkString("[", ",", "]")
       }.toSeq, partial)
+    // IO profile per query: logical MB (rchar — all file reads incl.
+    // cache hits), physical MB (read_bytes — actual storage traffic,
+    // ~0 on a warmed corpus), scan records. The decomposition the scale
+    // sweeps join against wall time per decade.
+    writeBenchFile(s"$outDir/BENCH_IO.json",
+      ioProfile.toSeq.map { case (k, (rc, db, n)) =>
+        k -> (f"""{"logical_mb":${rc / 1048576.0}%.1f,""" +
+          f""""disk_mb":${db / 1048576.0}%.1f,"scan_rows":$n}""")
+      }, partial)
     spark.stop()
   }
 }
