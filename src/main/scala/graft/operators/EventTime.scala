@@ -232,6 +232,47 @@ object EventTime {
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start""")),
 
+    // Session-window aggregation through the STREAMING code path
+    // (graft.streaming.Streams.sessionAgg — watermark and all), run here
+    // over the batch corpus: the batch-equivalence oracle for the §2.4
+    // watermark+session capability, the q_stream_interval_join pattern.
+    // Distinct from q_session_window (which exercises the session_window
+    // function directly): different gap, a third aggregate, and the
+    // EXACT transform the micro-batch engine executes — StreamingSpec
+    // asserts MemoryStream output == this batch output on the same rows,
+    // so the DuckDB comparison transitively covers the streaming
+    // semantics (append-mode emission timing stays watermark-dependent,
+    // ◻ by contract).
+    //
+    // Scale shape: one user_id hash exchange, then per-key session
+    // merging; in streaming mode state is keyed by (user, open session)
+    // and watermark-evicted.
+    "q_stream_session_agg" -> Q(
+      fn = (s, d) =>
+        graft.streaming.Streams.sessionAgg(Tables(s, d, "events"))
+          .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts,
+                          value, event_type FROM events),
+        flagged AS (
+          SELECT user_id, ts, value, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '20 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts, value, event_type,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '20 minutes' AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+               MAX(event_type) AS last_type
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
     // Sequence-pattern detection (the MATCH_RECOGNIZE shape Spark doesn't
     // ship, expressed as a lead window): per user, count immediate
     // click→purchase successions and the time of the first one. One keyed

@@ -101,6 +101,29 @@ object Streams {
       .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
   }
 
+  /** Session-window aggregation under a watermark: per-user sessions
+    * close after `gap` of inactivity; in append mode a session row is
+    * emitted once the watermark passes its end (merging state is keyed
+    * by (user, session) and evicted then — state is O(open sessions),
+    * not O(stream)). The SAME code path runs batch-side as
+    * q_stream_session_agg (EliminateEventTimeWatermark drops the
+    * watermark node on a non-streaming child), giving the §2.4
+    * watermark+session capability its DuckDB oracle; StreamingSpec
+    * additionally asserts MemoryStream output equals the batch output
+    * on the same rows. */
+  def sessionAgg(events: DataFrame, gap: String = "20 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"),
+        graft.Q.dec4(sum(graft.Q.dec2(col("value")))).as("total"),
+        max(col("event_type")).as("last_type"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total"), col("last_type"))
+
   /** Stream-static enrichment: the static side is a broadcast dimension —
     * re-read per micro-batch, never shuffled against the stream. */
   def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =

@@ -129,6 +129,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session-window aggregation agrees with the oracle-checked batch query on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // batch side: q_stream_session_agg — the SAME Streams.sessionAgg code
+    // path, oracle-checked against DuckDB's gaps-and-islands rebuild.
+    // Streaming output through the same helper over a MemoryStream fed
+    // the same corpus rows must be row-identical (complete mode: session
+    // emission is not gated on watermark passage, so every session —
+    // including those still "open" at end of input — appears exactly as
+    // in batch).
+    val batch = SparkEntry.queries("q_stream_session_agg")(spark, TestSpark.sf)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSS").as("ss"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSS").as("se"),
+        col("n"), col("total"), col("last_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toSet
+    val corpus = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val mem = MemoryStream[Event]
+    val out = Streams.sessionAgg(mem.toDF())
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSS").as("ss"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSS").as("se"),
+        col("n"), col("total"), col("last_type"))
+    val q = out.writeStream.format("memory").queryName("sessparity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(corpus.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sessparity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getDouble(4), r.getString(5))).toSet
+      assert(streamed == batch,
+        s"batch-only=${(batch -- streamed).take(3)} stream-only=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join agrees with the oracle-checked batch query on the corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
