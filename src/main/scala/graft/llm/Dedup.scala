@@ -578,6 +578,70 @@ object Dedup {
         FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
         ORDER BY span_fp""")),
 
+    // TRUE repeated-substring dedup at ARBITRARY boundaries (the Lee et
+    // al. 2022 ExactSubstr semantic at token granularity, completing what
+    // q_dedup_span approximates with stride-8/16-token windows): a
+    // substring of ≥ 8 tokens occurring more than once in the corpus
+    // (any doc, any offset — intra-doc repeats included) is duplicated
+    // text; the query reports, per doc, the MAXIMAL position ranges
+    // covered by duplicated substrings — exactly the spans an ExactSubstr
+    // pass would cut.
+    //
+    // Equivalence (why 8-token windows at stride 1 are exact, not an
+    // approximation): a duplicated substring of length ≥ 8 makes every
+    // 8-window inside it duplicated, and every duplicated 8-window IS a
+    // duplicated substring — so the union of duplicated-substring
+    // positions equals the union of [w, w+8) over duplicated window
+    // starts w, and merging overlapping/adjacent covers yields the
+    // maximal spans. DedupSpec asserts equality with a sequential
+    // brute-force reference, including a planted repeat at a
+    // non-multiple-of-8 boundary that q_dedup_span's strided windows
+    // cannot see.
+    //
+    // Scale shape: the window explode is a bounded ~1× row blow-up of
+    // the corpus; the census is one span-keyed exchange with map-side
+    // partial counts; duplicated windows come back via a span-keyed
+    // left-semi join (AQE skew-splits a pathological hot span); interval
+    // merging is one per-doc window (cummax sweep — doc-keyed, never a
+    // single reducer); the final token re-slice joins the tiny island
+    // relation back by doc_id. The span text stands in for the 128-bit
+    // rolling fingerprint a 100 TB run would key by (the md5 emitted per
+    // island is exactly that fingerprint) — the text itself never needs
+    // to survive the exchange there.
+    "q_dedup_substr" -> Q(
+      fn = (s, d) => substrSpans(docs(s, d), L = 8)
+        .orderBy("doc_id", "start_pos"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        wins AS (
+          SELECT doc_id, w, array_to_string(t[w+1 : w+8], ' ') AS span
+          FROM d, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS w)),
+        dup AS (SELECT span FROM wins GROUP BY span HAVING COUNT(*) > 1),
+        dw AS (SELECT doc_id, w FROM wins WHERE span IN (SELECT span FROM dup)),
+        marked AS (
+          SELECT doc_id, w,
+                 CASE WHEN max(w + 8) OVER pw IS NULL OR w > max(w + 8) OVER pw
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dw
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, w,
+                 SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY w
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked),
+        spans AS (
+          SELECT doc_id, isl, MIN(w) AS start_pos, MAX(w) + 8 AS end_pos,
+                 COUNT(*) AS n_windows
+          FROM isl GROUP BY doc_id, isl)
+        SELECT s.doc_id, s.start_pos, s.end_pos,
+               s.end_pos - s.start_pos AS span_len, s.n_windows,
+               md5(array_to_string(d.t[s.start_pos+1 : s.end_pos], ' ')) AS span_fp
+        FROM spans s JOIN d USING (doc_id)
+        ORDER BY doc_id, start_pos""")),
+
     // MinHash estimator-quality audit: for every true near-dup pair
     // (exact Jaccard ≥ 0.05 — the q_dedup_ngram universe), compare the
     // 16-permutation MinHash estimate (matching mins / 16) against the
@@ -665,6 +729,45 @@ object Dedup {
                CAST(ROUND(hits / 16.0, 4) AS DOUBLE) AS est,
                CAST(ROUND(ABS(jac - hits / 16.0), 4) AS DOUBLE) AS abs_err
         FROM m ORDER BY da, db""")))
+
+  /** ExactSubstr span detection (see q_dedup_substr for semantics and
+    * scale notes): maximal per-doc position ranges covered by ≥L-token
+    * substrings that occur more than once in the corpus. Input: a
+    * (doc_id, text) relation. */
+  private[graft] def substrSpans(docsDF: DataFrame, L: Int): DataFrame = {
+    val docsT = docsDF
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= L)
+    val wins = docsT
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("w"))
+      .select(col("doc_id"), col("w"),
+        concat_ws(" ", slice(col("t"), col("w") + 1, lit(L))).as("span"))
+    val dup = wins.groupBy("span").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("span")
+    val dupWins = wins.join(dup, Seq("span"), "left_semi")
+    val wDoc = Window.partitionBy("doc_id").orderBy("w")
+    val isl = dupWins
+      .withColumn("prev_end", max(col("w") + L).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("w") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("w").as("start_pos"), (max(col("w")) + L).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+    isl.join(docsT, "doc_id")
+      .select(col("doc_id"),
+        col("start_pos").cast(LongType).as("start_pos"),
+        col("end_pos").cast(LongType).as("end_pos"),
+        (col("end_pos") - col("start_pos")).cast(LongType).as("span_len"),
+        col("n_windows"),
+        md5(to_binary(concat_ws(" ",
+          slice(col("t"), col("start_pos") + 1,
+            col("end_pos") - col("start_pos"))), lit("utf-8"))).as("span_fp"))
+  }
 
   /** Connected components over an undirected edge list `(a, b)` by
     * min-label propagation: every node's label converges to the smallest

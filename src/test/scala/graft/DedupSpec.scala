@@ -200,6 +200,44 @@ class DedupSpec extends AnyFunSuite {
     assert(gotPairs == bruteCont(corpus, 0.8).keySet)
   }
 
+  test("substring spans: arbitrary-boundary repeats found exactly (incl. off-stride), matching brute force") {
+    // Sequential ExactSubstr reference: global window census → duplicated
+    // window starts → merged covers. The planted repeat starts at token 3
+    // of doc 2 (length 11 ≥ L=8) — an offset no stride-8 window grid
+    // hits, i.e. the class q_dedup_span structurally misses. A second
+    // intra-doc repeat (doc 3 repeats its own opening 8 tokens at offset
+    // 20) checks the "occurs more than once ANYWHERE" semantic.
+    val L = 8
+    def uniq(tag: String, n: Int) = (0 until n).map(k => s"$tag$k")
+    val rep = (0 until 11).map(k => s"r$k") // 11-token repeated run
+    val corpus = Seq(
+      1L -> (uniq("a", 9) ++ rep ++ uniq("b", 7)).mkString(" "),
+      2L -> (uniq("c", 3) ++ rep ++ uniq("d", 9)).mkString(" "),
+      3L -> (uniq("e", L) ++ uniq("f", 12) ++ uniq("e", L) ++ uniq("g", 5)).mkString(" "),
+      4L -> uniq("h", 30).mkString(" "))
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val counts = toks.flatMap { case (_, t) =>
+      (0 to t.length - L).map(w => t.slice(w, w + L).mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = toks.flatMap { case (id, t) =>
+      val dws = (0 to t.length - L)
+        .filter(w => counts(t.slice(w, w + L).mkString(" ")) > 1)
+      dws.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, w) if w <= e0 => (s0, math.max(e0, w + L)) :: rest
+        case (acc, w) => (w, w + L) :: acc
+      }.reverse.map { case (s0, e0) => (id, s0.toLong, e0.toLong) }
+    }.toSet
+    assert(want.exists { case (id, s0, _) => id == 2L && s0 == 3L },
+      "corpus must plant an off-stride repeat")
+    assert(want.exists { case (id, _, _) => id == 3L },
+      "corpus must plant an intra-doc repeat")
+    import spark.implicits._
+    val got = Dedup.substrSpans(corpus.toDF("doc_id", "text"), L)
+      .select("doc_id", "start_pos", "end_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("bloom ingest gate probes map-side: no join, no shuffle of the batch") {
     graft.functions.VectorFunctions.register(spark)
     Tables.registerViews(spark, TestSpark.sf)
