@@ -3,7 +3,7 @@ package graft.llm
 import graft.{Q, Tables}
 import graft.Q._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -223,6 +223,124 @@ object Similarity {
                true AS recall_ok
         FROM (SELECT q_id, MAX(CASE WHEN rnk = 3 THEN cos END) AS kth
               FROM ranked WHERE rnk <= 3 GROUP BY q_id)""")),
+
+    // ANN recall CALIBRATION (the q_dedup_minhash_audit analog for
+    // hyperplane LSH): measured candidate recall vs the exact top-3 per
+    // TABLE COUNT L ∈ {1,2,4,8} (5-bit tables), alongside the candidate
+    // volume each L costs — the banding-decision table a production run
+    // consults before committing an ANN geometry to 100 TB (theory gives
+    // the per-plane collision S-curve; the actual recall/cost trade
+    // depends on the corpus's similarity profile).
+    //
+    // Unlike q_similarity_ann (whose XXH64 hyperplane kernel has no SQL
+    // spelling, forcing a boolean-validated contract), this audit uses a
+    // CROSS-ENGINE hash family so every bucket bit is reproduced in
+    // DuckDB and the whole table is hash-checked: planes are ±1
+    // sign-random-projections seeded by md5-lower-64 of "hp-<p>-<i>"
+    // (constant-folded — data never feeds the plane hash), and vectors
+    // are quantized to integers (⌊1000·x+0.5⌋) so the per-plane dot
+    // product is EXACT integer arithmetic — no float-summation-order
+    // divergence between engines, and quantization is part of the
+    // operator contract (a legitimate SRP variant).
+    //
+    // Scale shape: one pass computes all 40 plane projections per vector
+    // map-side (the signature kernel shape); the corpus shuffles only by
+    // (table, bucket); the per-L expansion and hit join touch the
+    // candidate relation, never corpus²; totals are 1-row broadcasts.
+    "q_ann_recall" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val dims = 64; val tables = 8; val rowsPerTable = 5
+        val planes = tables * rowsPerTable
+        def sgn(p: Int, i: Int): Column =
+          when(VectorFunctions.md5Lower(lit(s"hp-$p-$i"))
+            .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType)).as("vq"))
+        val dps = array((0 until planes).map { p =>
+          aggregate(
+            zip_with(col("vq"), array((0 until dims).map(i => sgn(p, i)): _*),
+              (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+        }: _*)
+        def bucketCol(t: Int): Column = (0 until rowsPerTable).map { j =>
+          when(element_at(col("dps"), t * rowsPerTable + j + 1) >= 0,
+            lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _)
+        val banded = e.withColumn("dps", dps)
+          .select(col("vec_id"),
+            posexplode(array((0 until tables).map(bucketCol): _*))
+              .as(Seq("tbl", "bucket")))
+        val queries = banded.filter(col("vec_id") < 10)
+          .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+        val collide = banded.join(queries, Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id").agg(min(col("tbl")).as("ft"))
+        val exact = exactTopK(s, Tables(s, d, "embeddings"), k = 3)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("is_hit"))
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        val nq = e.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_q"))
+        collide
+          .join(exact, Seq("q_id", "vec_id"), "left")
+          .withColumn("n_tables", explode(lit(Array(1, 2, 4, 8))))
+          .filter(col("ft") < col("n_tables"))
+          .groupBy("n_tables")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("is_hit"), lit(0L))).as("n_hits"))
+          .crossJoin(tot).crossJoin(nq)
+          .select(col("n_tables").cast(LongType).as("n_tables"),
+            col("n_cand"), col("n_hits"),
+            (col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"),
+            (col("n_cand").cast(DoubleType) / col("n_q")).as("avg_cand"))
+          .orderBy("n_tables")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eq AS (SELECT vec_id,
+                      list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq
+               FROM e),
+        dp AS (
+          SELECT vec_id, p,
+                 list_sum(list_transform(range(64), i ->
+                   vq[i + 1] * CASE WHEN (md5_number_lower('hp-' || p || '-' || i) & 1) = 1
+                                    THEN 1 ELSE -1 END)) AS dp
+          FROM eq, (SELECT unnest(range(40)) AS p)),
+        sig AS (
+          SELECT vec_id, p // 5 AS tbl,
+                 SUM(CASE WHEN dp >= 0 THEN (1 << (p % 5)) ELSE 0 END) AS bucket
+          FROM dp GROUP BY vec_id, p // 5),
+        coll AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS vec_id, MIN(c.tbl) AS ft
+          FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id,
+                 list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT q_id, vec_id,
+                 rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM scored),
+        topk AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 3),
+        expanded AS (
+          SELECT cfg.L AS n_tables, coll.q_id, coll.vec_id,
+                 CASE WHEN topk.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+          FROM coll
+          JOIN (SELECT unnest([1, 2, 4, 8]) AS L) cfg ON coll.ft < cfg.L
+          LEFT JOIN topk ON topk.q_id = coll.q_id AND topk.vec_id = coll.vec_id)
+        SELECT CAST(n_tables AS BIGINT) AS n_tables,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(is_hit) AS BIGINT) AS n_hits,
+               CAST(SUM(is_hit) AS DOUBLE) /
+                 (SELECT COUNT(*) FROM topk) AS recall,
+               CAST(COUNT(*) AS DOUBLE) /
+                 (SELECT COUNT(*) FROM e WHERE vec_id < 10) AS avg_cand
+        FROM expanded GROUP BY n_tables ORDER BY n_tables""")),
 
     // IVF: coarse-quantize every vector to its nearest centroid cell; each
     // query probes only its `nprobe` closest cells. The codebook is

@@ -725,6 +725,9 @@ class PlanSpec extends AnyFunSuite {
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
       "q_text_lm_score", "q_text_tfidf", "q_tpch_q11", "q_tpch_q22",
       // 1-row global-aggregate broadcasts (house global-agg idiom)
+      // (q_ann_recall: n_exact/n_q 1-row totals + the exactTopK
+      // 10-query-vector nested loop, same shape as q_similarity_topk)
+      "q_ann_recall",
       "q_ks_test", "q_chisq_independence", "q_psi_drift",
       "q_target_encoding", "q_rollup_share", "q_kaplan_meier",
       // 64×8 constant sign-matrix build (range × range, both tiny)
@@ -910,6 +913,7 @@ class PlanSpec extends AnyFunSuite {
       "q_rolling_distinct" -> "distinct day spine — calendar-bounded",
       "q_rolling_distinct_approx" -> "per-day HLL partials — calendar-bounded",
       "q_rollup_share" -> "parent-level totals — region/nation dims",
+      "q_ann_recall" -> "exactTopK's 10-row query-vector set (fixed vec_id predicate)",
       "q_similarity_ann" -> "query vector + hyperplane matrix — fixed size",
       "q_similarity_ivf" -> "centroid codebook — k rows",
       "q_similarity_pq_search" -> "PQ codebook — subspaces × 256 rows",
