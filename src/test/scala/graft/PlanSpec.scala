@@ -384,17 +384,29 @@ class PlanSpec extends AnyFunSuite {
     assert(rScans == 0, s"text_rank re-scans the corpus: $rScans scans")
   }
 
-  test("q_source_novelty and q_lsh_tuning read their checkpointed relation — one corpus pass") {
-    // both feed a multi-consumer derived relation (distinct (source,shingle)
-    // / the 16-perm signature matrix) through runScopedCheckpoint; without
-    // the barrier the corpus explode re-executes per consumer (the r5
-    // q_graph_triangles defect class). After the checkpoint, the final
-    // plan must contain ZERO parquet scans.
-    Seq("q_source_novelty", "q_lsh_tuning").foreach { k =>
-      val p = planOf(k)
-      val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
-      assert(scans == 0, s"$k re-scans the corpus past its checkpoint: $scans")
-    }
+  test("q_source_novelty reads its checkpointed relation — one corpus pass") {
+    // feeds a multi-consumer derived relation (distinct (source, shingle))
+    // through runScopedCheckpoint; without the barrier the corpus explode
+    // re-executes per consumer (the r5 q_graph_triangles defect class).
+    // After the checkpoint, the final plan must contain ZERO parquet
+    // scans. (q_lsh_tuning left this test in r9: its one-pass wide-
+    // aggregate rewrite has a single consumer chain — no checkpoint to
+    // assert, covered by the single-scan test below.)
+    val p = planOf("q_source_novelty")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"q_source_novelty re-scans the corpus past its checkpoint: $scans")
+  }
+
+  test("q_lsh_tuning is one corpus pass: sampled scan feeding one wide signature aggregate") {
+    // The r9 shape: 25% doc sample → distinct (doc, shingle) → ONE
+    // map-side-combined 16-column min aggregate → 28-struct explode →
+    // census. Exactly one parquet scan, no checkpoint barrier, and the
+    // sample predicate must be pushed into the scan.
+    val p = planOf("q_lsh_tuning")
+    val scans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans")
+    assert(p.contains("PushedFilters:") && p.contains("doc_id"),
+      "doc_id sample predicate not pushed to the scan")
   }
 
   test("q_concurrency scans each input once: deltas collapse before the sweep") {
