@@ -814,7 +814,80 @@ object Curation {
                CAST(ROUND(CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
                  AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS novelty
         FROM sh0 JOIN c USING (s)
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc by
+    // how much more likely its HASHED n-gram features are under the
+    // target distribution (here: the English slice) than under the raw
+    // corpus distribution — log w(d) = Σ_b n_d(b)·(ln p_tgt(b) −
+    // ln p_raw(b)) with Laplace-smoothed bucket unigram models. The
+    // feature space is the q_feature_hashing 64-bucket hashing trick, and
+    // that is the scale point DSIR makes: the model is a FIXED 64-row
+    // table regardless of corpus size — no vocabulary build, no OOV path,
+    // nothing corpus-proportional is ever broadcast (contrast
+    // q_text_lm_score, whose vocabulary table grows with the corpus and
+    // had to be unhinted).
+    //
+    // Scale shape: one corpus explode collapses to the (doc, lang,
+    // bucket) count relation [the only corpus-sized exchange, map-side
+    // combined to ≤64 rows per doc] and is CHECKPOINTED — it feeds both
+    // the 64-row bucket model and the per-doc scoring join (the
+    // q_graph_triangles lesson). Totals ride a 1-row global-aggregate
+    // broadcast (house idiom); the per-doc weight is an exact integer
+    // Σ cnt·w8 over term8 fixed-point bucket weights (the
+    // q_chisq_independence convention — identical single-expression ln
+    // trees on both engines, rounded to 8 dp before any cross-row sum).
+    "q_dsir" -> Q(
+      fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val tfb = Tables.runScopedCheckpoint("q_dsir.tfb",
+          docs(s, d)
+            .select(col("doc_id"), col("lang"),
+              explode(toks).as("token"))
+            .select(col("doc_id"), col("lang"),
+              (shiftrightunsigned(
+                graft.functions.VectorFunctions.md5Lower(col("token")), 11)
+                % 64).as("bucket"))
+            .groupBy("doc_id", "lang", "bucket")
+            .agg(count(lit(1)).as("cnt")))
+        val bw = tfb.groupBy("bucket")
+          .agg(sum(col("cnt")).as("cr"),
+            sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+        val tot = bw.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+        val w = bw.crossJoin(broadcast(tot))
+          .select(col("bucket"),
+            round(lit(1e8) * (log(col("ct") + 1) - log(col("nt") + 64)
+              - log(col("cr") + 1) + log(col("nr") + 64)))
+              .cast(LongType).as("w8"))
+        tfb.join(w, "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_tokens"),
+            sum(col("cnt") * col("w8")).as("logw8"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, lang,
+                          unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+        tfb AS (SELECT doc_id, lang,
+                       CAST(md5_number_lower(token) >> 11 AS BIGINT) % 64 AS bucket,
+                       COUNT(*) AS cnt
+                FROM t GROUP BY 1, 2, 3),
+        bw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                        AS BIGINT) AS ct
+               FROM tfb GROUP BY bucket),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                       CAST(SUM(cr) AS BIGINT) AS nr FROM bw),
+        w AS (SELECT bucket,
+                     CAST(ROUND(1e8 * (ln(ct + 1) - ln(nt + 64)
+                       - ln(cr + 1) + ln(nr + 64))) AS BIGINT) AS w8
+              FROM bw CROSS JOIN tot)
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt * w8) AS BIGINT) AS logw8
+        FROM tfb JOIN w USING (bucket)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Shared Spark/DuckDB SQL for the k-anonymity release (identical text on

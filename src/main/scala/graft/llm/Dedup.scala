@@ -728,7 +728,101 @@ object Dedup {
         SELECT da, db, CAST(ROUND(jac, 4) AS DOUBLE) AS jac,
                CAST(ROUND(hits / 16.0, 4) AS DOUBLE) AS est,
                CAST(ROUND(ABS(jac - hits / 16.0), 4) AS DOUBLE) AS abs_err
-        FROM m ORDER BY da, db""")))
+        FROM m ORDER BY da, db""")),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    // embedding corpus, then suppress within each cluster every vector
+    // that is cosine-similar (≥ τ) to a lower-id clustermate — the
+    // embedding-space member of the dedup family, catching paraphrases
+    // that share no shingles (invisible to MinHash/SimHash/ngram).
+    // Clustering is one deterministic Lloyd round from the q_kmeans
+    // seeds (8 lowest vec_ids; 6 dp inter-round quantization — the exact
+    // kmeans determinism construction), so the whole algorithm is
+    // relational and the oracle re-runs it verbatim. The suppression
+    // rule is the one-pass greedy form: keep(v) ⇔ no smaller-id
+    // clustermate with cos ≥ τ, with nn_id = the smallest such
+    // suppressor (deterministic, no cascade).
+    //
+    // Scale shape: centroids are a k-row broadcast (codebook class);
+    // the corpus is scanned once per assign and never shuffled at row
+    // width; the assigned relation is CHECKPOINTED once and feeds both
+    // pair sides. The within-cluster pair join is O(Σ|cluster|²) BY
+    // DESIGN — SemDeDup's own recipe bounds it by growing k with the
+    // corpus (k ≈ N/⟨cluster⟩, cluster size a constant knob), so at
+    // 100 TB this query runs with k in the tens of thousands and the
+    // per-cluster quadratic stays fixed-size; k=8 here matches the
+    // q_kmeans codebook the oracle can unroll. Same scale contract as
+    // q_dedup_embed (label-blocked exact cosine), with the cluster id
+    // replacing the label as the learned blocking key.
+    "q_dedup_semantic" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val tau = 0.4
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val d2 = expr(
+          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+        def assign(centroids: DataFrame): DataFrame =
+          e.crossJoin(broadcast(centroids))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("m"),
+              first(col("v")).as("v"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("v"))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val cent = Tables.runScopedCheckpoint("q_dedup_semantic.cent",
+          assign(seeds)
+            .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cid", "i").agg(avg(col("x")).as("mx"))
+            .groupBy("cid")
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+              p => round(p.getField("mx"), 6)).as("cv")))
+        val assigned = Tables.runScopedCheckpoint("q_dedup_semantic.assigned",
+          assign(cent))
+        val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
+        val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
+        val sup = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+          .filter(VectorFunctions.cosineSim(col("xa"), col("xb")) >= tau)
+          .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("nn_id"))
+        assigned.join(sup, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            col("nn_id").isNull.as("keep"), col("nn_id"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_reduce(list_transform(list_zip(e.v, c.cv),
+                       s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) ASC,
+                     c.cid ASC) AS rn
+            FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        c1 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cv FROM (
+            SELECT cid, i, AVG(x) AS m FROM (
+              SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1) z
+            GROUP BY cid, i) zz GROUP BY cid),
+        a2 AS (SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_reduce(list_transform(list_zip(e.v, c.cv),
+                       s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) ASC,
+                     c.cid ASC) AS rn
+            FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        sup AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS nn_id
+          FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                >= 0.4
+          GROUP BY b.vec_id)
+        SELECT a2.vec_id, a2.cid AS cluster_id,
+               sup.nn_id IS NULL AS keep, sup.nn_id
+        FROM a2 LEFT JOIN sup USING (vec_id)
+        ORDER BY a2.vec_id""")))
 
   /** ExactSubstr span detection (see q_dedup_substr for semantics and
     * scale notes): maximal per-doc position ranges covered by ≥L-token

@@ -583,5 +583,66 @@ object EventTime {
         SELECT user_id, COUNT(*) AS n_spans,
                CAST(SUM(t - s) AS BIGINT) AS covered_ms,
                CAST(MAX(t - s) AS BIGINT) AS longest_ms
-        FROM spans GROUP BY user_id ORDER BY user_id""")))
+        FROM spans GROUP BY user_id ORDER BY user_id""")),
+
+    // Watermark-bounded stateful dedup executed THROUGH THE STREAMING
+    // ENGINE — not a batch equivalence: `dropDuplicatesWithinWatermark`
+    // is batch-rejected by Spark (UnsupportedOperationChecker), so this
+    // query runs the real thing: the corpus plus deterministically
+    // injected duplicate deliveries (every event_id % 7 == 0 re-emitted
+    // 30 s later — an ingest retry well inside the 10-minute watermark)
+    // lands in a scratch dir, a file-source readStream pushes it through
+    // `Streams.dedupWithinWatermark` (state store, checkpoint, the lot)
+    // under Trigger.AvailableNow into a parquet sink, and the read-back
+    // aggregates per event_type. Duplicate copies differ ONLY in ts, and
+    // ts is not aggregated — so whichever copy the state store happens to
+    // keep, the output is deterministic and the DuckDB oracle is simply
+    // the original corpus: every event exactly once. This upgrades the
+    // §2.4 ◻ "stateful dedup" row to a keyed CORRECTNESS entry;
+    // StreamingSpec separately pins multi-batch re-delivery drops via
+    // MemoryStream.
+    //
+    // Scale shape: dedup state is keyed by event_id, partitioned by the
+    // key exchange (32 state partitions here, executor-count at 100 TB),
+    // and the watermark bounds its lifetime — state is O(events inside
+    // the watermark window), never O(stream). The sink is append-mode
+    // parquet (exactly-once via the checkpoint's batch commit log).
+    "q_stream_dedup" -> Q(
+      fn = (s, d) => {
+        // Watermarks require TIMESTAMP (with zone); Tables emits NTZ.
+        // Session TZ is pinned UTC, so the cast is value-stable.
+        val events = Tables(s, d, "events")
+          .select(col("event_id"), col("ts").cast(TimestampType),
+            col("user_id"), col("event_type"), col("value"))
+        val dupes = events.filter(col("event_id") % 7 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 30 SECONDS"))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup_").toString
+        events.union(dupes).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$scratch/in")
+        val deduped = graft.streaming.Streams.dedupWithinWatermark(
+          s.readStream.schema(events.schema).parquet(s"$scratch/in"),
+          "10 minutes")
+        deduped.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$scratch/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            dec4(sum(dec2(col("value")))).as("total_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4))
+                 AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""")))
 }

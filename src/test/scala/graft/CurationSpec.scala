@@ -205,4 +205,46 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(nov - unique.toDouble / shingles.size) < 1e-3)
     }
   }
+
+  test("q_dsir: weights brute-force exactly and rank the English target slice first") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = SparkEntry.queries("q_dsir")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(tok: String): Long =
+      (graft.functions.VectorKernels.md5Lower64(
+        UTF8String.fromString(tok)) >>> 11) % 64
+    // per-doc bucket counts + the smoothed 64-bucket models
+    val perDoc = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).map(bucket)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    }
+    val cr = new Array[Long](64); val ct = new Array[Long](64)
+    perDoc.foreach { case (_, lang, bs) =>
+      bs.foreach { case (b, c) =>
+        cr(b.toInt) += c; if (lang == "en") ct(b.toInt) += c } }
+    val nt = ct.sum; val nr = cr.sum
+    def w8(b: Int): Long =
+      new java.math.BigDecimal(1e8 * (math.log(ct(b) + 1) - math.log(nt + 64)
+        - math.log(cr(b) + 1) + math.log(nr + 64)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var enSum = 0.0; var enN = 0; var otherSum = 0.0; var otherN = 0
+    perDoc.foreach { case (id, lang, bs) =>
+      val nTokens = bs.values.sum
+      val logw = bs.map { case (b, c) => c * w8(b.toInt) }.sum
+      assert(out(id) == ((nTokens, logw)),
+        s"doc $id: got ${out(id)}, brute force ($nTokens, $logw)")
+      val avg = logw.toDouble / nTokens
+      if (lang == "en") { enSum += avg; enN += 1 }
+      else { otherSum += avg; otherN += 1 }
+    }
+    // the semantic contract: importance weights must favor the target
+    // distribution — mean per-token log weight of English docs above the
+    // rest (this is WHY DSIR selects what it selects)
+    assert(enN > 0 && otherN > 0, "corpus missing en or non-en docs")
+    assert(enSum / enN > otherSum / otherN,
+      s"en mean ${enSum / enN} not above non-en ${otherSum / otherN}")
+  }
 }

@@ -298,4 +298,43 @@ class DedupSpec extends AnyFunSuite {
       assert(maxB >= 1 && pairs >= bk, s"($b,$r): pairs $pairs buckets $bk")
     }
   }
+
+  test("q_dedup_semantic: suppression matches brute-force cosine within the query's clusters") {
+    // Given the (oracle-hash-checked) cluster assignment the query emits,
+    // the greedy suppression rule must hold exactly: a vector is kept iff
+    // NO lower-id clustermate has cos >= tau, and nn_id is the SMALLEST
+    // suppressor. Brute force recomputes every within-cluster cosine from
+    // the raw embeddings with the same float->double cast and index-order
+    // accumulation as the kernel.
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2)
+    var suppressed = 0
+    out.foreach { case (vid, cid, keep, nnId) =>
+      val sims = byCluster(cid).map(_._1).filter(_ < vid)
+        .filter(m => cos(emb(m), emb(vid)) >= 0.4)
+      if (keep) assert(sims.isEmpty && nnId.isEmpty,
+        s"vec $vid kept but suppressors exist: ${sims.sorted.take(3).toSeq}")
+      else {
+        assert(sims.nonEmpty, s"vec $vid suppressed with no suppressor")
+        assert(nnId.contains(sims.min),
+          s"vec $vid nn_id ${nnId} != min suppressor ${sims.min}")
+        suppressed += 1
+      }
+    }
+    assert(suppressed > 0, "tau vacuous on the test corpus — nothing suppressed")
+  }
 }

@@ -731,7 +731,7 @@ class PlanSpec extends AnyFunSuite {
     // (or a new query needs an explicit audit + allowlist entry).
     val bnljAudited = Set(
       "q_basket_lift", "q_benford", "q_expectations", "q_histogram_2d", "q_histogram_equidepth",
-      "q_join_cross", "q_kmeans", "q_mixture_resample",
+      "q_join_cross", "q_kmeans", "q_dedup_semantic", "q_mixture_resample",
       "q_mixture_temperature", "q_resample_gapfill", "q_rfm",
       "q_sample", "q_similarity_ann", "q_similarity_ivf",
       "q_similarity_pq_search", "q_similarity_topk", "q_text_bm25",
@@ -740,7 +740,7 @@ class PlanSpec extends AnyFunSuite {
       // (q_ann_recall: n_exact/n_q 1-row totals + the exactTopK
       // 10-query-vector nested loop, same shape as q_similarity_topk)
       "q_ann_recall",
-      "q_ks_test", "q_chisq_independence", "q_psi_drift",
+      "q_ks_test", "q_chisq_independence", "q_psi_drift", "q_dsir",
       "q_target_encoding", "q_rollup_share", "q_kaplan_meier",
       // 64×8 constant sign-matrix build (range × range, both tiny)
       "q_embed_project",
