@@ -599,15 +599,16 @@ object Dedup {
     // cannot see.
     //
     // Scale shape: the window explode is a bounded ~1× row blow-up of
-    // the corpus; the census is one span-keyed exchange with map-side
-    // partial counts; duplicated windows come back via a span-keyed
-    // left-semi join (AQE skew-splits a pathological hot span); interval
-    // merging is one per-doc window (cummax sweep — doc-keyed, never a
-    // single reducer); the final token re-slice joins the tiny island
-    // relation back by doc_id. The span text stands in for the 128-bit
-    // rolling fingerprint a 100 TB run would key by (the md5 emitted per
-    // island is exactly that fingerprint) — the text itself never needs
-    // to survive the exchange there.
+    // the corpus, checkpointed ONCE as (doc, w, fingerprint) — the census
+    // and the probe both read the materialized relation; the census is
+    // one FINGERPRINT-keyed exchange (three longs per row, map-side
+    // partial counts — the span text never survives an exchange; both
+    // engines compute the identical md5-lower-64, so dup-by-fingerprint
+    // is oracle-exact); duplicated windows come back via a
+    // fingerprint-keyed left-semi join (AQE skew-splits a pathological
+    // hot span); interval merging is one per-doc window (cummax sweep —
+    // doc-keyed, never a single reducer); the final token re-slice joins
+    // the tiny island relation back by doc_id.
     "q_dedup_substr" -> Q(
       fn = (s, d) => substrSpans(docs(s, d), L = 8)
         .orderBy("doc_id", "start_pos"),
@@ -616,10 +617,11 @@ object Dedup {
           SELECT doc_id, string_split(text, ' ') AS t FROM documents
           WHERE len(string_split(text, ' ')) >= 8),
         wins AS (
-          SELECT doc_id, w, array_to_string(t[w+1 : w+8], ' ') AS span
+          SELECT doc_id, w,
+                 md5_number_lower(array_to_string(t[w+1 : w+8], ' ')) AS h
           FROM d, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS w)),
-        dup AS (SELECT span FROM wins GROUP BY span HAVING COUNT(*) > 1),
-        dw AS (SELECT doc_id, w FROM wins WHERE span IN (SELECT span FROM dup)),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        dw AS (SELECT doc_id, w FROM wins WHERE h IN (SELECT h FROM dup)),
         marked AS (
           SELECT doc_id, w,
                  CASE WHEN max(w + 8) OVER pw IS NULL OR w > max(w + 8) OVER pw
@@ -829,17 +831,32 @@ object Dedup {
     * substrings that occur more than once in the corpus. Input: a
     * (doc_id, text) relation. */
   private[graft] def substrSpans(docsDF: DataFrame, L: Int): DataFrame = {
+    VectorFunctions.register(docsDF.sparkSession)
     val docsT = docsDF
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= L)
-    val wins = docsT
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - L)).as("w"))
-      .select(col("doc_id"), col("w"),
-        concat_ws(" ", slice(col("t"), col("w") + 1, lit(L))).as("span"))
-    val dup = wins.groupBy("span").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("span")
-    val dupWins = wins.join(dup, Seq("span"), "left_semi")
+    // The census is keyed by the 64-bit md5-lower fingerprint of each
+    // window, NOT the window text: the corpus-sized exchange carries three
+    // longs per row instead of an ~L·|token| string (the "text never
+    // survives the exchange" contract the Scaladoc promises — the r9 sweep
+    // measured the string-keyed spelling superlinear at sf10, 25× wall for
+    // 10× data, from shipping+hash-grouping raw spans twice). Both engines
+    // compute the identical fingerprint (DuckDB `md5_number_lower`), so
+    // dup-detection by fingerprint is oracle-exact; a 64-bit collision
+    // (≈2⁻⁶⁴ per pair, the Lee et al. production trade) would merge two
+    // distinct spans on BOTH engines identically. Checkpointed once —
+    // census and probe both read the materialized (doc,w,h) relation
+    // instead of replaying the explode+concat.
+    val wins = graft.Tables.runScopedCheckpoint(s"q_dedup_substr.wins",
+      docsT
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - L)).as("w"))
+        .select(col("doc_id"), col("w"),
+          VectorFunctions.md5Lower(
+            concat_ws(" ", slice(col("t"), col("w") + 1, lit(L)))).as("h")))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val dupWins = wins.join(dup, Seq("h"), "left_semi")
     val wDoc = Window.partitionBy("doc_id").orderBy("w")
     val isl = dupWins
       .withColumn("prev_end", max(col("w") + L).over(

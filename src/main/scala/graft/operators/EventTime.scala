@@ -644,5 +644,124 @@ object EventTime {
                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
                CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4))
                  AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type""")))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Append-mode watermarked tumbling aggregation THROUGH THE STREAMING
+    // ENGINE: the corpus lands in a scratch dir, a file-source readStream
+    // pushes it through `Streams.tumblingWithWatermark` under
+    // Trigger.AvailableNow into a parquet sink. In append mode a window
+    // emits exactly once, when the watermark passes its end — here the
+    // data arrives in one batch (watermark still at epoch, so nothing is
+    // late), then the engine's final NO-DATA micro-batch advances the
+    // watermark to max(ts) − 10 min and evicts every closed window. The
+    // emitted set is therefore exactly {windows : end ≤ max(ts) − 10 min}
+    // regardless of how the source batched files — which is what makes a
+    // DuckDB oracle possible for append-mode emission timing. (Cross-batch
+    // late-row DROP ordering is inherently batching-dependent, so that
+    // semantic stays pinned by StreamingSpec's MemoryStream test.) This
+    // upgrades the §2.4 "watermark + late data" append-mode capability to
+    // a keyed CORRECTNESS entry.
+    //
+    // Scale shape: streaming hash agg keyed by (window, type) — partial
+    // aggregation bounds pre-shuffle volume by |buckets × types| per
+    // task; state is one row per open window per type, watermark-evicted.
+    "q_stream_tumbling" -> Q(
+      fn = (s, d) => {
+        val events = Tables(s, d, "events")
+          .select(col("ts").cast(TimestampType), col("event_type"),
+            col("value"))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_stream_tumb_").toString
+        events.write.parquet(s"$scratch/in")
+        val agg = graft.streaming.Streams.tumblingWithWatermark(
+          s.readStream.schema(events.schema).parquet(s"$scratch/in"),
+          "10 minutes")
+        agg.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // Back to NTZ for the oracle compare (UTC session TZ ⇒ value-stable;
+        // the cast to TIMESTAMP above was only for the watermark's benefit).
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .orderBy("w_start", "event_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT date_trunc('milliseconds', ts) AS ts, event_type,
+                          value FROM events),
+        mx AS (SELECT MAX(ts) AS m FROM e),
+        w AS (SELECT time_bucket(INTERVAL 1 hour, ts) AS w_start, event_type,
+                     COUNT(*) AS n,
+                     CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                       AS DECIMAL(18,4)) AS DOUBLE) AS total
+              FROM e GROUP BY 1, 2)
+        SELECT w_start, event_type, n, total FROM w CROSS JOIN mx
+        WHERE w_start + INTERVAL 1 hour <= m - INTERVAL 10 minutes
+        ORDER BY w_start, event_type""")),
+
+    // Arbitrary stateful processing (transformWithState, state API v2)
+    // through the real engine — upgrading the last §2.4 ◻ capability to a
+    // keyed entry. Per-user cumulative (count, cents, min/max event id)
+    // lives in a RocksDB-backed product-typed ValueState; the scratch
+    // input is split into 8 files read 2 per micro-batch, so state
+    // genuinely persists and accumulates ACROSS batches. Every batch
+    // re-emits the user's running snapshot; the read-back keeps the
+    // emission with the largest n_events (strictly monotone per user ⇒
+    // unique), i.e. the final state — all fields are order-independent
+    // reductions, so the result is deterministic no matter how the file
+    // source ordered the batches, and the oracle is a plain GROUP BY.
+    // Money flows as exact cents (double→DECIMAL(12,2)→×100→long in the
+    // DataFrame layer, matching the oracle's cast chain — the processor
+    // itself only ever adds longs).
+    //
+    // Scale shape: one key exchange into 32 state partitions
+    // (executor-count at 100 TB); state is O(distinct users), ~40 bytes
+    // each; emissions are state-sized per batch, not input-sized.
+    "q_stream_stateful" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val events = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            (dec2(col("value")) * 100).cast(org.apache.spark.sql.types.LongType)
+              .as("cents"))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_stream_state_").toString
+        events.repartition(8).write.parquet(s"$scratch/in")
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val cum = graft.streaming.Streams.cumulativePerUser(
+            s.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(s"$scratch/in")
+              .as[graft.streaming.Streams.ECents])
+          cum.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.read.parquet(s"$scratch/out")
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            max_by(col("cents"), col("n_events")).as("cents"),
+            max_by(col("min_id"), col("n_events")).as("min_id"),
+            max_by(col("max_id"), col("n_events")).as("max_id"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS cents,
+               MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        FROM events GROUP BY user_id ORDER BY user_id""")))
 }

@@ -34,7 +34,8 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.Q.dec4(sum(graft.Q.dec2(col("value")))).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
@@ -70,6 +71,54 @@ object Streams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One pre-centified event row (the `q_stream_stateful` input: the
+    * double→DECIMAL(12,2)→cents conversion happens in the DataFrame layer
+    * so the engines' cast semantics — not JVM double formatting — decide
+    * rounding). */
+  final case class ECents(event_id: Long, user_id: Long, cents: Long)
+
+  /** Per-user cumulative state snapshot emitted once per micro-batch. All
+    * fields are ORDER-INDEPENDENT reductions (count, sum, min, max), so the
+    * per-user FINAL emission — the one with the largest n_events — is
+    * deterministic no matter how the file source batches rows. */
+  final case class UserCum(user_id: Long, n_events: Long, cents: Long,
+      min_id: Long, max_id: Long)
+
+  /** `transformWithState` (state API v2) with a product-typed ValueState:
+    * per-user cumulative (count, cents, min/max event id), the RUNNING
+    * value re-emitted after every batch that touches the user. The keyed
+    * batch query reads back `max_by(·, n_events)` — monotone n_events makes
+    * that the final state — so the whole streaming run is oracle-checkable
+    * by a plain GROUP BY while the state machinery (RocksDB store, batch
+    * boundaries, key exchange) runs for real. */
+  class CumulativeProcessor extends StatefulProcessor[Long, ECents, UserCum] {
+    @transient private var cum: ValueState[UserCum] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[UserCum](
+        "cum", Encoders.product[UserCum], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ECents],
+        timerValues: TimerValues): Iterator[UserCum] = {
+      var c = if (cum.exists()) cum.get()
+        else UserCum(key, 0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        c = UserCum(key, c.n_events + 1, c.cents + e.cents,
+          math.min(c.min_id, e.event_id), math.max(c.max_id, e.event_id))
+      }
+      cum.update(c)
+      Iterator(c)
+    }
+  }
+
+  def cumulativePerUser(events: Dataset[ECents]): Dataset[UserCum] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CumulativeProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -835,6 +835,55 @@ class PlanSpec extends AnyFunSuite {
       s"unaudited single-partition window(s): ${offenders.mkString("; ")}")
   }
 
+  test("q_dedup_substr: window-census exchanges carry only fixed-width keys") {
+    // The r9 rewrite's contract (the sweep measured the string-keyed
+    // spelling superlinear at sf10 — 25× wall for 10× data): the exploded
+    // window relation, ~|tokens| rows and the largest in the query, must
+    // cross every exchange as (doc_id, w, h) fixed-width fingerprints,
+    // never as raw span STRINGS. The single legitimate variable-width
+    // exchange is the token-array re-slice join of the island relation
+    // back to the corpus (one corpus pass, source data not span text).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+      StringType}
+    // Drive the SAME substrSpans code path q_dedup_substr wraps, but over a
+    // multi-partition corpus with AQE off: the sf0.001 parquet is a single
+    // split (a single-partition child satisfies every clustered
+    // distribution), and under AQE the pre-EnsureRequirements inputPlan
+    // hasn't had requirement-driven exchanges inserted yet — so the keyed
+    // query's plan shows no exchanges at all at test scale. The invariant
+    // under test (what a census exchange CARRIES) only becomes observable
+    // from the fully-prepared non-adaptive plan over partitioned input.
+    val plan = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val docs3 = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+          .select("doc_id", "text").repartition(3)
+        llm.Dedup.substrSpans(docs3, L = 8).queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    val windowed = hashEx.filter(_.child.output.exists(a =>
+      a.name == "w" || a.name == "h"))
+    assert(windowed.nonEmpty, "expected the census/probe window exchanges")
+    windowed.foreach { e =>
+      val wide = e.child.output.filterNot(a =>
+        a.dataType == LongType || a.dataType == IntegerType)
+      assert(wide.isEmpty, "window-census exchange carries variable-width " +
+        wide.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+    }
+    assert(!hashEx.exists(_.child.output.exists(_.dataType == StringType)),
+      "no hash exchange may carry raw span strings")
+    assert(hashEx.count(_.child.output.exists(
+      _.dataType.isInstanceOf[ArrayType])) <= 1,
+      "token arrays may cross at most the single re-slice exchange")
+  }
+
   // ---------------------------------------------------------------------
   // Bounded-broadcast-hint invariant (round-8): no forced broadcast of a
   // corpus-proportional relation. The sf100 decade run found the failure

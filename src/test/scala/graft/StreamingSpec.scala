@@ -411,4 +411,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(states.last.total - 10.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("q_stream_tumbling emits exactly the closed windows of the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    // The real-engine run must equal the oracle-checked batch tumbling agg
+    // RESTRICTED to windows the final watermark closed (end <= max ts - 10
+    // min) — i.e. append-mode emission timing, the thing the batch query
+    // cannot test. Also require that at least one trailing window was
+    // WITHHELD, so the emission-timing assertion is not vacuous.
+    val streamed = SparkEntry.queries("q_stream_tumbling")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q_window_tumbling")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getString(1), r.getLong(2), r.getDouble(3)))
+    val maxTs = Tables(spark, TestSpark.sf, "events")
+      .agg(max(col("ts"))).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val wmk = maxTs - 10L * 60 * 1000
+    val (closed, open) = batch.partition { case (ws, _, _, _) =>
+      ws + 3600L * 1000 <= wmk }
+    assert(open.nonEmpty, "no trailing open window — emission timing untested")
+    assert(streamed == closed.toSet,
+      s"streamed ${streamed.size} windows != closed batch ${closed.size}")
+  }
+
+  test("cumulativePerUser accumulates product-typed state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.ECents]
+      val out = Streams.cumulativePerUser(mem.toDS())
+      val q = out.writeStream.format("memory").queryName("cum")
+        .outputMode("append").start()
+      try {
+        mem.addData(Streams.ECents(10, 7, 250), Streams.ECents(3, 7, 100))
+        q.processAllAvailable()
+        mem.addData(Streams.ECents(5, 7, 50)) // second batch: state must carry
+        q.processAllAvailable()
+        val snaps = spark.table("cum").as[Streams.UserCum]
+          .collect().sortBy(_.n_events)
+        assert(snaps.length == 2) // one running snapshot per batch
+        assert(snaps.last == Streams.UserCum(7, 3, 400, 3, 10))
+        // the read-back rule: max n_events row IS the final state
+        assert(snaps.map(_.n_events).distinct.length == snaps.length)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
