@@ -578,6 +578,65 @@ object Dedup {
         FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
         ORDER BY span_fp""")),
 
+    // Per-SOURCE span-duplication profile — the telemetry table a pipeline
+    // consults BEFORE committing to an ExactSubstr pass over 100 TB (Lee et
+    // al. 2022 report exactly this rate per source to size the dedup): for
+    // each source, the fraction of its 16-token stride-8 span instances
+    // whose text occurs in more than one document corpus-wide. Sources with
+    // a high rate are boilerplate-heavy (headers, templates) and are where
+    // substring dedup pays for itself.
+    //
+    // Scale shape: bounded explode (n/8 spans per doc), fingerprinted to
+    // md5-lower-64 immediately (both engines compute the identical hash, so
+    // dup-by-fingerprint is oracle-exact; the span text never crosses an
+    // exchange) and checkpointed ONCE for its two consumers. The census is
+    // one fingerprint-keyed exchange of (h, doc_id) — map-side partial
+    // distincts; the dup relation (repeated fingerprints only) is
+    // AQE-broadcast back onto the span relation, which therefore never
+    // shuffles; the final per-source rollup is a |sources|-row map-side
+    // combined aggregate.
+    "q_dedup_span_rate" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val spans = graft.Tables.runScopedCheckpoint("q_dedup_span_rate.spans",
+          docs(s, d)
+            .select(col("doc_id"), col("source"), toks.as("t"))
+            .filter(size(col("t")) >= 16)
+            .select(col("doc_id"), col("source"), col("t"),
+              explode(sequence(lit(0),
+                floor((size(col("t")) - 16) / 8).cast(IntegerType))).as("k"))
+            .select(col("doc_id"), col("source"),
+              VectorFunctions.md5Lower(
+                concat_ws(" ", slice(col("t"), col("k") * 8 + 1, lit(16))))
+                .as("h")))
+        val dup = spans.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("h"), lit(1L).as("isdup"))
+        spans.join(dup, Seq("h"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("isdup"), lit(0L))).as("dup_spans"))
+          .withColumn("dup_rate",
+            col("dup_spans").cast(DoubleType) / col("n_spans"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT doc_id, source,
+                 md5_number_lower(array_to_string(t[k*8+1 : k*8+16], ' ')) AS h
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 16),
+               LATERAL (SELECT unnest(generate_series(0, (len(t)-16)//8)) AS k)),
+        dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+        FROM sp GROUP BY source ORDER BY source""")),
+
     // TRUE repeated-substring dedup at ARBITRARY boundaries (the Lee et
     // al. 2022 ExactSubstr semantic at token granularity, completing what
     // q_dedup_span approximates with stride-8/16-token windows): a

@@ -189,6 +189,68 @@ object Similarity {
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
         ORDER BY q_id, rnk, vec_id""")),
 
+    // Corpus-wide k-NN GRAPH (the graph-construction member of the
+    // similarity family — the input to SemDeDup-style pruning, diversity
+    // sampling, and hub detection, where q_similarity_topk answers ad-hoc
+    // queries): every vector's exact top-3 cosine neighbors WITHIN its
+    // label block, plus the `mutual` flag (reciprocated edges are what
+    // agglomerative curation keeps). Label blocking is the same contract as
+    // q_dedup_embed/q_dedup_semantic: candidate work is O(Σ|block|²),
+    // bounded by block size, never corpus² — at 100 TB the label becomes an
+    // IVF cell or LSH signature.
+    //
+    // Scale shape: ONE label-keyed exchange per join side; the rank window
+    // partitions by (label, vec_id) so the label-hash partitioning already
+    // satisfies its distribution (vec→label is functional — no second
+    // corpus exchange, and WindowGroupLimit prunes to ≤k per vector before
+    // the sort); the mutual join touches only the N·k edge relation.
+    "q_knn_graph" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("label"), col("vec_id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val nbrs = e.select(col("label"), col("vec_id").as("nbr_id"),
+          col("v").as("nv"))
+        val edges = e.join(nbrs, Seq("label"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
+          .withColumn("rnk", rank().over(
+            Window.partitionBy(col("label"), col("vec_id"))
+              .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select("label", "vec_id", "rnk", "nbr_id", "cos")
+        val rev = edges.select(col("nbr_id").as("r_vec"),
+          col("vec_id").as("r_nbr"))
+        edges.join(rev,
+            edges("vec_id") === rev("r_vec") &&
+              edges("nbr_id") === rev("r_nbr"), "left")
+          .select(col("label"), col("vec_id"), col("rnk"), col("nbr_id"),
+            col("cos"), col("r_vec").isNotNull.as("mutual"))
+          .orderBy("vec_id", "rnk", "nbr_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        scored AS (
+          SELECT a.label, a.vec_id, b.vec_id AS nbr_id,
+                 list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT label, vec_id, nbr_id, cos,
+                 rank() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id ASC) AS rnk
+          FROM scored),
+        edges AS (SELECT label, vec_id, rnk, nbr_id, cos
+                  FROM ranked WHERE rnk <= 3)
+        SELECT g.label, g.vec_id, CAST(g.rnk AS BIGINT) AS rnk, g.nbr_id,
+               g.cos, (r.vec_id IS NOT NULL) AS mutual
+        FROM edges g LEFT JOIN edges r
+          ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
+        ORDER BY g.vec_id, g.rnk, g.nbr_id""")),
+
     // ANN: multi-table random-hyperplane LSH (deterministic pseudo-planes;
     // see annTopK for the recall math). The hyperplane signature kernel is
     // not SQL-reproducible, so the driver-visible contract is the

@@ -337,4 +337,31 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(suppressed > 0, "tau vacuous on the test corpus — nothing suppressed")
   }
+
+  test("q_dedup_span_rate: per-source rates match a brute-force span census") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val spans = docs.filter(_._3.length >= 16).flatMap { case (id, src, t) =>
+      (0 to (t.length - 16) / 8).map(k =>
+        (id, src, t.slice(k * 8, k * 8 + 16).mkString(" ")))
+    }
+    val dupSpans = spans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length > 1).keySet
+    val expected = spans.groupBy(_._2).map { case (src, ss) =>
+      src -> (ss.length.toLong, ss.count(s => dupSpans(s._3)).toLong)
+    }
+    val got = SparkEntry.queries("q_dedup_span_rate")(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, (n, dup)) =>
+      val (gn, gdup, grate) = got(src)
+      assert(gn == n && gdup == dup, s"$src: ($gn,$gdup) vs ($n,$dup)")
+      assert(math.abs(grate - dup.toDouble / n) < 1e-12, s"$src rate")
+    }
+    assert(expected.values.exists(_._2 > 0),
+      "no duplicated spans on the corpus — rate table vacuous")
+  }
 }

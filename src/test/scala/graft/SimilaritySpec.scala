@@ -126,4 +126,41 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mse <= (expScale / 2) * (expScale / 2) + 1e-9, s"vec $id mse $mse")
     }
   }
+
+  test("q_knn_graph: edges, ranks and mutual flags match brute force within label") {
+    VectorFunctions.register(spark)
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = vecs.groupBy(_._1)
+    val expectedEdges: Map[Long, Seq[(Long, Long, Double)]] = vecs.map {
+      case (lbl, vid, v) =>
+        val top = byLabel(lbl).filter(_._2 != vid)
+          .map { case (_, nid, nv) => (nid, cos(v, nv)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(3)
+        vid -> top.zipWithIndex.map { case ((nid, c), i) => (i + 1L, nid, c) }.toSeq
+    }.toMap
+    val edgeSet = expectedEdges.toSeq.flatMap { case (vid, es) =>
+      es.map(e => (vid, e._2)) }.toSet
+    val got = SparkEntry.queries("q_knn_graph")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(got.length == expectedEdges.values.map(_.size).sum)
+    got.foreach { case (vid, rnk, nid, c, mutual) =>
+      val exp = expectedEdges(vid).find(_._1 == rnk).get
+      assert(exp._2 == nid, s"vec $vid rank $rnk: $nid vs ${exp._2}")
+      assert(math.abs(exp._3 - c) < 1e-9, s"vec $vid rank $rnk cos")
+      assert(mutual == edgeSet.contains((nid, vid)),
+        s"vec $vid -> $nid mutual flag")
+    }
+    // the flag must be non-vacuous in both directions on the corpus
+    assert(got.exists(_._5) && got.exists(!_._5), "mutual flag vacuous")
+  }
 }
