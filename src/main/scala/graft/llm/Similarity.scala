@@ -205,30 +205,8 @@ object Similarity {
     // corpus exchange, and WindowGroupLimit prunes to ≤k per vector before
     // the sort); the mutual join touches only the N·k edge relation.
     "q_knn_graph" -> Q(
-      fn = (s, d) => {
-        VectorFunctions.register(s)
-        val e = Tables(s, d, "embeddings")
-          .select(col("label"), col("vec_id"),
-            transform(col("embedding"), _.cast(DoubleType)).as("v"))
-        val nbrs = e.select(col("label"), col("vec_id").as("nbr_id"),
-          col("v").as("nv"))
-        val edges = e.join(nbrs, Seq("label"))
-          .filter(col("vec_id") =!= col("nbr_id"))
-          .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
-          .withColumn("rnk", rank().over(
-            Window.partitionBy(col("label"), col("vec_id"))
-              .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
-          .filter(col("rnk") <= 3)
-          .select("label", "vec_id", "rnk", "nbr_id", "cos")
-        val rev = edges.select(col("nbr_id").as("r_vec"),
-          col("vec_id").as("r_nbr"))
-        edges.join(rev,
-            edges("vec_id") === rev("r_vec") &&
-              edges("nbr_id") === rev("r_nbr"), "left")
-          .select(col("label"), col("vec_id"), col("rnk"), col("nbr_id"),
-            col("cos"), col("r_vec").isNotNull.as("mutual"))
-          .orderBy("vec_id", "rnk", "nbr_id")
-      },
+      fn = (s, d) => knnGraph(Tables(s, d, "embeddings"), k = 3)
+        .orderBy("vec_id", "rnk", "nbr_id"),
       oracle = Some("""
         WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
@@ -591,6 +569,46 @@ object Similarity {
                  x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS centroid
         FROM stats s JOIN c3 ON s.cid = c3.cid
         ORDER BY cluster_id"""
+  }
+
+  /** Ranked within-label k-NN edges (the expensive stage of q_knn_graph).
+    * The rank window partitions by (label, vec_id): the label-keyed join
+    * partitioning already satisfies that distribution (vec→label is
+    * functional), so no second corpus exchange is planned, and the
+    * rank ≤ k filter plans a WindowGroupLimit below the sort — PlanSpec
+    * pins both. */
+  private[graft] def knnEdges(embeddings: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val nbrs = e.select(col("label"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"))
+    e.join(nbrs, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("label"), col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("label", "vec_id", "rnk", "nbr_id", "cos")
+  }
+
+  /** Within-label exact k-NN graph with mutual flags (see q_knn_graph).
+    * The edge relation is checkpointed ONCE: without it the mutual
+    * self-join replans the whole join+window subtree for the reversed side
+    * (ReusedExchange saves only the shuffles — the in-label pair scoring,
+    * the most expensive stage, would execute twice). */
+  private[graft] def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val edges = graft.Tables.runScopedCheckpoint("q_knn_graph.edges",
+      knnEdges(embeddings, k))
+    val rev = edges.select(col("nbr_id").as("r_vec"),
+      col("vec_id").as("r_nbr"))
+    edges.join(rev,
+        edges("vec_id") === rev("r_vec") &&
+          edges("nbr_id") === rev("r_nbr"), "left")
+      .select(col("label"), col("vec_id"), col("rnk"), col("nbr_id"),
+        col("cos"), col("r_vec").isNotNull.as("mutual"))
   }
 
   /** Exact brute-force cosine top-k for the query set (vec_id < 10) —

@@ -884,6 +884,57 @@ class PlanSpec extends AnyFunSuite {
       "token arrays may cross at most the single re-slice exchange")
   }
 
+  test("q_knn_graph: the rank window rides the label join's partitioning") {
+    // The SURVEY claim: Window.partitionBy(label, vec_id) is satisfied by
+    // the blocking join's hash(label) output partitioning (vec→label is
+    // functional), so the corpus crosses exactly ONE exchange per join side
+    // — keyed by label — and the window adds only a sort. Built with AQE
+    // off (the adaptive inputPlan predates EnsureRequirements) and
+    // broadcast off (pinning the 100-TB SMJ shape; at test scale the
+    // build side would broadcast and the assertion would see nothing)
+    // over a multi-partition input (a single split satisfies every
+    // distribution and elides all exchanges).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val emb = spark.read
+          .parquet(s"${TestSpark.sf}/embeddings.parquet").repartition(3)
+        llm.Similarity.knnEdges(emb, k = 3).queryExecution.executedPlan
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    val windows = plan.collect {
+      case w: WindowExec
+        if w.partitionSpec.exists(_.toString.contains("vec_id")) => w
+    }
+    assert(windows.nonEmpty, "expected the per-vector rank window")
+    windows.foreach { w =>
+      val below = w.child.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(below.nonEmpty,
+        "expected the label blocking exchanges under the window")
+      below.foreach { e =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.map(_.toString)
+        assert(keys.forall(k => k.contains("label") && !k.contains("vec_id")),
+          s"corpus exchange below the rank window keyed by ${keys.mkString(",")}" +
+            " — the window must ride the label partitioning, not re-shuffle")
+      }
+    }
+    // rank <= k must plan the group-limit pushdown (partial top-k before
+    // the full window sort finishes the exact ranking)
+    assert(plan.toString.contains("WindowGroupLimit"),
+      "rank<=k filter did not plan a WindowGroupLimit")
+  }
+
   // ---------------------------------------------------------------------
   // Bounded-broadcast-hint invariant (round-8): no forced broadcast of a
   // corpus-proportional relation. The sf100 decade run found the failure
