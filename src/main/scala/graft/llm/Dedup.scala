@@ -589,34 +589,43 @@ object Dedup {
     // Scale shape: bounded explode (n/8 spans per doc), fingerprinted to
     // md5-lower-64 immediately (both engines compute the identical hash, so
     // dup-by-fingerprint is oracle-exact; the span text never crosses an
-    // exchange) and checkpointed ONCE for its two consumers. The census is
-    // one fingerprint-keyed exchange of (h, doc_id) — map-side partial
-    // distincts; the dup relation (repeated fingerprints only) is
-    // AQE-broadcast back onto the span relation, which therefore never
-    // shuffles; the final per-source rollup is a |sources|-row map-side
-    // combined aggregate.
+    // exchange). The corpus crosses exactly ONE exchange — keyed
+    // (h, source) with map-side partial (count, min doc, max doc) — into a
+    // distinct-span-sized relation, CHECKPOINTED for its two consumers
+    // (without it the dup side replans the whole explode+md5+aggregate —
+    // measured as a doubled corpus scan at every decade); "occurs in >1
+    // distinct doc" is then min(doc) ≠ max(doc) per fingerprint (identical
+    // semantics to COUNT(DISTINCT doc_id) > 1 with none of the
+    // two-exchange distinct-aggregate machinery), computed on the reduced
+    // relation, joined back to it h-keyed, and rolled up to a
+    // |sources|-row table. (The first spelling — countDistinct census +
+    // left-join mark over the raw span relation — measured 113.6 s at
+    // sf100, the same as q_dedup_substr with 8× the windows; this shape
+    // crosses the corpus through one exchange and touches it once.)
     "q_dedup_span_rate" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
-        val spans = graft.Tables.runScopedCheckpoint("q_dedup_span_rate.spans",
-          docs(s, d)
-            .select(col("doc_id"), col("source"), toks.as("t"))
-            .filter(size(col("t")) >= 16)
-            .select(col("doc_id"), col("source"), col("t"),
-              explode(sequence(lit(0),
-                floor((size(col("t")) - 16) / 8).cast(IntegerType))).as("k"))
-            .select(col("doc_id"), col("source"),
-              VectorFunctions.md5Lower(
-                concat_ws(" ", slice(col("t"), col("k") * 8 + 1, lit(16))))
-                .as("h")))
-        val dup = spans.groupBy("h")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") > 1)
-          .select(col("h"), lit(1L).as("isdup"))
-        spans.join(dup, Seq("h"), "left")
+        val spans = docs(s, d)
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .filter(size(col("t")) >= 16)
+          .select(col("doc_id"), col("source"), col("t"),
+            explode(sequence(lit(0),
+              floor((size(col("t")) - 16) / 8).cast(IntegerType))).as("k"))
+          .select(col("doc_id"), col("source"),
+            VectorFunctions.md5Lower(
+              concat_ws(" ", slice(col("t"), col("k") * 8 + 1, lit(16))))
+              .as("h"))
+        val bySrc = graft.Tables.runScopedCheckpoint("q_dedup_span_rate.by_src",
+          spans.groupBy("h", "source")
+            .agg(count(lit(1)).as("cnt"),
+              min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")))
+        val dup = bySrc.groupBy("h")
+          .agg((min(col("mn")) =!= max(col("mx"))).as("isdup"))
+        bySrc.join(dup, Seq("h"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(coalesce(col("isdup"), lit(0L))).as("dup_spans"))
+          .agg(sum(col("cnt")).as("n_spans"),
+            sum(when(col("isdup"), col("cnt")).otherwise(lit(0L)))
+              .as("dup_spans"))
           .withColumn("dup_rate",
             col("dup_spans").cast(DoubleType) / col("n_spans"))
           .orderBy("source")

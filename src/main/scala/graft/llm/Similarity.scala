@@ -290,29 +290,9 @@ object Similarity {
     "q_ann_recall" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
-        val dims = 64; val tables = 8; val rowsPerTable = 5
-        val planes = tables * rowsPerTable
-        def sgn(p: Int, i: Int): Column =
-          when(VectorFunctions.md5Lower(lit(s"hp-$p-$i"))
-            .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"),
-            transform(col("embedding"),
-              x => floor(x.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType)).as("vq"))
-        val dps = array((0 until planes).map { p =>
-          aggregate(
-            zip_with(col("vq"), array((0 until dims).map(i => sgn(p, i)): _*),
-              (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x)
-        }: _*)
-        def bucketCol(t: Int): Column = (0 until rowsPerTable).map { j =>
-          when(element_at(col("dps"), t * rowsPerTable + j + 1) >= 0,
-            lit(1L << j)).otherwise(0L)
-        }.reduce(_ + _)
-        val banded = e.withColumn("dps", dps)
-          .select(col("vec_id"),
-            posexplode(array((0 until tables).map(bucketCol): _*))
-              .as(Seq("tbl", "bucket")))
+        val banded = mdPlaneBanded(Tables(s, d, "embeddings"),
+          tables = 8, rowsPerTable = 5, dims = 64)
+        val e = Tables(s, d, "embeddings").select(col("vec_id"))
         val queries = banded.filter(col("vec_id") < 10)
           .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
         val collide = banded.join(queries, Seq("tbl", "bucket"))
@@ -381,6 +361,81 @@ object Similarity {
                CAST(COUNT(*) AS DOUBLE) /
                  (SELECT COUNT(*) FROM e WHERE vec_id < 10) AS avg_cand
         FROM expanded GROUP BY n_tables ORDER BY n_tables""")),
+
+    // Corpus-wide ANN k-NN graph — the 100-TB construction q_knn_graph's
+    // label blocking stands in for: EVERY vector's top-3 cosine neighbors
+    // among its hyperplane-LSH bucket colliders (8 tables × 5-bit buckets,
+    // the q_ann_recall geometry — its calibration table prices exactly this
+    // graph's recall/cost trade). The same cross-engine md5-seeded plane
+    // family makes the whole graph hash-checkable in DuckDB, unlike the
+    // XXH64-kernel q_similarity_ann whose contract is boolean-validated.
+    //
+    // Scale shape: one map pass computes all 40 projections; the banding
+    // relation is id-only (3 longs per vector-table) and shuffles by
+    // (tbl, bucket); in-bucket pair explode is bounded by bucket
+    // population (tune rowsPerTable up to split buckets as the corpus
+    // grows); vectors join back by id onto the CANDIDATE relation only
+    // (never corpus×corpus); the rank window partitions by vec_id over
+    // candidates, WindowGroupLimit prunes to ≤k map-side.
+    "q_knn_graph_ann" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val emb = Tables(s, d, "embeddings")
+        val banded = mdPlaneBanded(emb, tables = 8, rowsPerTable = 5, dims = 64)
+        val cands = banded
+          .join(banded.select(col("tbl"), col("bucket"),
+            col("vec_id").as("nbr_id")), Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select("vec_id", "nbr_id").distinct()
+        val v = emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        cands
+          .join(v, Seq("vec_id"))
+          .join(v.select(col("vec_id").as("nbr_id"), col("v").as("nv")),
+            Seq("nbr_id"))
+          .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
+          .withColumn("rnk", rank().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select("vec_id", "rnk", "nbr_id", "cos")
+          .orderBy("vec_id", "rnk", "nbr_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eq AS (SELECT vec_id,
+                      list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq
+               FROM e),
+        dp AS (
+          SELECT vec_id, p,
+                 list_sum(list_transform(range(64), i ->
+                   vq[i + 1] * CASE WHEN (md5_number_lower('hp-' || p || '-' || i) & 1) = 1
+                                    THEN 1 ELSE -1 END)) AS dp
+          FROM eq, (SELECT unnest(range(40)) AS p)),
+        sig AS (
+          SELECT vec_id, p // 5 AS tbl,
+                 SUM(CASE WHEN dp >= 0 THEN (1 << (p % 5)) ELSE 0 END) AS bucket
+          FROM dp GROUP BY vec_id, p // 5),
+        coll AS (
+          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+          FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT c.vec_id, c.nbr_id,
+                 list_dot_product(x.v, y.v) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(y.v, y.v))) AS cos
+          FROM coll c
+          JOIN e x ON x.vec_id = c.vec_id
+          JOIN e y ON y.vec_id = c.nbr_id),
+        ranked AS (
+          SELECT vec_id, nbr_id, cos,
+                 rank() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id ASC) AS rnk
+          FROM scored)
+        SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
+        FROM ranked WHERE rnk <= 3
+        ORDER BY vec_id, rnk, nbr_id""")),
 
     // IVF: coarse-quantize every vector to its nearest centroid cell; each
     // query probes only its `nprobe` closest cells. The codebook is
@@ -569,6 +624,41 @@ object Similarity {
                  x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS centroid
         FROM stats s JOIN c3 ON s.cid = c3.cid
         ORDER BY cluster_id"""
+  }
+
+  /** (vec_id, tbl, bucket) banding of EVERY vector under the cross-engine
+    * ±1 sign-random-projection family (planes seeded by md5-lower-64 of
+    * "hp-<p>-<i>", constant-folded; vectors integer-quantized to
+    * ⌊1000·x+0.5⌋ so the per-plane dot product is exact integer
+    * arithmetic). All `tables × rowsPerTable` projections are computed in
+    * ONE map pass; the output is id-only — 3 longs per (vector, table).
+    * Shared by q_ann_recall (calibration) and q_knn_graph_ann (the
+    * corpus-wide ANN graph). */
+  private[graft] def mdPlaneBanded(embeddings: DataFrame,
+      tables: Int, rowsPerTable: Int, dims: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val planes = tables * rowsPerTable
+    def sgn(p: Int, i: Int): Column =
+      when(VectorFunctions.md5Lower(lit(s"hp-$p-$i"))
+        .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
+    val e = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType)).as("vq"))
+    val dps = array((0 until planes).map { p =>
+      aggregate(
+        zip_with(col("vq"), array((0 until dims).map(i => sgn(p, i)): _*),
+          (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    def bucketCol(t: Int): Column = (0 until rowsPerTable).map { j =>
+      when(element_at(col("dps"), t * rowsPerTable + j + 1) >= 0,
+        lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    e.withColumn("dps", dps)
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(bucketCol): _*))
+          .as(Seq("tbl", "bucket")))
   }
 
   /** Ranked within-label k-NN edges (the expensive stage of q_knn_graph).

@@ -163,4 +163,64 @@ class SimilaritySpec extends AnyFunSuite {
     // the flag must be non-vacuous in both directions on the corpus
     assert(got.exists(_._5) && got.exists(!_._5), "mutual flag vacuous")
   }
+
+  test("q_knn_graph_ann: bucket candidates and re-rank match a first-principles recompute") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val raw = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sgn(p: Int, i: Int): Long =
+      if ((graft.functions.VectorKernels.md5Lower64(
+        UTF8String.fromString(s"hp-$p-$i")) & 1L) == 1L) 1L else -1L
+    // signatures: 8 tables x 5-bit buckets from 40 integer dot products
+    val sigs: Map[Long, Seq[(Int, Long)]] = raw.map { case (id, v) =>
+      val vq = v.map(x => math.floor(x * 1000 + 0.5).toLong)
+      val dps = (0 until 40).map(p =>
+        vq.indices.map(i => vq(i) * sgn(p, i)).sum)
+      id -> (0 until 8).map { t =>
+        t -> (0 until 5).map(j =>
+          if (dps(t * 5 + j) >= 0) 1L << j else 0L).sum
+      }
+    }
+    val byBucket = sigs.toSeq
+      .flatMap { case (id, tb) => tb.map { case (t, b) => ((t, b), id) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected: Map[Long, Seq[(Long, Long)]] = sigs.map { case (id, tb) =>
+      val cand = tb.flatMap { case (t, b) => byBucket((t, b)) }
+        .distinct.filter(_ != id)
+      val top = cand.map(n => (n, cos(raw(id), raw(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3)
+      id -> top.zipWithIndex.map { case ((n, _), i) => (i + 1L, n) }
+    }.filter(_._2.nonEmpty)
+    val got = SparkEntry.queries("q_knn_graph_ann")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(e => (e._2, e._3)).toSeq).toMap
+    assert(got.keySet == expected.keySet,
+      s"vector sets differ: +${(got.keySet -- expected.keySet).take(3)} " +
+        s"-${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (id, top) =>
+      assert(got(id) == top, s"vec $id: ${got(id)} vs $top")
+    }
+    // non-vacuous: the bucketing must actually PRUNE the candidate space
+    // (some vector's collider set well under corpus-1), and the graph must
+    // differ from the exact all-pairs graph for at least one vector —
+    // i.e. this is a real ANN, not a disguised brute force
+    val candCounts = sigs.map { case (id, tb) =>
+      tb.flatMap { case (t, b) => byBucket((t, b)) }.distinct.count(_ != id)
+    }
+    assert(candCounts.min < raw.size / 2,
+      s"min candidate count ${candCounts.min} of ${raw.size} — no pruning")
+    val exactTop = raw.map { case (id, v) =>
+      id -> raw.toSeq.filter(_._1 != id).map { case (n, nv) => (n, cos(v, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+    }
+    assert(expected.exists { case (id, top) => top.map(_._2) != exactTop(id) },
+      "ANN graph equals the exact graph everywhere — approximation untested")
+  }
 }
