@@ -80,9 +80,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition count, sized to the CORPUS for scale sweeps (the
+    // canonical sf0.1 battery leaves it = cpus). At sf100 a pinned 28
+    // leaves ~21M rows per sort partition — multi-pass external sorts that
+    // measure the spill regime, not the operator (q_tpch_q3's d3 went
+    // 45×→measured-linear once partitions scaled with data). AQE still
+    // coalesces small shuffles down, so oversizing is cheap; a real
+    // cluster sizes this to executors × cores, exactly this knob.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -24,11 +24,20 @@ if [ ! -d "$W/sf1" ];   then SPARK_GRAFT_CPUS=28 $JAVA graft.ScaleGen /root/test
 if [ ! -d "$W/sf10" ];  then SPARK_GRAFT_CPUS=28 $JAVA graft.ScaleGen "$W/sf1"  "$W/sf10" 10; fi
 if [ ! -d "$W/sf100" ]; then SPARK_GRAFT_CPUS=28 $JAVA graft.ScaleGen "$W/sf10" "$W/sf100" 10; fi
 
+# Shuffle partitions scale with the corpus (~2M fact rows per partition),
+# as any real deployment sizes them; AQE coalesces the small queries back
+# down, so the only effect is that big sorts stop multi-pass spilling.
 for sf in sf0.1 sf1 sf10 sf100; do
-  case $sf in sf0.1) DIR=/root/testdata/sf0.1;; *) DIR="$W/$sf";; esac
+  case $sf in
+    sf0.1)  DIR=/root/testdata/sf0.1; SP=28;;
+    sf1)    DIR="$W/sf1";             SP=28;;
+    sf10)   DIR="$W/sf10";            SP=56;;
+    sf100)  DIR="$W/sf100";           SP=280;;
+  esac
   mkdir -p "$W/out_$sf"
   SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS=28 SPARK_GRAFT_RUNS=1 \
   SPARK_GRAFT_WARMUP=0 SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_OUT="$W/out_$sf" \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=$SP \
     $JAVA graft.Bench
 done
 
