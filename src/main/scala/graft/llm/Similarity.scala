@@ -362,6 +362,67 @@ object Similarity {
                  (SELECT COUNT(*) FROM e WHERE vec_id < 10) AS avg_cand
         FROM expanded GROUP BY n_tables ORDER BY n_tables""")),
 
+    // Mutual-kNN clustering — the curation step the k-NN graph exists FOR:
+    // connected components over the RECIPROCATED edge set (a↔b both in
+    // each other's top-3). Mutual-kNN components are the standard
+    // conservative cluster construction (one-directional edges chain hubs
+    // into mega-clusters; mutual edges don't), used for near-dup group
+    // review and diversity-preserving selection. Exemplar = min vec_id of
+    // the component (the same survivor rule as q_dedup_cluster).
+    //
+    // Scale shape: the expensive stage is knnGraph (one label-keyed
+    // corpus exchange, see q_knn_graph); everything here downstream runs
+    // on the N·k EDGE relation — min-label propagation with
+    // per-generation checkpoint release (the q_dedup_cluster kernel),
+    // sizes a |clusters|-row aggregate.
+    "q_knn_clusters" -> Q(
+      fn = (s, d) => {
+        val g = knnGraph(Tables(s, d, "embeddings"), k = 3,
+          ckKey = "q_knn_clusters.edges")
+        val mutualEdges = g
+          .filter(col("mutual") && col("vec_id") < col("nbr_id"))
+          .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+        val cc = Dedup.connectedComponents(mutualEdges)
+        val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, Seq("lbl"))
+          .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+            col("cluster_size"), (col("id") === col("lbl")).as("is_exemplar"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE e AS (
+          SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT a.vec_id, b.vec_id AS nbr_id,
+                 list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT vec_id, nbr_id,
+                 rank() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id ASC) AS rnk
+          FROM scored),
+        g AS (SELECT vec_id, nbr_id FROM ranked WHERE rnk <= 3),
+        mut AS (
+          SELECT g.vec_id AS a, g.nbr_id AS b
+          FROM g JOIN g r ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
+          WHERE g.vec_id < g.nbr_id),
+        sym AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+        reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT reach.id, s.b FROM reach JOIN sym s ON s.a = reach.r),
+        lab AS (SELECT id AS vec_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY id),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM lab GROUP BY cluster_id)
+        SELECT l.vec_id, l.cluster_id, sz.cluster_size,
+               (l.vec_id = l.cluster_id) AS is_exemplar
+        FROM lab l JOIN sz USING (cluster_id)
+        ORDER BY l.vec_id""")),
+
     // Corpus-wide ANN k-NN graph — the 100-TB construction q_knn_graph's
     // label blocking stands in for: EVERY vector's top-3 cosine neighbors
     // among its hyperplane-LSH bucket colliders (8 tables × 5-bit buckets,
@@ -689,8 +750,9 @@ object Similarity {
     * self-join replans the whole join+window subtree for the reversed side
     * (ReusedExchange saves only the shuffles — the in-label pair scoring,
     * the most expensive stage, would execute twice). */
-  private[graft] def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
-    val edges = graft.Tables.runScopedCheckpoint("q_knn_graph.edges",
+  private[graft] def knnGraph(embeddings: DataFrame, k: Int,
+      ckKey: String = "q_knn_graph.edges"): DataFrame = {
+    val edges = graft.Tables.runScopedCheckpoint(ckKey,
       knnEdges(embeddings, k))
     val rev = edges.select(col("nbr_id").as("r_vec"),
       col("vec_id").as("r_nbr"))

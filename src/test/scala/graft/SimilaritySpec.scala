@@ -223,4 +223,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.exists { case (id, top) => top.map(_._2) != exactTop(id) },
       "ANN graph equals the exact graph everywhere — approximation untested")
   }
+
+  test("q_knn_clusters: components, sizes, exemplars match a union-find over mutual edges") {
+    val mutual = SparkEntry.queries("q_knn_graph")(spark, TestSpark.sf)
+      .collect().filter(_.getBoolean(5))
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val nodes = mutual.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    // union by min: the component root is always its smallest vec_id
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = nodes.map(n => n -> find(n)).toMap
+    val sizes = comp.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("q_knn_clusters")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet == nodes.toSet,
+      "cluster membership differs from the mutual-edge node set")
+    got.foreach { case (vid, cid, sz, ex) =>
+      assert(cid == comp(vid), s"vec $vid cluster $cid vs ${comp(vid)}")
+      assert(sz == sizes(comp(vid)).toLong, s"vec $vid size")
+      assert(ex == (vid == cid), s"vec $vid exemplar flag")
+    }
+    // non-vacuous: at least one multi-node component beyond a single pair
+    assert(sizes.values.exists(_ >= 3),
+      "no component of size >= 3 — propagation untested beyond one hop")
+  }
 }
