@@ -712,6 +712,68 @@ object Dedup {
         FROM spans s JOIN d USING (doc_id)
         ORDER BY doc_id, start_pos""")),
 
+    // Per-DOCUMENT duplication coverage — the ExactSubstr DOC-level
+    // decision (Lee et al. 2022 drop documents whose duplicated-substring
+    // coverage crosses a threshold): the fraction of each doc's tokens
+    // covered by maximal ≥8-token substrings recurring anywhere in the
+    // corpus, plus the drop verdict at τ = 0.5. Every ≥8-token doc appears
+    // (coverage 0 when clean) — a filter has to SEE every doc to keep it.
+    //
+    // Scale shape: q_dedup_substr's fingerprint-keyed census machinery
+    // (windows checkpointed once, span text never crosses an exchange)
+    // plus one doc-keyed rollup of the TINY island relation, left-joined
+    // onto the doc spine — the join is doc-keyed, output-sized.
+    "q_dedup_coverage" -> Q(
+      fn = (s, d) => {
+        val spans = substrSpans(docs(s, d), L = 8,
+          ckKey = "q_dedup_coverage.wins")
+        val base = docs(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .filter(col("n_tokens") >= 8)
+        base.join(
+            spans.groupBy("doc_id").agg(sum(col("span_len")).as("dup")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+            (coalesce(col("dup"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+              .as("dup_frac"),
+            (coalesce(col("dup"), lit(0L)) * 2 > col("n_tokens")).as("drop_doc"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        wins AS (
+          SELECT doc_id, w,
+                 md5_number_lower(array_to_string(t[w+1 : w+8], ' ')) AS h
+          FROM d, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS w)),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        dw AS (SELECT doc_id, w FROM wins WHERE h IN (SELECT h FROM dup)),
+        marked AS (
+          SELECT doc_id, w,
+                 CASE WHEN max(w + 8) OVER pw IS NULL OR w > max(w + 8) OVER pw
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dw
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, w,
+                 SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY w
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked),
+        sp AS (
+          SELECT doc_id, isl, MIN(w) AS s, MAX(w) + 8 AS e
+          FROM isl GROUP BY doc_id, isl),
+        cov AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM sp GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / len(d.t) AS dup_frac,
+               (COALESCE(cov.dup_tokens, 0) * 2 > len(d.t)) AS drop_doc
+        FROM d LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")),
+
     // MinHash estimator-quality audit: for every true near-dup pair
     // (exact Jaccard ≥ 0.05 — the q_dedup_ngram universe), compare the
     // 16-permutation MinHash estimate (matching mins / 16) against the
@@ -898,7 +960,8 @@ object Dedup {
     * scale notes): maximal per-doc position ranges covered by ≥L-token
     * substrings that occur more than once in the corpus. Input: a
     * (doc_id, text) relation. */
-  private[graft] def substrSpans(docsDF: DataFrame, L: Int): DataFrame = {
+  private[graft] def substrSpans(docsDF: DataFrame, L: Int,
+      ckKey: String = "q_dedup_substr.wins"): DataFrame = {
     VectorFunctions.register(docsDF.sparkSession)
     val docsT = docsDF
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -915,7 +978,7 @@ object Dedup {
     // distinct spans on BOTH engines identically. Checkpointed once —
     // census and probe both read the materialized (doc,w,h) relation
     // instead of replaying the explode+concat.
-    val wins = graft.Tables.runScopedCheckpoint(s"q_dedup_substr.wins",
+    val wins = graft.Tables.runScopedCheckpoint(ckKey,
       docsT
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(0), size(col("t")) - L)).as("w"))

@@ -364,4 +364,34 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.values.exists(_._2 > 0),
       "no duplicated spans on the corpus — rate table vacuous")
   }
+
+  test("q_dedup_coverage: per-doc coverage equals the span relation's disjoint sum") {
+    val spans = SparkEntry.queries("q_dedup_substr")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sumByDoc = spans.groupBy(_._1).view
+      .mapValues(_.map(s => s._3 - s._2).sum).toMap
+    // islands are maximal and disjoint per doc, so the sum IS the coverage
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, s"overlapping islands in doc ${a._1}")
+        case _ =>
+      }
+    }
+    val cov = SparkEntry.queries("q_dedup_coverage")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val nDocs = Tables(spark, TestSpark.sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 8).count()
+    assert(cov.length == nDocs, "coverage must emit every >=8-token doc")
+    cov.foreach { case (doc, n, dup, frac, drop) =>
+      assert(dup == sumByDoc.getOrElse(doc, 0L), s"doc $doc dup_tokens")
+      assert(dup <= n, s"doc $doc coverage exceeds its length")
+      assert(math.abs(frac - dup.toDouble / n) < 1e-12, s"doc $doc frac")
+      assert(drop == (dup * 2 > n), s"doc $doc drop verdict")
+    }
+    assert(cov.exists(_._3 > 0) && cov.exists(_._3 == 0),
+      "coverage vacuous — need both covered and clean docs")
+  }
 }
