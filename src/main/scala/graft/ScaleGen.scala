@@ -72,6 +72,31 @@ object ScaleGen {
       Map("event_id" -> 100000000L, "user_id" -> 10000000L)), "events")
     write(replicate(raw("documents"), Map("doc_id" -> 10000000L),
       suffixText = true), "documents")
-    write(replicate(raw("embeddings"), Map("vec_id" -> 10000000L)), "embeddings")
+    // embeddings (round 10): replica vectors are NOT literal clones — that
+    // would grow every LSH bucket / IVF cell / label block as k² clone
+    // collisions and any similarity sweep would measure the corpus design,
+    // not the operator. Instead, coordinate i of replica k>0 flips sign by
+    // the deterministic md5-lower bit of "sg-<k>-<i>". Coordinate sign
+    // flips preserve EVERY pairwise cosine WITHIN a replica (both operands
+    // flip the same coordinates, so x·y and the norms are invariant) while
+    // decorrelating vectors ACROSS replicas (a flipped dot product is a
+    // near-random ± sum) — exactly the documents token-suffix rule:
+    // corpus growth means new content. Labels renumber as label·10 + k —
+    // multiplicative, so CHAINED generations (sf10 from sf1) stay
+    // collision-free: label blocks gain COUNT, not size ("the label
+    // becomes an IVF cell" scaling — per-block pair work stays constant
+    // while blocks multiply 10× per decade).
+    write((0 until copies).map { k =>
+      graft.functions.VectorFunctions.register(spark)
+      val shifted = raw("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("label", col("label") * 10 + lit(k))
+      if (k == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(graft.functions.VectorFunctions
+              .md5Lower(concat(lit(s"sg-$k-"), i.cast("string")))
+              .bitwiseAND(lit(1L)) === 1, -x).otherwise(x)))
+    }.reduce(_ unionAll _), "embeddings")
   }
 }

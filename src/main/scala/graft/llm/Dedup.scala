@@ -774,6 +774,82 @@ object Dedup {
         FROM d LEFT JOIN cov USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ExactSubstr APPLY — the Lee et al. 2022 end state the span/coverage
+    // queries report on: actually CUT every flagged duplicated span and
+    // re-emit the cleaned corpus. Composition of substrSpans (maximal
+    // ≥8-token ranges occurring more than once corpus-wide) with a
+    // positional token filter; every document appears (short and clean
+    // docs pass through untouched), and the cleaned text is emitted as an
+    // md5 fingerprint plus kept-token count so the row stays hash-narrow.
+    // DedupSpec asserts the cleaned text equals a sequential brute-force
+    // cut on the raw corpus.
+    //
+    // Scale shape: substrSpans' fingerprint-keyed census (see
+    // q_dedup_substr); the cut itself is a doc-keyed join of the TINY
+    // span relation onto the corpus (spans collect_list'ed per doc —
+    // bounded by n_tokens/8) followed by a stateless positional filter:
+    // one output-sized pass, no extra corpus exchange beyond the join.
+    "q_dedup_substr_apply" -> Q(
+      fn = (s, d) => {
+        val spans = substrSpans(docs(s, d), L = 8,
+            ckKey = "q_dedup_substr_apply.wins")
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("sp"))
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .join(spans, Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(col("sp").isNull, col("t")).otherwise(
+              filter(col("t"), (tok, i) =>
+                !exists(col("sp"), r =>
+                  i >= r.getField("start_pos") && i < r.getField("end_pos")))))
+          .select(col("doc_id"),
+            size(col("t")).cast(LongType).as("n_tokens"),
+            size(col("kept")).cast(LongType).as("kept_tokens"),
+            md5(to_binary(concat_ws(" ", col("kept")), lit("utf-8")))
+              .as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        d AS (SELECT doc_id, t FROM d0 WHERE len(t) >= 8),
+        wins AS (
+          SELECT doc_id, w,
+                 md5_number_lower(array_to_string(t[w+1 : w+8], ' ')) AS h
+          FROM d, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS w)),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        dw AS (SELECT doc_id, w FROM wins WHERE h IN (SELECT h FROM dup)),
+        marked AS (
+          SELECT doc_id, w,
+                 CASE WHEN max(w + 8) OVER pw IS NULL OR w > max(w + 8) OVER pw
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dw
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, w,
+                 SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY w
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked),
+        spans AS (SELECT doc_id, isl, MIN(w) AS s, MAX(w) + 8 AS e
+                  FROM isl GROUP BY doc_id, isl),
+        toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                 FROM d0, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        keep AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+                 WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                   WHERE sp.doc_id = tk.doc_id
+                                     AND tk.pos >= sp.s AND tk.pos < sp.e)),
+        clean AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS ct
+                  FROM keep GROUP BY doc_id)
+        SELECT d0.doc_id, CAST(len(d0.t) AS BIGINT) AS n_tokens,
+               CAST(len(d0.t) - COALESCE(cov.cut, 0) AS BIGINT) AS kept_tokens,
+               md5(COALESCE(clean.ct, '')) AS clean_fp
+        FROM d0
+        LEFT JOIN (SELECT doc_id, SUM(e - s) AS cut
+                   FROM spans GROUP BY doc_id) cov USING (doc_id)
+        LEFT JOIN clean USING (doc_id)
+        ORDER BY d0.doc_id""")),
+
     // MinHash estimator-quality audit: for every true near-dup pair
     // (exact Jaccard ≥ 0.05 — the q_dedup_ngram universe), compare the
     // 16-permutation MinHash estimate (matching mins / 16) against the
@@ -879,13 +955,20 @@ object Dedup {
     // the corpus is scanned once per assign and never shuffled at row
     // width; the assigned relation is CHECKPOINTED once and feeds both
     // pair sides. The within-cluster pair join is O(Σ|cluster|²) BY
-    // DESIGN — SemDeDup's own recipe bounds it by growing k with the
-    // corpus (k ≈ N/⟨cluster⟩, cluster size a constant knob), so at
-    // 100 TB this query runs with k in the tens of thousands and the
-    // per-cluster quadratic stays fixed-size; k=8 here matches the
-    // q_kmeans codebook the oracle can unroll. Same scale contract as
-    // q_dedup_embed (label-blocked exact cosine), with the cluster id
-    // replacing the label as the learned blocking key.
+    // DESIGN — SemDeDup's own recipe bounds it by growing k WITH THE
+    // CORPUS (cluster count is the constant-cluster-SIZE knob), and
+    // since round 10 the seed count actually does: seeds are every
+    // vec_id ≡ 0 (mod stride) with stride = clamp(N div 8, 1, 250), so
+    // k ≈ max(8, N/250) and the per-cluster quadratic stays ~250²
+    // regardless of corpus size — O(N·250) total pair work, linear (the
+    // r9 spelling hardcoded k = 8, making the suppression join O(N²/8)).
+    // The modulo seed rule (not "k lowest ids") keeps the seed scan a
+    // stateless filter — no corpus-wide rank window — and stays exact
+    // under ScaleGen's shifted-id replicas. Stride arithmetic is integer
+    // on both engines; the count rides a broadcast 1-row aggregate, so
+    // the whole parameterization is relational (no driver-side count).
+    // Same scale contract as q_dedup_embed (label-blocked exact cosine),
+    // with the cluster id replacing the label as the learned blocking key.
     "q_dedup_semantic" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
@@ -902,7 +985,11 @@ object Dedup {
             .agg(min(struct(col("d2"), col("cid"))).as("m"),
               first(col("v")).as("v"))
             .select(col("vec_id"), col("m.cid").as("cid"), col("v"))
-        val seeds = e.filter(col("vec_id") < 8)
+        val strideDF = e.agg(count(lit(1)).as("n"))
+          .select(greatest(lit(1L), least(lit(250L), expr("n div 8")))
+            .as("stride"))
+        val seeds = e.crossJoin(broadcast(strideDF))
+          .filter(pmod(col("vec_id"), col("stride")) === 0)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         val cent = Tables.runScopedCheckpoint("q_dedup_semantic.cent",
           assign(seeds)
@@ -925,7 +1012,9 @@ object Dedup {
       },
       oracle = Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id % (SELECT GREATEST(1, LEAST(250, COUNT(*) // 8))
+                               FROM e) = 0),
         a1 AS (SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1012,16 +1101,28 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list `(a, b)` by
-    * min-label propagation: every node's label converges to the smallest
-    * node id reachable from it. The loop is driver-side but each iteration
-    * is a pure shuffle-join — the standard Spark shape for iterative graph
-    * algorithms; iterations = graph diameter (near-dup clusters are
-    * shallow — a handful). `localCheckpoint` truncates the growing lineage
-    * each round (on a cluster: `persist` + `checkpoint`).
+    * min-label propagation with POINTER JUMPING: each iteration first takes
+    * the min label over every node's neighbors, then compresses paths by
+    * also looking up the label OF the label (labels are node ids, and every
+    * node labels itself initially, so the lookup always hits). Neighbor
+    * propagation alone needs diameter iterations — a chain-shaped component
+    * of diameter > maxIter would exit the loop with silently
+    * partially-propagated labels (ADVICE r9). The jump makes label depth
+    * halve per round, so convergence is O(log diameter): 20 iterations
+    * covers diameter ~2^20, far beyond any real near-dup / mutual-kNN
+    * graph. The fixpoint is unchanged (labels constant on components,
+    * equal to the component's min id), so results are identical to the
+    * plain propagation — CCSpec pins a deep-chain graph both ways.
+    *
+    * Exiting at maxIter WITHOUT convergence now throws instead of
+    * returning wrong labels: the callers' oracles only run at calibration
+    * scale, so a silent partial propagation at production scale would be
+    * invisible.
     *
     * At 100 TB the same loop holds: labels is (id, lbl) — two longs per
-    * node in any pair, orders of magnitude smaller than the corpus — and
-    * convergence is detected with one count per iteration.
+    * node in any pair, orders of magnitude smaller than the corpus — the
+    * jump join is label-relation-sized, and convergence is detected with
+    * one count per iteration.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Materialize the edge list once: it is tiny (near-dup pairs), but its
@@ -1033,10 +1134,28 @@ object Dedup {
     // (it only clears CacheManager entries, not the directly-persisted
     // internal RDD — ADVICE r6), so the r6 version of this loop leaked
     // every generation's blocks for the session lifetime.
-    val (sym, releaseSym) = graft.Tables.checkpointEager(
+    // Stats firewall (r10): a localCheckpoint's LogicalRDD CARRIES the
+    // pre-checkpoint plan's size estimate, and Catalyst join estimates
+    // MULTIPLY child sizes — so a loop whose generation joins the previous
+    // generation k times stores size^k per round and the stored BigInt's
+    // digit count grows geometrically. With the pointer-jump join (k = 3)
+    // iteration ~12's stats rewrite was measured multiplying 100M-digit
+    // integers — minutes of driver CPU and GBs of BigInteger magnitude
+    // arrays, in `rewriteStatsAndConstraints`, before any task ran.
+    // Rebuilding each generation from the materialized RDD through the
+    // public Row API resets the estimate to the leaf default (constant
+    // digits, so per-round stats work is O(1)); the label relation is two
+    // longs per row, so the Row round-trip is noise, and the loop's joins
+    // are keyed SMJ by design — no broadcast decision depends on the lost
+    // estimate.
+    def ck(df: DataFrame): (DataFrame, () => Unit) = {
+      val (chk, release) = graft.Tables.checkpointEager(df)
+      (df.sparkSession.createDataFrame(chk.rdd, chk.schema), release)
+    }
+    val (sym, releaseSym) = ck(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var (labelsChk, releasePrev) = graft.Tables.checkpointEager(
+    var (labelsChk, releasePrev) = ck(
       sym.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")))
     var labels: DataFrame = labelsChk
@@ -1045,13 +1164,19 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
+      val merged = labels.union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // Pointer jump: lbl := min(lbl, lbl(lbl)). Inner join is safe —
+      // every label IS a node id and every node has a labels row.
+      val jumped = merged
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
       // The convergence flag is computed INSIDE the checkpointed frame
       // (one join with the previous generation) so the convergence check
       // below is a filter over materialized blocks, not a second join
       // re-executed against both label tables.
-      val (next, releaseNext) = graft.Tables.checkpointEager(
-        labels.union(prop)
-          .groupBy("id").agg(min("lbl").as("lbl"))
+      val (next, releaseNext) = ck(
+        jumped
           .join(labels.select(col("id"), col("lbl").as("prev")), "id")
           .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
@@ -1069,6 +1194,11 @@ object Dedup {
     // are no longer reachable from it — free them too. (The final label
     // generation stays live: the caller's plan reads it.)
     releaseSym()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter > 2^maxIter with pointer jumping — labels " +
+          "would be silently partial)")
     labels
   }
 

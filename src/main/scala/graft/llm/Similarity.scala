@@ -425,76 +425,118 @@ object Similarity {
 
     // Corpus-wide ANN k-NN graph — the 100-TB construction q_knn_graph's
     // label blocking stands in for: EVERY vector's top-3 cosine neighbors
-    // among its hyperplane-LSH bucket colliders (8 tables × 5-bit buckets,
-    // the q_ann_recall geometry — its calibration table prices exactly this
-    // graph's recall/cost trade). The same cross-engine md5-seeded plane
-    // family makes the whole graph hash-checkable in DuckDB, unlike the
-    // XXH64-kernel q_similarity_ann whose contract is boolean-validated.
+    // among its hyperplane-LSH bucket colliders. The same cross-engine
+    // md5-seeded plane family makes the whole graph hash-checkable in
+    // DuckDB, unlike the XXH64-kernel q_similarity_ann whose contract is
+    // boolean-validated.
     //
-    // Scale shape: one map pass computes all 40 projections; the banding
-    // relation is id-only (3 longs per vector-table) and shuffles by
-    // (tbl, bucket); in-bucket pair explode is bounded by bucket
-    // population (tune rowsPerTable up to split buckets as the corpus
-    // grows); vectors join back by id onto the CANDIDATE relation only
-    // (never corpus×corpus); the rank window partitions by vec_id over
-    // candidates, WindowGroupLimit prunes to ≤k map-side.
+    // Round-10 rework of the two r9 scale flags:
+    //   1. GEOMETRY IS CORPUS-SIZED, not fixed: 8 tables of
+    //      rowsPerTable = sizedRowsPerTable(N) bits each — the smallest
+    //      r ≥ 5 with 2^r ≥ ⌈N/32⌉ — so per-bucket population targets
+    //      ~32 vectors at ANY corpus size and the in-bucket pair explode
+    //      is O(N·32·tables), linear (the r9 fixed 32-bucket geometry
+    //      made it O(N²/32) and told the reader to "tune rowsPerTable
+    //      up" by hand). N is a plan-time statistics read (the count a
+    //      production planner takes from table stats; geometry must be
+    //      literal so the plane sign vectors constant-fold) and the
+    //      oracle re-derives the identical r from COUNT(*) with an
+    //      integer comparison ladder — no float log2, whose 1-ulp
+    //      engine divergence could flip a ceil at an exact power of two.
+    //   2. RE-RANK ON THE QUANTIZED INTEGER VECTORS already computed for
+    //      banding (the q_ann_recall trick): candidates are scored by
+    //      exact ⌊1000·x+0.5⌋ integer dot products shipped as
+    //      array<smallint> (2 B/dim), so the 64-double arrays never
+    //      cross the two candidate-sized exchanges (the measured r9 cost
+    //      center). cos_q is bit-exact cross-engine: integer dots are
+    //      ≤ 64·578² ≪ 2^53 and the divide-by-norms is single IEEE ops
+    //      on identical operands. Quantization is part of the operator
+    //      contract (a legitimate SRP-ANN variant; the exact-double
+    //      re-rank lives in q_knn_graph).
+    //
+    // Scale shape: one map pass computes all 8·rpt projections; the
+    // banding relation is id-only (3 longs per vector-table) and shuffles
+    // by (tbl, bucket); bucket population is held ~constant by the sized
+    // geometry; the rank window partitions by vec_id over candidates,
+    // WindowGroupLimit prunes to ≤k map-side.
     "q_knn_graph_ann" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
         val emb = Tables(s, d, "embeddings")
-        val banded = mdPlaneBanded(emb, tables = 8, rowsPerTable = 5, dims = 64)
+        val rpt = sizedRowsPerTable(emb.count())
+        val banded = mdPlaneBanded(emb, tables = 8, rowsPerTable = rpt, dims = 64)
         val cands = banded
           .join(banded.select(col("tbl"), col("bucket"),
             col("vec_id").as("nbr_id")), Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("nbr_id"))
           .select("vec_id", "nbr_id").distinct()
-        val v = emb.select(col("vec_id"),
-          transform(col("embedding"), _.cast(DoubleType)).as("v"))
+        val vq = emb.select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * 1000 + lit(0.5))
+                .cast(ShortType)).as("vq"))
+          .withColumn("n2", aggregate(col("vq"), lit(0L),
+            (acc, t) => acc + t.cast(LongType) * t.cast(LongType)))
+        val dot = aggregate(
+          zip_with(col("vq"), col("nvq"),
+            (a, b) => a.cast(LongType) * b.cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
         cands
-          .join(v, Seq("vec_id"))
-          .join(v.select(col("vec_id").as("nbr_id"), col("v").as("nv")),
-            Seq("nbr_id"))
-          .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
+          .join(vq, Seq("vec_id"))
+          .join(vq.select(col("vec_id").as("nbr_id"), col("vq").as("nvq"),
+            col("n2").as("nn2")), Seq("nbr_id"))
+          .withColumn("cos_q",
+            when(col("n2") === 0L || col("nn2") === 0L, lit(0.0))
+              .otherwise(dot.cast(DoubleType) /
+                (sqrt(col("n2").cast(DoubleType)) *
+                  sqrt(col("nn2").cast(DoubleType)))))
           .withColumn("rnk", rank().over(
             Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
+              .orderBy(col("cos_q").desc, col("nbr_id").asc)).cast(LongType))
           .filter(col("rnk") <= 3)
-          .select("vec_id", "rnk", "nbr_id", "cos")
+          .select("vec_id", "rnk", "nbr_id", "cos_q")
           .orderBy("vec_id", "rnk", "nbr_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         eq AS (SELECT vec_id,
                       list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq
                FROM e),
+        geo AS (SELECT 5 $sizedRptLadderSql AS rpt
+                FROM (SELECT (COUNT(*) + 31) // 32 AS m FROM e)),
         dp AS (
           SELECT vec_id, p,
                  list_sum(list_transform(range(64), i ->
                    vq[i + 1] * CASE WHEN (md5_number_lower('hp-' || p || '-' || i) & 1) = 1
                                     THEN 1 ELSE -1 END)) AS dp
-          FROM eq, (SELECT unnest(range(40)) AS p)),
+          FROM eq, geo, (SELECT unnest(range(128)) AS p)
+          WHERE p < 8 * geo.rpt),
         sig AS (
-          SELECT vec_id, p // 5 AS tbl,
-                 SUM(CASE WHEN dp >= 0 THEN (1 << (p % 5)) ELSE 0 END) AS bucket
-          FROM dp GROUP BY vec_id, p // 5),
+          SELECT vec_id, p // geo.rpt AS tbl,
+                 SUM(CASE WHEN dp >= 0 THEN (1 << (p % geo.rpt)) ELSE 0 END) AS bucket
+          FROM dp, geo GROUP BY vec_id, p // geo.rpt),
         coll AS (
           SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
           FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
           WHERE a.vec_id <> b.vec_id),
+        nrm AS (SELECT vec_id, vq,
+                       list_sum(list_transform(vq, t -> t * t)) AS n2
+                FROM eq),
         scored AS (
           SELECT c.vec_id, c.nbr_id,
-                 list_dot_product(x.v, y.v) /
-                   (sqrt(list_dot_product(x.v, x.v)) *
-                    sqrt(list_dot_product(y.v, y.v))) AS cos
+                 CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(list_zip(x.vq, y.vq),
+                             s -> s[1] * s[2])) AS DOUBLE) /
+                           (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                 END AS cos_q
           FROM coll c
-          JOIN e x ON x.vec_id = c.vec_id
-          JOIN e y ON y.vec_id = c.nbr_id),
+          JOIN nrm x ON x.vec_id = c.vec_id
+          JOIN nrm y ON y.vec_id = c.nbr_id),
         ranked AS (
-          SELECT vec_id, nbr_id, cos,
+          SELECT vec_id, nbr_id, cos_q,
                  rank() OVER (PARTITION BY vec_id
-                              ORDER BY cos DESC, nbr_id ASC) AS rnk
+                              ORDER BY cos_q DESC, nbr_id ASC) AS rnk
           FROM scored)
-        SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
+        SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos_q
         FROM ranked WHERE rnk <= 3
         ORDER BY vec_id, rnk, nbr_id""")),
 
@@ -686,6 +728,25 @@ object Similarity {
         FROM stats s JOIN c3 ON s.cid = c3.cid
         ORDER BY cluster_id"""
   }
+
+  /** Corpus-sized LSH table width: the smallest r ≥ 5 with 2^r ≥ ⌈n/32⌉,
+    * capped at 16 — per-bucket population targets ~32 vectors at any
+    * corpus size, which is what keeps the in-bucket pair explode linear
+    * in n. Integer arithmetic only (a float ceil(log2(·)) could flip by
+    * 1 ulp between engines at exact powers of two); [[sizedRptLadderSql]]
+    * is the DuckDB spelling of the identical comparison ladder. */
+  private[graft] def sizedRowsPerTable(n: Long, targetBucket: Long = 32L): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    var r = 5
+    while (r < 16 && (1L << r) < m) r += 1
+    r
+  }
+
+  /** SQL fragment computing the same r from a column `m` = ⌈n/32⌉:
+    * `5 + Σ_{j=5..15} [m > 2^j]` — identical to the while loop above. */
+  private def sizedRptLadderSql: String =
+    (5 to 15).map(j => s"+ (CASE WHEN m > ${1L << j} THEN 1 ELSE 0 END)")
+      .mkString(" ")
 
   /** (vec_id, tbl, bucket) banding of EVERY vector under the cross-engine
     * ±1 sign-random-projection family (planes seeded by md5-lower-64 of

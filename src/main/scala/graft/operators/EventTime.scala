@@ -20,6 +20,85 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   */
 object EventTime {
 
+  /** Scratch-dir management for the real-engine streaming queries
+    * (ADVICE r9: the r9 spellings created a fresh temp dir holding a full
+    * corpus copy per invocation and never deleted it — a warmed
+    * median-of-3 battery leaked ~4 corpus copies per query per session).
+    *
+    * Two mechanisms:
+    *   - [[sharedInput]]: ONE canonical events corpus copy per (JVM, sf
+    *     dir), written once and shared by every streaming query — the
+    *     corpus write leaves the timed region after the first run instead
+    *     of being paid per query per run (r9 verdict ask #6).
+    *   - [[fresh]]: per-(query, run) scratch for sink + checkpoint. Keyed
+    *     like Tables.runScopedCheckpoint: invoking it again under the same
+    *     key deletes the PREVIOUS run's dir first (safe — that run's
+    *     read-back has been consumed by then), so repeated bench runs hold
+    *     at most one live scratch per query.
+    * Everything registered is also deleted on JVM exit.
+    */
+  private[graft] object Scratch {
+    private val dirs =
+      java.util.Collections.synchronizedMap(
+        new java.util.HashMap[String, java.nio.file.Path]())
+    private val hook = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def deleteRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => scala.util.Try(java.nio.file.Files.deleteIfExists(f)))
+      }
+    private def ensureHook(): Unit =
+      if (hook.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          dirs.synchronized {
+            dirs.values.forEach(p => deleteRec(p)); dirs.clear()
+          }))
+    /** Fresh temp dir for `key`, deleting the previous run's dir. */
+    def fresh(key: String): String = {
+      ensureHook()
+      val prev = dirs.get(key)
+      if (prev != null) scala.util.Try(deleteRec(prev))
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${key}_")
+      dirs.put(key, p)
+      p.toString
+    }
+    /** The shared events corpus copy for `d`: (event_id, ts TIMESTAMP,
+      * user_id, event_type, value) in 8 parquet files (so
+      * maxFilesPerTrigger consumers get genuine multi-batch runs while
+      * unthrottled consumers still ingest everything in ONE micro-batch —
+      * the single-batch assumption the watermarked oracles rely on).
+      * Watermarks require TIMESTAMP (with zone); Tables emits NTZ. Session
+      * TZ is pinned UTC, so the cast is value-stable. */
+    def sharedInput(s: org.apache.spark.sql.SparkSession, d: String): String = {
+      ensureHook()
+      val key = s"stream_in:$d"
+      dirs.synchronized {
+        val prev = dirs.get(key)
+        if (prev != null) prev.toString
+        else {
+          val p = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+          Tables(s, d, "events")
+            .select(col("event_id"), col("ts").cast(TimestampType),
+              col("user_id"), col("event_type"), col("value"))
+            .repartition(8)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$p/in")
+          dirs.put(key, p)
+          p.toString
+        }
+      }
+    }
+    /** Schema of [[sharedInput]]'s files (constructed, not re-read). */
+    val inputSchema: org.apache.spark.sql.types.StructType = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+    }
+  }
+
   val qs: Map[String, Q] = Map(
 
     "q_window_tumbling" -> Q(
@@ -607,23 +686,28 @@ object EventTime {
     // and the watermark bounds its lifetime — state is O(events inside
     // the watermark window), never O(stream). The sink is append-mode
     // parquet (exactly-once via the checkpoint's batch commit log).
+    // Single-batch dependence (ADVICE r9): the oracle (every event exactly
+    // once) relies on BOTH source branches ingesting all files in ONE
+    // micro-batch — no maxFilesPerTrigger is set, so the file source takes
+    // everything available, and the watermark is still at epoch during that
+    // batch (nothing is late). If ingestion were ever throttled into
+    // multiple batches, ORIGINAL events older than max(ts)−10min after
+    // batch 1 would be dropped as late rows and the oracle would break —
+    // exactly the multi-batch re-delivery semantic StreamingSpec pins
+    // separately via MemoryStream.
     "q_stream_dedup" -> Q(
       fn = (s, d) => {
-        // Watermarks require TIMESTAMP (with zone); Tables emits NTZ.
-        // Session TZ is pinned UTC, so the cast is value-stable.
-        val events = Tables(s, d, "events")
-          .select(col("event_id"), col("ts").cast(TimestampType),
-            col("user_id"), col("event_type"), col("value"))
-        val dupes = events.filter(col("event_id") % 7 === 0)
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val events = s.readStream.schema(Scratch.inputSchema).parquet(in)
+        // Injected duplicate deliveries: a SECOND source branch over the
+        // same files re-emits every event_id % 7 == 0 thirty seconds
+        // later — an ingest retry well inside the 10-minute watermark.
+        val dupes = s.readStream.schema(Scratch.inputSchema).parquet(in)
+          .filter(col("event_id") % 7 === 0)
           .withColumn("ts", col("ts") + expr("INTERVAL 30 SECONDS"))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft_stream_dedup_").toString
-        events.union(dupes).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$scratch/in")
+        val scratch = Scratch.fresh("stream_dedup")
         val deduped = graft.streaming.Streams.dedupWithinWatermark(
-          s.readStream.schema(events.schema).parquet(s"$scratch/in"),
-          "10 minutes")
+          events.union(dupes), "10 minutes")
         deduped.writeStream
           .format("parquet")
           .option("path", s"$scratch/out")
@@ -667,14 +751,11 @@ object EventTime {
     // task; state is one row per open window per type, watermark-evicted.
     "q_stream_tumbling" -> Q(
       fn = (s, d) => {
-        val events = Tables(s, d, "events")
-          .select(col("ts").cast(TimestampType), col("event_type"),
-            col("value"))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft_stream_tumb_").toString
-        events.write.parquet(s"$scratch/in")
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val scratch = Scratch.fresh("stream_tumb")
         val agg = graft.streaming.Streams.tumblingWithWatermark(
-          s.readStream.schema(events.schema).parquet(s"$scratch/in"),
+          s.readStream.schema(Scratch.inputSchema).parquet(in)
+            .select(col("ts"), col("event_type"), col("value")),
           "10 minutes")
         agg.writeStream
           .format("parquet")
@@ -702,6 +783,75 @@ object EventTime {
         WHERE w_start + INTERVAL 1 hour <= m - INTERVAL 10 minutes
         ORDER BY w_start, event_type""")),
 
+    // LEFT-OUTER stream-stream interval join THROUGH THE STREAMING ENGINE
+    // (r9 verdict ask #5 — the watermark-gated null-extension semantic that
+    // was MemoryStream-tested only): signups joined to same-user purchases
+    // within 1 hour AFTER the signup, with unmatched signups emitted
+    // null-extended once the engine KNOWS no match can still arrive. Both
+    // branches read the shared scratch corpus in ONE micro-batch (watermark
+    // still at epoch — nothing late, every inner match emits); the final
+    // no-data batch then advances the global watermark to
+    // min(max signup_ts, max purchase_ts) − 10min (two watermark nodes,
+    // default `min` multipleWatermarkPolicy) and evicts left state — a
+    // signup with no in-window purchase is emitted null-extended exactly
+    // when its join bound has passed: signup_ts + 1h < watermark. That
+    // eviction rule is engine-deterministic given single-batch ingestion,
+    // which is what makes a DuckDB oracle possible for OUTER emission
+    // timing (the q_stream_tumbling argument applied to join state).
+    //
+    // Scale shape: equi-key (user_id) state on both sides, evicted by the
+    // event-time bound — state is O(in-flight interval), not O(stream);
+    // the unbounded-outer-join failure mode (hold every row forever) is
+    // structurally excluded by the time-range condition.
+    "q_stream_interval_left" -> Q(
+      fn = (s, d) => {
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        def branch() = s.readStream.schema(Scratch.inputSchema).parquet(in)
+        val scratch = Scratch.fresh("stream_ileft")
+        val joined = graft.streaming.Streams.signupToPurchase(
+          branch().filter(col("event_type") === "signup"),
+          branch().filter(col("event_type") === "purchase"),
+          within = "1 hour", joinType = "left_outer")
+        joined.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // Back to NTZ for the oracle compare (UTC session TZ ⇒ value-stable).
+        s.read.parquet(s"$scratch/out")
+          .withColumn("signup_ts", col("signup_ts").cast("timestamp_ntz"))
+          .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
+          .orderBy(col("signup_id").asc, col("purchase_id").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+              FROM e WHERE event_type = 'signup'),
+        p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                     ts AS purchase_ts
+              FROM e WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT MAX(signup_ts) FROM s),
+                            (SELECT MAX(purchase_ts) FROM p))
+                      - INTERVAL '10 minutes' AS w),
+        matched AS (
+          SELECT signup_id, purchase_id, user_id, signup_ts, purchase_ts
+          FROM s JOIN p ON user_id = p_user
+            AND purchase_ts >= signup_ts
+            AND purchase_ts <= signup_ts + INTERVAL '1 hour'),
+        unmatched AS (
+          SELECT s.signup_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 s.user_id, s.signup_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+          FROM s CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.signup_id = s.signup_id)
+            AND s.signup_ts + INTERVAL '1 hour' < wm.w)
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched
+        ORDER BY signup_id, purchase_id NULLS FIRST""")),
+
     // Arbitrary stateful processing (transformWithState, state API v2)
     // through the real engine — upgrading the last §2.4 ◻ capability to a
     // keyed entry. Per-user cumulative (count, cents, min/max event id)
@@ -723,21 +873,22 @@ object EventTime {
     "q_stream_stateful" -> Q(
       fn = (s, d) => {
         import s.implicits._
-        val events = Tables(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            (dec2(col("value")) * 100).cast(org.apache.spark.sql.types.LongType)
-              .as("cents"))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft_stream_state_").toString
-        events.repartition(8).write.parquet(s"$scratch/in")
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val scratch = Scratch.fresh("stream_state")
         val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
+          // cents are derived map-side AFTER the source (the shared scratch
+          // carries the raw corpus columns); the double→DECIMAL(12,2)→×100
+          // cast chain matches the oracle exactly as before.
           val cum = graft.streaming.Streams.cumulativePerUser(
-            s.readStream.schema(events.schema)
+            s.readStream.schema(Scratch.inputSchema)
               .option("maxFilesPerTrigger", "2")
-              .parquet(s"$scratch/in")
+              .parquet(in)
+              .select(col("event_id"), col("user_id"),
+                (dec2(col("value")) * 100)
+                  .cast(org.apache.spark.sql.types.LongType).as("cents"))
               .as[graft.streaming.Streams.ECents])
           cum.writeStream
             .format("parquet")
