@@ -397,6 +397,65 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All md-seeded ±1 plane projections of a float/double embedding in one
+    * tight kernel loop — see [[VectorKernels.mdPlaneDots]]. */
+  case class MdPlaneDots(child: Expression, planes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md_plane_dots"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.mdPlaneDots(v.asInstanceOf[ArrayData], planes, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorKernels.mdPlaneDots($c, $planes, $isFloat)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ⌊1000·x+0.5⌋ int16 quantization of a float/double embedding. */
+  case class Quantize16(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+    override def prettyName: String = "quantize16"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.quantize16(v.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorKernels.quantize16($c, $isFloat)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Cosine over two int16-quantized vectors (long-exact dot and norms;
+    * see [[VectorKernels.cosineSimInt16]]). */
+  case class CosineSimilarityInt16(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity_int16"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.cosineSimInt16(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.cosineSimInt16($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Sessions already holding the graft functions. Weak keys: a dropped
     * session must not be pinned by the guard. Without the guard every query
     * re-registered the whole set, flooding the log with
@@ -459,6 +518,15 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "pq_dtable", exprs => PqDtable(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "md_plane_dots",
+      exprs => MdPlaneDots(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "quantize16", exprs => Quantize16(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity_int16",
+      exprs => CosineSimilarityInt16(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
@@ -482,6 +550,11 @@ object VectorFunctions {
   def tokenPairs(tokens: Column): Column = call_function("token_pairs", tokens)
   def hyperplaneSig(v: Column, planes: Int): Column =
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(planes))
+  def mdPlaneDots(v: Column, planes: Int): Column =
+    call_function("md_plane_dots", v, org.apache.spark.sql.functions.lit(planes))
+  def quantize16(v: Column): Column = call_function("quantize16", v)
+  def cosineSimQ(a: Column, b: Column): Column =
+    call_function("cosine_similarity_int16", a, b)
   def pqEncode(v: Column): Column = call_function("pq_encode", v)
   def pqDtable(v: Column): Column = call_function("pq_dtable", v)
   def multiPatternCount(text: Column, patterns: Seq[String]): Column =

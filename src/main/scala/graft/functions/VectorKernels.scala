@@ -166,6 +166,85 @@ object VectorKernels {
   }
 
   // ------------------------------------------------------------------
+  // md-seeded sign-random-projection kernels (the cross-engine ±1 plane
+  // family shared by q_ann_recall / q_knn_graph_ann): sign(p, i) = ±1
+  // from md5Lower64("hp-<p>-<i>") & 1, cached per (planes, dims); vectors
+  // quantize to ⌊1000·x + 0.5⌋ (exact long math, reproduced verbatim by
+  // the DuckDB oracles). One tight loop per row replaces the
+  // planes×dims interpreted HOF chain (aggregate ∘ zip_with over literal
+  // sign arrays — Spark higher-order functions never enter codegen, so
+  // the r9 spelling paid ~6M lambda dispatches per sf0.1 banding query).
+  // ------------------------------------------------------------------
+  private val mdSignCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+  private def mdSigns(planes: Int, dims: Int): Array[Long] =
+    mdSignCache.computeIfAbsent(planes.toLong << 32 | dims,
+      new java.util.function.Function[Long, Array[Long]] {
+        override def apply(key: Long): Array[Long] =
+          Array.tabulate(planes * dims) { idx =>
+            val p = idx / dims; val i = idx % dims
+            if ((md5Lower64(UTF8String.fromString(s"hp-$p-$i")) & 1L) == 1L) 1L
+            else -1L
+          }
+      })
+
+  /** All `planes` projections of the ⌊1000·x+0.5⌋-quantized vector in one
+    * pass: dp[p] = Σ_i vq[i] · sign(p, i), index order, long math (exact).
+    * Input is the raw float/double embedding array. */
+  def mdPlaneDots(arr: ArrayData, planes: Int, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val signs = mdSigns(planes, n)
+    val vq = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      vq(i) = math.floor(x * 1000.0 + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](planes)
+    var p = 0
+    while (p < planes) {
+      var dp = 0L
+      val base = p * n
+      var j = 0
+      while (j < n) { dp += vq(j) * signs(base + j); j += 1 }
+      out(p) = dp
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ⌊1000·x+0.5⌋ int16 quantization of a float/double embedding (the
+    * exchange-narrow re-rank payload of q_knn_graph_ann). */
+  def quantize16(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) = math.floor(x * 1000.0 + 0.5).toShort
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Cosine over two int16-quantized vectors: dot and norms accumulate as
+    * longs (exact — ≤ dims·maxq² ≪ 2^53), then ONE double division of
+    * identical operands on both engines (the oracle spells it
+    * CAST(Σ AS DOUBLE) / (sqrt(CAST(Σ AS DOUBLE)) · sqrt(...))). Zero
+    * vector → 0.0 via the same CASE on both engines. */
+  def cosineSimInt16(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val x = a.getShort(i).toLong; val y = b.getShort(i).toLong
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  // ------------------------------------------------------------------
   // Product quantization kernels. Geometry fixed at 64-dim vectors,
   // M=4 subspaces x D=16 dims, K=16 centroids: the codebook derives from
   // md5Lower64("pq-m-k-j") (uniform [-1,1) dyadic — bit-identical to the

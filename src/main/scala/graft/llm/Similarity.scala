@@ -471,24 +471,13 @@ object Similarity {
           .filter(col("vec_id") =!= col("nbr_id"))
           .select("vec_id", "nbr_id").distinct()
         val vq = emb.select(col("vec_id"),
-            transform(col("embedding"),
-              x => floor(x.cast(DoubleType) * 1000 + lit(0.5))
-                .cast(ShortType)).as("vq"))
-          .withColumn("n2", aggregate(col("vq"), lit(0L),
-            (acc, t) => acc + t.cast(LongType) * t.cast(LongType)))
-        val dot = aggregate(
-          zip_with(col("vq"), col("nvq"),
-            (a, b) => a.cast(LongType) * b.cast(LongType)),
-          lit(0L), (acc, x) => acc + x)
+          VectorFunctions.quantize16(col("embedding")).as("vq"))
         cands
           .join(vq, Seq("vec_id"))
-          .join(vq.select(col("vec_id").as("nbr_id"), col("vq").as("nvq"),
-            col("n2").as("nn2")), Seq("nbr_id"))
+          .join(vq.select(col("vec_id").as("nbr_id"), col("vq").as("nvq")),
+            Seq("nbr_id"))
           .withColumn("cos_q",
-            when(col("n2") === 0L || col("nn2") === 0L, lit(0.0))
-              .otherwise(dot.cast(DoubleType) /
-                (sqrt(col("n2").cast(DoubleType)) *
-                  sqrt(col("nn2").cast(DoubleType)))))
+            VectorFunctions.cosineSimQ(col("vq"), col("nvq")))
           .withColumn("rnk", rank().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("cos_q").desc, col("nbr_id").asc)).cast(LongType))
@@ -760,27 +749,22 @@ object Similarity {
       tables: Int, rowsPerTable: Int, dims: Int): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val planes = tables * rowsPerTable
-    def sgn(p: Int, i: Int): Column =
-      when(VectorFunctions.md5Lower(lit(s"hp-$p-$i"))
-        .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
+    // All projections in ONE codegen'd kernel pass (md_plane_dots): the r9
+    // spelling built the same dots from aggregate ∘ zip_with over literal
+    // ±1 arrays — higher-order functions never enter codegen, so it paid
+    // planes×dims interpreted lambda dispatches per row (~1.5 s of every
+    // sf0.1 banding query). The kernel's sign table derives from the same
+    // md5Lower64("hp-p-i") & 1 family the DuckDB oracles replicate.
     val e = embeddings
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType)).as("vq"))
-    val dps = array((0 until planes).map { p =>
-      aggregate(
-        zip_with(col("vq"), array((0 until dims).map(i => sgn(p, i)): _*),
-          (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-    }: _*)
+        VectorFunctions.mdPlaneDots(col("embedding"), planes).as("dps"))
     def bucketCol(t: Int): Column = (0 until rowsPerTable).map { j =>
       when(element_at(col("dps"), t * rowsPerTable + j + 1) >= 0,
         lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
-    e.withColumn("dps", dps)
-      .select(col("vec_id"),
-        posexplode(array((0 until tables).map(bucketCol): _*))
-          .as(Seq("tbl", "bucket")))
+    e.select(col("vec_id"),
+      posexplode(array((0 until tables).map(bucketCol): _*))
+        .as(Seq("tbl", "bucket")))
   }
 
   /** Ranked within-label k-NN edges (the expensive stage of q_knn_graph).
