@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *     growth means new content, not 10 literal clones of every doc
   *     (which would explode pair counts quadratically instead of
   *     linearly). n_chars is recomputed over the rewritten text.
-  *   - embeddings shift vec_id, vectors unchanged (ANN/IVF bucket
-  *     populations scale 10x).
+  *   - embeddings shift vec_id; replica k>0 vectors flip coordinate signs
+  *     by a deterministic md5 bit pattern (within-replica cosines exactly
+  *     preserved, cross-replica vectors decorrelated) and labels renumber
+  *     label·10+k — similarity/ANN corpora grow with NEW content, so
+  *     bucket/cell/label-block pair work scales linearly instead of as
+  *     clone-collision k².
   *
   * events.ts is read RAW (nanosAsLong ⇒ LongType) so replicas round-trip
   * the ns-epoch column without the Tables µs conversion.

@@ -456,6 +456,25 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Squared L2 over two int16-quantized vectors (long-exact). */
+  case class L2SqInt16(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "l2sq_int16"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.l2sqInt16(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.l2sqInt16($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Sessions already holding the graft functions. Weak keys: a dropped
     * session must not be pinned by the guard. Without the guard every query
     * re-registered the whole set, flooding the log with
@@ -527,6 +546,8 @@ object VectorFunctions {
       "cosine_similarity_int16",
       exprs => CosineSimilarityInt16(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "l2sq_int16", exprs => L2SqInt16(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
@@ -555,6 +576,7 @@ object VectorFunctions {
   def quantize16(v: Column): Column = call_function("quantize16", v)
   def cosineSimQ(a: Column, b: Column): Column =
     call_function("cosine_similarity_int16", a, b)
+  def l2sqQ(a: Column, b: Column): Column = call_function("l2sq_int16", a, b)
   def pqEncode(v: Column): Column = call_function("pq_encode", v)
   def pqDtable(v: Column): Column = call_function("pq_dtable", v)
   def multiPatternCount(text: Column, patterns: Seq[String]): Column =

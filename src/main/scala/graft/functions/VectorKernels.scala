@@ -244,6 +244,17 @@ object VectorKernels {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Squared L2 over two int16-quantized vectors, exact long math. */
+  def l2sqInt16(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = a.getShort(i).toLong - b.getShort(i).toLong
+      s += d * d; i += 1
+    }
+    s
+  }
+
   // ------------------------------------------------------------------
   // Product quantization kernels. Geometry fixed at 64-dim vectors,
   // M=4 subspaces x D=16 dims, K=16 centroids: the codebook derives from

@@ -942,108 +942,135 @@ object Dedup {
     // embedding corpus, then suppress within each cluster every vector
     // that is cosine-similar (≥ τ) to a lower-id clustermate — the
     // embedding-space member of the dedup family, catching paraphrases
-    // that share no shingles (invisible to MinHash/SimHash/ngram).
-    // Clustering is one deterministic Lloyd round from the q_kmeans
-    // seeds (8 lowest vec_ids; 6 dp inter-round quantization — the exact
-    // kmeans determinism construction), so the whole algorithm is
-    // relational and the oracle re-runs it verbatim. The suppression
-    // rule is the one-pass greedy form: keep(v) ⇔ no smaller-id
-    // clustermate with cos ≥ τ, with nn_id = the smallest such
+    // that share no shingles (invisible to MinHash/SimHash/ngram). The
+    // suppression rule is the one-pass greedy form: keep(v) ⇔ no
+    // smaller-id clustermate with cos ≥ τ, nn_id = the smallest such
     // suppressor (deterministic, no cascade).
     //
-    // Scale shape: centroids are a k-row broadcast (codebook class);
-    // the corpus is scanned once per assign and never shuffled at row
-    // width; the assigned relation is CHECKPOINTED once and feeds both
-    // pair sides. The within-cluster pair join is O(Σ|cluster|²) BY
-    // DESIGN — SemDeDup's own recipe bounds it by growing k WITH THE
-    // CORPUS (cluster count is the constant-cluster-SIZE knob), and
-    // since round 10 the seed count actually does: seeds are every
-    // vec_id ≡ 0 (mod stride) with stride = clamp(N div 8, 1, 250), so
-    // k ≈ max(8, N/250) and the per-cluster quadratic stays ~250²
-    // regardless of corpus size — O(N·250) total pair work, linear (the
-    // r9 spelling hardcoded k = 8, making the suppression join O(N²/8)).
-    // The modulo seed rule (not "k lowest ids") keeps the seed scan a
-    // stateless filter — no corpus-wide rank window — and stays exact
-    // under ScaleGen's shifted-id replicas. Stride arithmetic is integer
-    // on both engines; the count rides a broadcast 1-row aggregate, so
-    // the whole parameterization is relational (no driver-side count).
-    // Same scale contract as q_dedup_embed (label-blocked exact cosine),
-    // with the cluster id replacing the label as the learned blocking key.
+    // Round-10 design, LINEAR end to end (two r9/r10-interim flaws fixed):
+    //   1. CLUSTER COUNT GROWS WITH THE CORPUS (SemDeDup's own recipe —
+    //      cluster count is the constant-cluster-SIZE knob): centroids are
+    //      the sampled seeds vec_id ≡ 0 (mod stride), stride =
+    //      clamp(N div 8, 1, 250), so k ≈ max(8, N/250) and within-cluster
+    //      pair work is O(N·250). (r9 hardcoded k = 8 ⇒ O(N²/8).)
+    //   2. ASSIGNMENT IS LSH-PREFILTERED, not a broadcast scan of all k
+    //      centroids: with k ∝ N the classic crossJoin-argmin assign is
+    //      itself O(N·k) = O(N²/250). Instead seeds and vectors band under
+    //      the md-seeded hyperplane family (geometry sized to the SEED
+    //      count — sizedRowsPerTable(k), ~32 seeds per bucket), and each
+    //      vector takes argmin exact quantized L2 over only its COLLIDING
+    //      seeds — candidates per vector are geometry-bounded, so assign
+    //      is O(N·const). A vector colliding with no seed in any of the 8
+    //      tables gets cluster_id = −1 and is KEPT (SemDeDup only
+    //      suppresses within clusters) — the deterministic fallback. This
+    //      is "the label becomes an IVF cell" applied to the assignment
+    //      itself; the exact-Lloyd trainer remains q_kmeans.
+    // All arithmetic is exact integer (⌊1000·x+0.5⌋ quantization: L2
+    // argmin ties by cid, suppression cosine = one double division of
+    // long-exact operands), so the oracle reproduces every step
+    // bit-identically. stride/k/geometry are plan-time integer statistics
+    // (the oracle re-derives them from COUNT(*) with the same integer
+    // ladder — no float log2).
     "q_dedup_semantic" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
         val tau = 0.4
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"),
-            transform(col("embedding"), _.cast(DoubleType)).as("v"))
-        val d2 = expr(
-          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
-        def assign(centroids: DataFrame): DataFrame =
-          e.crossJoin(broadcast(centroids))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(min(struct(col("d2"), col("cid"))).as("m"),
-              first(col("v")).as("v"))
-            .select(col("vec_id"), col("m.cid").as("cid"), col("v"))
-        val strideDF = e.agg(count(lit(1)).as("n"))
-          .select(greatest(lit(1L), least(lit(250L), expr("n div 8")))
-            .as("stride"))
-        val seeds = e.crossJoin(broadcast(strideDF))
-          .filter(pmod(col("vec_id"), col("stride")) === 0)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val cent = Tables.runScopedCheckpoint("q_dedup_semantic.cent",
-          assign(seeds)
-            .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-            .groupBy("cid", "i").agg(avg(col("x")).as("mx"))
-            .groupBy("cid")
-            .agg(transform(array_sort(collect_list(struct(col("i"), col("mx")))),
-              p => round(p.getField("mx"), 6)).as("cv")))
-        val assigned = Tables.runScopedCheckpoint("q_dedup_semantic.assigned",
-          assign(cent))
-        val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
-        val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
+        val emb = Tables(s, d, "embeddings")
+        val n = emb.count()
+        val stride = math.max(1L, math.min(250L, n / 8))
+        val rpt = Similarity.sizedRowsPerTable(n / stride)
+        val vq = emb.select(col("vec_id"),
+          VectorFunctions.quantize16(col("embedding")).as("vq"))
+        val seedEmb = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        val bandedV = Similarity.mdPlaneBanded(emb, tables = 8,
+          rowsPerTable = rpt, dims = 64)
+        val bandedC = Similarity.mdPlaneBanded(seedEmb, tables = 8,
+            rowsPerTable = rpt, dims = 64)
+          .select(col("tbl"), col("bucket"), col("vec_id").as("cid"))
+        val cands = bandedV.join(bandedC, Seq("tbl", "bucket"))
+          .select("vec_id", "cid").distinct()
+        val seedsQ = vq.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("cid"), col("vq").as("cq"))
+        val assigned = cands
+          .join(vq, Seq("vec_id"))
+          .join(seedsQ, Seq("cid"))
+          .withColumn("d2", VectorFunctions.l2sqQ(col("vq"), col("cq")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+        val alla = Tables.runScopedCheckpoint("q_dedup_semantic.assigned",
+          vq.join(assigned, Seq("vec_id"), "left")
+            .select(col("vec_id"), coalesce(col("cid"), lit(-1L)).as("cid"),
+              col("vq")))
+        val a = alla.filter(col("cid") >= 0)
+          .select(col("cid"), col("vec_id").as("va"), col("vq").as("qa"))
+        val b = alla.filter(col("cid") >= 0)
+          .select(col("cid"), col("vec_id").as("vb"), col("vq").as("qb"))
         val sup = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
-          .filter(VectorFunctions.cosineSim(col("xa"), col("xb")) >= tau)
+          .filter(VectorFunctions.cosineSimQ(col("qa"), col("qb")) >= tau)
           .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("nn_id"))
-        assigned.join(sup, Seq("vec_id"), "left")
+        alla.join(sup, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cid").as("cluster_id"),
             col("nn_id").isNull.as("keep"), col("nn_id"))
           .orderBy("vec_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-               WHERE vec_id % (SELECT GREATEST(1, LEAST(250, COUNT(*) // 8))
-                               FROM e) = 0),
-        a1 AS (SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_reduce(list_transform(list_zip(e.v, c.cv),
-                       s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) ASC,
-                     c.cid ASC) AS rn
-            FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        c1 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cv FROM (
-            SELECT cid, i, AVG(x) AS m FROM (
-              SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1) z
-            GROUP BY cid, i) zz GROUP BY cid),
-        a2 AS (SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_reduce(list_transform(list_zip(e.v, c.cv),
-                       s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) ASC,
-                     c.cid ASC) AS rn
-            FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        eq AS (SELECT vec_id,
+                      list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq
+               FROM e),
+        par AS (SELECT stride, COUNT(*) // stride AS k FROM e,
+                  (SELECT GREATEST(1, LEAST(250, COUNT(*) // 8)) AS stride FROM e) s
+                GROUP BY stride),
+        geo AS (SELECT 5 ${Similarity.sizedRptLadderSql} AS rpt
+                FROM (SELECT (k + 31) // 32 AS m FROM par)),
+        dp AS (
+          SELECT vec_id, p,
+                 list_sum(list_transform(range(64), i ->
+                   vq[i + 1] * CASE WHEN (md5_number_lower('hp-' || p || '-' || i) & 1) = 1
+                                    THEN 1 ELSE -1 END)) AS dp
+          FROM eq, geo, (SELECT unnest(range(128)) AS p)
+          WHERE p < 8 * geo.rpt),
+        sig AS (
+          SELECT vec_id, p // geo.rpt AS tbl,
+                 SUM(CASE WHEN dp >= 0 THEN (1 << (p % geo.rpt)) ELSE 0 END) AS bucket
+          FROM dp, geo GROUP BY vec_id, p // geo.rpt),
+        cand AS (
+          SELECT DISTINCT a.vec_id, b.vec_id AS cid
+          FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          CROSS JOIN par
+          WHERE b.vec_id % par.stride = 0),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT c.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(x.vq, s.vq),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.cid ASC) AS rn
+            FROM cand c
+            JOIN eq x ON x.vec_id = c.vec_id
+            JOIN eq s ON s.vec_id = c.cid) WHERE rn = 1),
+        alla AS (
+          SELECT e.vec_id, COALESCE(a.cid, -1) AS cid
+          FROM e LEFT JOIN assigned a USING (vec_id)),
         sup AS (
-          SELECT b.vec_id, MIN(a.vec_id) AS nn_id
-          FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-          WHERE list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                >= 0.4
-          GROUP BY b.vec_id)
-        SELECT a2.vec_id, a2.cid AS cluster_id,
+          SELECT bb.vec_id, MIN(aa.vec_id) AS nn_id
+          FROM alla aa JOIN alla bb
+            ON aa.cid = bb.cid AND aa.cid >= 0 AND aa.vec_id < bb.vec_id
+          JOIN eq xa ON xa.vec_id = aa.vec_id
+          JOIN eq xb ON xb.vec_id = bb.vec_id
+          WHERE (CASE WHEN list_sum(list_transform(xa.vq, t -> t * t)) = 0
+                        OR list_sum(list_transform(xb.vq, t -> t * t)) = 0
+                      THEN 0.0
+                      ELSE CAST(list_sum(list_transform(list_zip(xa.vq, xb.vq),
+                             z -> z[1] * z[2])) AS DOUBLE) /
+                           (sqrt(CAST(list_sum(list_transform(xa.vq, t -> t * t)) AS DOUBLE)) *
+                            sqrt(CAST(list_sum(list_transform(xb.vq, t -> t * t)) AS DOUBLE)))
+                 END) >= 0.4
+          GROUP BY bb.vec_id)
+        SELECT alla.vec_id, alla.cid AS cluster_id,
                sup.nn_id IS NULL AS keep, sup.nn_id
-        FROM a2 LEFT JOIN sup USING (vec_id)
-        ORDER BY a2.vec_id""")))
+        FROM alla LEFT JOIN sup USING (vec_id)
+        ORDER BY alla.vec_id""")))
 
   /** ExactSubstr span detection (see q_dedup_substr for semantics and
     * scale notes): maximal per-doc position ranges covered by ≥L-token

@@ -732,8 +732,9 @@ object Similarity {
   }
 
   /** SQL fragment computing the same r from a column `m` = ⌈n/32⌉:
-    * `5 + Σ_{j=5..15} [m > 2^j]` — identical to the while loop above. */
-  private def sizedRptLadderSql: String =
+    * `5 + Σ_{j=5..15} [m > 2^j]` — identical to the while loop above.
+    * Shared with q_dedup_semantic's oracle (seed-banding geometry). */
+  private[graft] def sizedRptLadderSql: String =
     (5 to 15).map(j => s"+ (CASE WHEN m > ${1L << j} THEN 1 ELSE 0 END)")
       .mkString(" ")
 

@@ -81,6 +81,29 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: pointer jumping converges a diameter-60 chain within 20 iterations") {
+    import spark.implicits._
+    // Plain min-label propagation needs `diameter` iterations — 60 > the
+    // default maxIter 20, so this graph is exactly the ADVICE-r9 silent-
+    // partial-labels case. The r10 pointer jump (label of label each
+    // round) halves label depth per iteration, so 20 rounds cover
+    // diameter ~2^20; the loop must converge AND label everything 0.
+    val edges = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 61 && got.values.forall(_ == 0L),
+      s"chain not fully labeled: ${got.filter(_._2 != 0L)}")
+  }
+
+  test("connectedComponents: non-convergence throws instead of returning partial labels") {
+    import spark.implicits._
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("cluster query: labels are closed under the pair graph and survivors are minima") {
     val pairs = Dedup.minHashDedup(shingleSets, numHashes = 64, bands = 32, tau = 0.3)
       .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -312,30 +335,40 @@ class DedupSpec extends AnyFunSuite {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     val emb = Tables(spark, TestSpark.sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
       .toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    // r10 contract: the suppression cosine runs on the ⌊1000x+0.5⌋
+    // quantized vectors (long-exact dot/norms, one double division)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
       while (i < a.length) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
     val byCluster = out.groupBy(_._2)
     var suppressed = 0
     out.foreach { case (vid, cid, keep, nnId) =>
-      val sims = byCluster(cid).map(_._1).filter(_ < vid)
-        .filter(m => cos(emb(m), emb(vid)) >= 0.4)
-      if (keep) assert(sims.isEmpty && nnId.isEmpty,
-        s"vec $vid kept but suppressors exist: ${sims.sorted.take(3).toSeq}")
+      if (cid < 0) // no colliding seed: unclustered vectors are always kept
+        assert(keep && nnId.isEmpty, s"unclustered vec $vid not kept")
       else {
-        assert(sims.nonEmpty, s"vec $vid suppressed with no suppressor")
-        assert(nnId.contains(sims.min),
-          s"vec $vid nn_id ${nnId} != min suppressor ${sims.min}")
-        suppressed += 1
+        val sims = byCluster(cid).map(_._1).filter(_ < vid)
+          .filter(m => cos(emb(m), emb(vid)) >= 0.4)
+        if (keep) assert(sims.isEmpty && nnId.isEmpty,
+          s"vec $vid kept but suppressors exist: ${sims.sorted.take(3).toSeq}")
+        else {
+          assert(sims.nonEmpty, s"vec $vid suppressed with no suppressor")
+          assert(nnId.contains(sims.min),
+            s"vec $vid nn_id ${nnId} != min suppressor ${sims.min}")
+          suppressed += 1
+        }
       }
     }
     assert(suppressed > 0, "tau vacuous on the test corpus — nothing suppressed")
+    assert(out.exists(_._2 >= 0), "no vector got a cluster — banding vacuous")
   }
 
   test("q_dedup_span_rate: per-source rates match a brute-force span census") {
@@ -393,5 +426,32 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(cov.exists(_._3 > 0) && cov.exists(_._3 == 0),
       "coverage vacuous — need both covered and clean docs")
+  }
+
+  test("q_dedup_substr_apply: cleaned text equals a sequential cut of the flagged spans") {
+    val spans = SparkEntry.queries("q_dedup_substr")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val docsRaw = Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_dedup_substr_apply")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == docsRaw.size, "apply must emit every document")
+    got.foreach { case (doc, n, kept, fp) =>
+      val t = docsRaw(doc).split(" ", -1)
+      assert(n == t.length, s"doc $doc n_tokens")
+      val cut = spans.getOrElse(doc, Array.empty).map(s => (s._2, s._3))
+      val keptToks = t.zipWithIndex.collect {
+        case (tok, i) if !cut.exists(c => i >= c._1 && i < c._2) => tok }
+      assert(kept == keptToks.length.toLong, s"doc $doc kept_tokens")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(keptToks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == md, s"doc $doc clean_fp")
+    }
+    assert(got.exists(r => r._3 < r._2), "need at least one actually-cut doc")
+    assert(got.exists(r => r._3 == r._2), "need at least one untouched doc")
   }
 }

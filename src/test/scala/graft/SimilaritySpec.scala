@@ -172,23 +172,29 @@ class SimilaritySpec extends AnyFunSuite {
     def sgn(p: Int, i: Int): Long =
       if ((graft.functions.VectorKernels.md5Lower64(
         UTF8String.fromString(s"hp-$p-$i")) & 1L) == 1L) 1L else -1L
-    // signatures: 8 tables x 5-bit buckets from 40 integer dot products
+    // r10 contract: 8 tables x sizedRowsPerTable(N)-bit buckets from
+    // 8·rpt integer dot products; re-rank on the quantized vectors
+    val rpt = graft.llm.Similarity.sizedRowsPerTable(raw.size.toLong)
+    def quant(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000 + 0.5).toLong)
     val sigs: Map[Long, Seq[(Int, Long)]] = raw.map { case (id, v) =>
-      val vq = v.map(x => math.floor(x * 1000 + 0.5).toLong)
-      val dps = (0 until 40).map(p =>
+      val vq = quant(v)
+      val dps = (0 until 8 * rpt).map(p =>
         vq.indices.map(i => vq(i) * sgn(p, i)).sum)
       id -> (0 until 8).map { t =>
-        t -> (0 until 5).map(j =>
-          if (dps(t * 5 + j) >= 0) 1L << j else 0L).sum
+        t -> (0 until rpt).map(j =>
+          if (dps(t * rpt + j) >= 0) 1L << j else 0L).sum
       }
     }
     val byBucket = sigs.toSeq
       .flatMap { case (id, tb) => tb.map { case (t, b) => ((t, b), id) } }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
+      val (qa, qb) = (quant(a), quant(b))
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < qa.length) { d += qa(i) * qb(i); na += qa(i) * qa(i); nb += qb(i) * qb(i); i += 1 }
+      if (na == 0L || nb == 0L) 0.0
+      else d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
     val expected: Map[Long, Seq[(Long, Long)]] = sigs.map { case (id, tb) =>
       val cand = tb.flatMap { case (t, b) => byBucket((t, b)) }
@@ -253,5 +259,26 @@ class SimilaritySpec extends AnyFunSuite {
     // non-vacuous: at least one multi-node component beyond a single pair
     assert(sizes.values.exists(_ >= 3),
       "no component of size >= 3 — propagation untested beyond one hop")
+  }
+
+  test("sizedRowsPerTable: smallest r >= 5 with 2^r >= ceil(n/32), capped at 16") {
+    import graft.llm.Similarity.sizedRowsPerTable
+    // exact power-of-two boundaries are where a float log2 could flip
+    assert(sizedRowsPerTable(1) == 5)
+    assert(sizedRowsPerTable(1024) == 5)     // m = 32 = 2^5
+    assert(sizedRowsPerTable(1025) == 6)     // m = 33
+    assert(sizedRowsPerTable(2000) == 6)     // sf0.1: m = 63
+    assert(sizedRowsPerTable(2048) == 6)     // m = 64 = 2^6
+    assert(sizedRowsPerTable(2049) == 7)     // m = 65
+    assert(sizedRowsPerTable(20000) == 10)   // sf1: m = 625
+    assert(sizedRowsPerTable(200000) == 13)  // sf10: m = 6250
+    assert(sizedRowsPerTable(2000000) == 16) // sf100: m = 62500
+    assert(sizedRowsPerTable(Long.MaxValue / 2) == 16) // cap
+    // parity with the SQL ladder semantics: 5 + #{j in [5,15] : m > 2^j}
+    for (n <- Seq(1L, 31L, 1024L, 1025L, 4096L, 123457L, 2000000L, 1L << 40)) {
+      val m = (n + 31) / 32
+      val ladder = 5 + (5 to 15).count(j => m > (1L << j))
+      assert(sizedRowsPerTable(n) == ladder, s"ladder mismatch at n=$n")
+    }
   }
 }

@@ -130,4 +130,52 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .head()
     assert(n.isNullAt(0))
   }
+
+  test("md_plane_dots / quantize16 / cosine_similarity_int16 match their HOF reference spellings") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val planes = 11 // deliberately not a multiple of anything
+    val vecs = Seq(
+      (1L, Array(0.4999f, -0.0004f, 0.0005f, 1.0f, -0.57f)), // round boundaries
+      (2L, Array(0.1f, 0.2f, -0.3f, 0.25f, 0.5f)),
+      (3L, Array(0f, 0f, 0f, 0f, 0f))) // zero vector → cos 0.0
+    val df = vecs.toDF("id", "v")
+    // reference: the r9 interpreted spelling, driver-side
+    def q(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    def sgn(p: Int, i: Int): Long =
+      if ((graft.functions.VectorKernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"hp-$p-$i")) & 1L) == 1L) 1L
+      else -1L
+    val gotDots = df.select(col("id"),
+        VectorFunctions.mdPlaneDots(col("v"), planes).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until planes).map(p =>
+        v.indices.map(i => q(v(i)) * sgn(p, i)).sum)
+      assert(gotDots(id) == want, s"dots mismatch for vec $id")
+    }
+    val gotQ = df.select(col("id"), VectorFunctions.quantize16(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(gotQ(id) == v.map(x => q(x).toShort).toSeq, s"quantize mismatch $id")
+    }
+    val pairs = df.select(col("id"), VectorFunctions.quantize16(col("v")).as("q"))
+    val cos = pairs.as("a").crossJoin(pairs.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        VectorFunctions.cosineSimQ(col("a.q"), col("b.q")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      val (qa, qb) = (a.map(q), b.map(q))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    for ((ia, va) <- vecs.map(v => v._1 -> v._2);
+         (ib, vb) <- vecs.map(v => v._1 -> v._2)) {
+      assert(cos((ia, ib)) == ref(va, vb), s"cos_q mismatch ($ia,$ib)")
+    }
+    // sqrt(n)·sqrt(n) can round a ulp off n, so self-cosine is ≈1, not ==1
+    assert(cos((3L, 1L)) == 0.0 && math.abs(cos((1L, 1L)) - 1.0) < 1e-12)
+  }
 }
