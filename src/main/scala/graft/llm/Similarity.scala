@@ -430,54 +430,65 @@ object Similarity {
     // DuckDB, unlike the XXH64-kernel q_similarity_ann whose contract is
     // boolean-validated.
     //
-    // Round-10 rework of the two r9 scale flags:
+    // Round-10 rework of the two r9 scale flags, plus the capped-bucket
+    // lesson the r10 decade sweep itself taught:
     //   1. GEOMETRY IS CORPUS-SIZED, not fixed: 8 tables of
     //      rowsPerTable = sizedRowsPerTable(N) bits each — the smallest
-    //      r ≥ 5 with 2^r ≥ ⌈N/32⌉ — so per-bucket population targets
-    //      ~32 vectors at ANY corpus size and the in-bucket pair explode
-    //      is O(N·32·tables), linear (the r9 fixed 32-bucket geometry
-    //      made it O(N²/32) and told the reader to "tune rowsPerTable
-    //      up" by hand). N is a plan-time statistics read (the count a
-    //      production planner takes from table stats; geometry must be
-    //      literal so the plane sign vectors constant-fold) and the
-    //      oracle re-derives the identical r from COUNT(*) with an
-    //      integer comparison ladder — no float log2, whose 1-ulp
-    //      engine divergence could flip a ceil at an exact power of two.
-    //   2. RE-RANK ON THE QUANTIZED INTEGER VECTORS already computed for
-    //      banding (the q_ann_recall trick): candidates are scored by
-    //      exact ⌊1000·x+0.5⌋ integer dot products shipped as
-    //      array<smallint> (2 B/dim), so the 64-double arrays never
-    //      cross the two candidate-sized exchanges (the measured r9 cost
-    //      center). cos_q is bit-exact cross-engine: integer dots are
-    //      ≤ 64·578² ≪ 2^53 and the divide-by-norms is single IEEE ops
-    //      on identical operands. Quantization is part of the operator
-    //      contract (a legitimate SRP-ANN variant; the exact-double
-    //      re-rank lives in q_knn_graph).
+    //      r ≥ 5 with 2^r ≥ ⌈N/32⌉ — so RANDOM collisions stay ~32 per
+    //      bucket at any corpus size (the r9 fixed 32-bucket geometry
+    //      told the reader to "tune rowsPerTable up" by hand). N is a
+    //      plan-time statistics read (the count a production planner
+    //      takes from table stats; geometry must be literal so the plane
+    //      sign vectors constant-fold); the oracle re-derives r from
+    //      COUNT(*) with an integer comparison ladder — no float log2.
+    //   2. CANDIDATE LISTS ARE CAPPED at 64 per (table, bucket): on
+    //      CLUSTERED data similar vectors collide by design at ANY bit
+    //      width, so bucket population is Ω(cluster size) and the
+    //      uncapped in-bucket explode measured 62× per decade on the
+    //      sweep corpus. The capped scan (keep the 64 lowest vec_ids per
+    //      bucket as candidates — every vector still PROBES its bucket)
+    //      is the standard bounded-list ANN trade (IVF list caps /
+    //      Manku-style hot-bucket truncation) and makes total pair work
+    //      ≤ N·8·64 — a hard linear bound, deterministic and
+    //      oracle-mirrorable (row_number by vec_id).
+    //   3. VECTORS NEVER RIDE THE PAIR RELATION: the int16-quantized
+    //      vectors (2 B/dim) travel once on the banding relation, cosine
+    //      is scored IN the bucket join (codegen'd kernel, long-exact
+    //      dots), and everything downstream — per-pair table dedup and
+    //      the rank window — moves only (vec_id, nbr_id, cos_q) rows.
+    //      cos_q is bit-exact cross-engine (integer dots ≪ 2^53, one
+    //      double division). The exact-double re-rank lives in
+    //      q_knn_graph; quantization is this operator's contract.
     //
-    // Scale shape: one map pass computes all 8·rpt projections; the
-    // banding relation is id-only (3 longs per vector-table) and shuffles
-    // by (tbl, bucket); bucket population is held ~constant by the sized
-    // geometry; the rank window partitions by vec_id over candidates,
-    // WindowGroupLimit prunes to ≤k map-side.
+    // Scale shape: one map pass computes all 8·rpt projections
+    // (md_plane_dots kernel); ONE (tbl, bucket) exchange of
+    // (ids + 128 B vq) rows; pair work hard-bounded by the cap; pair
+    // dedup is a (vec_id, nbr_id) hash agg with map-side combine; the
+    // rank window partitions by vec_id, WindowGroupLimit prunes ≤k
+    // map-side.
     "q_knn_graph_ann" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
         val emb = Tables(s, d, "embeddings")
         val rpt = sizedRowsPerTable(emb.count())
-        val banded = mdPlaneBanded(emb, tables = 8, rowsPerTable = rpt, dims = 64)
-        val cands = banded
-          .join(banded.select(col("tbl"), col("bucket"),
-            col("vec_id").as("nbr_id")), Seq("tbl", "bucket"))
-          .filter(col("vec_id") =!= col("nbr_id"))
-          .select("vec_id", "nbr_id").distinct()
         val vq = emb.select(col("vec_id"),
           VectorFunctions.quantize16(col("embedding")).as("vq"))
-        cands
+        val banded = mdPlaneBanded(emb, tables = 8, rowsPerTable = rpt,
+            dims = 64)
           .join(vq, Seq("vec_id"))
-          .join(vq.select(col("vec_id").as("nbr_id"), col("vq").as("nvq")),
-            Seq("nbr_id"))
-          .withColumn("cos_q",
-            VectorFunctions.cosineSimQ(col("vq"), col("nvq")))
+        val capped = banded
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("tbl"), col("bucket"))
+              .orderBy(col("vec_id").asc)))
+          .filter(col("rn") <= 64)
+          .select(col("tbl"), col("bucket"), col("vec_id").as("nbr_id"),
+            col("vq").as("nvq"))
+        banded
+          .join(capped, Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            VectorFunctions.cosineSimQ(col("vq"), col("nvq")).as("cos_q"))
+          .groupBy("vec_id", "nbr_id").agg(max(col("cos_q")).as("cos_q"))
           .withColumn("rnk", rank().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("cos_q").desc, col("nbr_id").asc)).cast(LongType))
@@ -503,13 +514,19 @@ object Similarity {
           SELECT vec_id, p // geo.rpt AS tbl,
                  SUM(CASE WHEN dp >= 0 THEN (1 << (p % geo.rpt)) ELSE 0 END) AS bucket
           FROM dp, geo GROUP BY vec_id, p // geo.rpt),
-        coll AS (
-          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-          FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
-          WHERE a.vec_id <> b.vec_id),
+        sigc AS (
+          SELECT tbl, bucket, vec_id FROM (
+            SELECT tbl, bucket, vec_id,
+                   row_number() OVER (PARTITION BY tbl, bucket
+                                      ORDER BY vec_id ASC) AS rn
+            FROM sig) WHERE rn <= 64),
         nrm AS (SELECT vec_id, vq,
                        list_sum(list_transform(vq, t -> t * t)) AS n2
                 FROM eq),
+        coll AS (
+          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+          FROM sig a JOIN sigc b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id),
         scored AS (
           SELECT c.vec_id, c.nbr_id,
                  CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0

@@ -186,9 +186,10 @@ class SimilaritySpec extends AnyFunSuite {
           if (dps(t * rpt + j) >= 0) 1L << j else 0L).sum
       }
     }
+    // candidate side capped at the 64 lowest vec_ids per (table, bucket)
     val byBucket = sigs.toSeq
       .flatMap { case (id, tb) => tb.map { case (t, b) => ((t, b), id) } }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(64)).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val (qa, qb) = (quant(a), quant(b))
       var d = 0L; var na = 0L; var nb = 0L; var i = 0
