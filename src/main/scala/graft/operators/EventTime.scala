@@ -20,84 +20,9 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   */
 object EventTime {
 
-  /** Scratch-dir management for the real-engine streaming queries
-    * (ADVICE r9: the r9 spellings created a fresh temp dir holding a full
-    * corpus copy per invocation and never deleted it — a warmed
-    * median-of-3 battery leaked ~4 corpus copies per query per session).
-    *
-    * Two mechanisms:
-    *   - [[sharedInput]]: ONE canonical events corpus copy per (JVM, sf
-    *     dir), written once and shared by every streaming query — the
-    *     corpus write leaves the timed region after the first run instead
-    *     of being paid per query per run (r9 verdict ask #6).
-    *   - [[fresh]]: per-(query, run) scratch for sink + checkpoint. Keyed
-    *     like Tables.runScopedCheckpoint: invoking it again under the same
-    *     key deletes the PREVIOUS run's dir first (safe — that run's
-    *     read-back has been consumed by then), so repeated bench runs hold
-    *     at most one live scratch per query.
-    * Everything registered is also deleted on JVM exit.
-    */
-  private[graft] object Scratch {
-    private val dirs =
-      java.util.Collections.synchronizedMap(
-        new java.util.HashMap[String, java.nio.file.Path]())
-    private val hook = new java.util.concurrent.atomic.AtomicBoolean(false)
-    private def deleteRec(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => scala.util.Try(java.nio.file.Files.deleteIfExists(f)))
-      }
-    private def ensureHook(): Unit =
-      if (hook.compareAndSet(false, true))
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          dirs.synchronized {
-            dirs.values.forEach(p => deleteRec(p)); dirs.clear()
-          }))
-    /** Fresh temp dir for `key`, deleting the previous run's dir. */
-    def fresh(key: String): String = {
-      ensureHook()
-      val prev = dirs.get(key)
-      if (prev != null) scala.util.Try(deleteRec(prev))
-      val p = java.nio.file.Files.createTempDirectory(s"graft_${key}_")
-      dirs.put(key, p)
-      p.toString
-    }
-    /** The shared events corpus copy for `d`: (event_id, ts TIMESTAMP,
-      * user_id, event_type, value) in 8 parquet files (so
-      * maxFilesPerTrigger consumers get genuine multi-batch runs while
-      * unthrottled consumers still ingest everything in ONE micro-batch —
-      * the single-batch assumption the watermarked oracles rely on).
-      * Watermarks require TIMESTAMP (with zone); Tables emits NTZ. Session
-      * TZ is pinned UTC, so the cast is value-stable. */
-    def sharedInput(s: org.apache.spark.sql.SparkSession, d: String): String = {
-      ensureHook()
-      val key = s"stream_in:$d"
-      dirs.synchronized {
-        val prev = dirs.get(key)
-        if (prev != null) prev.toString
-        else {
-          val p = java.nio.file.Files.createTempDirectory("graft_stream_in_")
-          Tables(s, d, "events")
-            .select(col("event_id"), col("ts").cast(TimestampType),
-              col("user_id"), col("event_type"), col("value"))
-            .repartition(8)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$p/in")
-          dirs.put(key, p)
-          p.toString
-        }
-      }
-    }
-    /** Schema of [[sharedInput]]'s files (constructed, not re-read). */
-    val inputSchema: org.apache.spark.sql.types.StructType = {
-      import org.apache.spark.sql.types._
-      StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-    }
-  }
+  // Scratch-dir management (shared corpus copy + per-run recycled dirs)
+  // lives in graft.Scratch — see its Scaladoc for the r9 leak rationale.
+  private val Scratch = graft.Scratch
 
   val qs: Map[String, Q] = Map(
 

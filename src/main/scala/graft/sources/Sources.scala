@@ -24,8 +24,7 @@ object Sources {
       fn = (s, d) => {
         val nation = s.read.parquet(s"$d/nation.parquet")
         // Per-invocation scratch dir (same concurrency rationale as ORC).
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_csv_nation_").toString
+        val path = graft.Scratch.fresh("src_csv_nation")
         writeCsv(nation, path)
         readCsv(s, path, nation.schema)
           .orderBy("n_nationkey")
@@ -38,8 +37,7 @@ object Sources {
     "q_source_xml" -> graft.Q(
       fn = (s, d) => {
         val part = s.read.parquet(s"$d/part.parquet")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_xml_part_").toString
+        val path = graft.Scratch.fresh("src_xml_part")
         part.write.mode(SaveMode.Overwrite)
           .option("rowTag", "part").format("xml").save(path)
         s.read.schema(part.schema).option("rowTag", "part")
@@ -51,8 +49,7 @@ object Sources {
       fn = (s, d) => {
         val supplier = s.read.parquet(s"$d/supplier.parquet")
         // Per-invocation scratch dir (same concurrency rationale as ORC).
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_json_supplier_").toString
+        val path = graft.Scratch.fresh("src_json_supplier")
         writeJson(supplier, path)
         readJson(s, path, supplier.schema)
           .orderBy("s_suppkey")
@@ -68,8 +65,7 @@ object Sources {
     "q_sink_partitioned" -> graft.Q(
       fn = (s, d) => {
         val docsDf = s.read.parquet(s"$d/documents.parquet")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_part_documents_").toString
+        val path = graft.Scratch.fresh("src_part_documents")
         writeParquet(docsDf, path, partitionBy = Seq("lang"))
         s.read.parquet(path)
           .filter(org.apache.spark.sql.functions.col("lang") === "en")
@@ -84,8 +80,7 @@ object Sources {
         val customer = s.read.parquet(s"$d/customer.parquet")
         // Per-invocation scratch dir: a fixed path races when two sessions
         // bench concurrently (one overwrites mid-read of the other).
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_orc_customer_").toString
+        val path = graft.Scratch.fresh("src_orc_customer")
         customer.write.mode(SaveMode.Overwrite).orc(path)
         s.read.schema(customer.schema).orc(path)
           .orderBy("c_custkey")
@@ -103,8 +98,7 @@ object Sources {
       fn = (s, d) => {
         import org.apache.spark.sql.functions._
         val docs = s.read.parquet(s"$d/documents.parquet")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_evo_documents_").toString
+        val path = graft.Scratch.fresh("src_evo_documents")
         docs.filter(col("doc_id") % 2 === 0)
           .select("doc_id", "lang")
           .write.mode(SaveMode.Overwrite).parquet(s"$path/gen1")
@@ -130,8 +124,7 @@ object Sources {
     "q_source_corrupt" -> graft.Q(
       fn = (s, d) => {
         import org.apache.spark.sql.functions._
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_corrupt_json_").toString
+        val path = graft.Scratch.fresh("src_corrupt_json")
         s.read.parquet(s"$d/documents.parquet")
           .select(when(col("doc_id") % 7 === 0,
               concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
@@ -231,8 +224,7 @@ object Sources {
         // Per-invocation scratch dir (same concurrency rationale as the
         // round-trip sources above: a fixed per-JVM path collides under
         // parallel execution, overwriting partition dirs mid-read-back).
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_merge_").toString
+        val out = graft.Scratch.fresh("src_merge")
         merged.write.mode(SaveMode.Overwrite).partitionBy("pri").parquet(out)
         s.read.parquet(out)
           .groupBy("pri")
