@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"), info("graft_might_contain"),
       (exprs: Seq[Expression]) => GraftMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("topk_pairs"), info("topk_pairs"),
+      (exprs: Seq[Expression]) => graft.functions.TopKAgg.build(exprs)))
     e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),

@@ -530,6 +530,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_might_contain",
       exprs => GraftMightContain(exprs(0), exprs(1)), "scala_udf")
+    // Bounded top-k pair selection (TypedImperativeAggregate; TopKAgg.scala)
+    // — the zero-sort spelling of the k-NN queries' rank-window tails.
+    reg.createOrReplaceTempFunction(
+      "topk_pairs", TopKAgg.build, "scala_udf")
     reg.createOrReplaceTempFunction(
       "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

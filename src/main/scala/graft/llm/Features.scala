@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, Tables}
 import graft.Q._
+import graft.functions.{TopKAgg, VectorFunctions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -354,6 +355,53 @@ object Features {
     //
     // Scale shape: one map-side-combined hash agg to |labels| rows, then
     // constant-sized arithmetic via a window over that relation.
+    // Cluster-balanced diversity sampling (the ClusterClip / SemDeDup-
+    // pipeline "keep m per cluster" step): every cluster contributes its
+    // m = 5 lowest-PRIORITY members, priority = a deterministic per-vector
+    // hash — a reproducible uniform draw with no RNG state to coordinate
+    // across 1000 executors (q_sample_weighted convention). The label
+    // column is the cluster id here; at 100 TB it is the k-means / IVF
+    // cell id the similarity family already produces (q_dedup_semantic's
+    // assignment), so the shape is one keyed exchange regardless of what
+    // produced the clustering.
+    //
+    // Scale shape: the per-cluster selection is the topk_pairs typed
+    // aggregate (TopKAgg.scala, asc on the hash priority) fused with the
+    // cluster-size count in the SAME aggregation — map-side partial
+    // buffers of <=5 pairs per (cluster, partition), zero sorts, and the
+    // corpus crosses exactly one label-keyed exchange.
+    "q_sample_cluster" -> Q(
+      fn = (s, d) => {
+        VectorFunctions.register(s)
+        val pr = shiftrightunsigned(VectorFunctions.md5Lower(
+          concat(lit("cb-"), col("vec_id").cast(StringType))), 11)
+          .cast(DoubleType)
+        Tables(s, d, "embeddings")
+          .select(col("label"), col("vec_id"), pr.as("pr"))
+          .groupBy("label")
+          .agg(TopKAgg.topkPairs(col("pr"), col("vec_id"), 5, asc = true)
+            .as("top"), count(lit(1)).as("cluster_size"))
+          .select(col("label"), col("cluster_size"), posexplode(col("top")))
+          .select(col("label"), col("cluster_size"),
+            (col("pos") + 1).cast(LongType).as("rank"),
+            col("col.id").as("vec_id"), col("col.score").as("priority"))
+          .orderBy("label", "rank")
+      },
+      oracle = Some("""
+        WITH pr AS (
+          SELECT label, vec_id,
+                 CAST(md5_number_lower('cb-' || vec_id) >> 11 AS DOUBLE)
+                   AS pr
+          FROM embeddings),
+        r AS (SELECT label, vec_id, pr,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY pr, vec_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY label) AS cluster_size
+              FROM pr)
+        SELECT label, CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(rnk AS BIGINT) AS rank, vec_id, pr AS priority
+        FROM r WHERE rnk <= 5 ORDER BY label, rank""")),
+
     "q_label_balance" -> Q(
       fn = (s, d) => {
         val g = Tables(s, d, "embeddings")

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{Q, Tables}
 import graft.Q._
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAgg, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,13 +106,17 @@ object Similarity {
           element_at(col("dt"),
             (lit(m * 16) + col(s"code_$m").cast(IntegerType) + 1))
         }.reduce(_ + _)
+        // topk_pairs tail (asc = smaller ADC distance is better): ≤5 pairs
+        // per (query, partition) reach the only exchange — no sort, no
+        // full scored-relation shuffle.
         corpusCodes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("adc", adc)
-          .withColumn("rnk", rank().over(
-            Window.partitionBy(col("q_id"))
-              .orderBy(col("adc").asc, col("vec_id").asc)).cast(LongType))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "rnk", "vec_id", "adc")
+          .select(col("q_id"), adc.as("adc"), col("vec_id"))
+          .groupBy("q_id")
+          .agg(TopKAgg.topkPairs(col("adc"), col("vec_id"), 5, asc = true)
+            .as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+            col("col.id").as("vec_id"), col("col.score").as("adc"))
           .orderBy("q_id", "rnk", "vec_id")
       },
       oracle = Some("""
@@ -462,10 +466,13 @@ object Similarity {
     //
     // Scale shape: one map pass computes all 8·rpt projections
     // (md_plane_dots kernel); ONE (tbl, bucket) exchange of
-    // (ids + 128 B vq) rows; pair work hard-bounded by the cap; pair
-    // dedup is a (vec_id, nbr_id) hash agg with map-side combine; the
-    // rank window partitions by vec_id, WindowGroupLimit prunes ≤k
-    // map-side.
+    // (ids + 128 B vq) rows; pair work hard-bounded by the cap; the whole
+    // tail (cross-table pair dedup + per-vector top-3) is ONE
+    // `topk_pairs` typed aggregate (TopKAgg.scala) — map-side partial
+    // buffers of ≤3 pairs per vector, ZERO sorts, and the pair relation
+    // itself never crosses an exchange (the r9 spelling shuffled it once
+    // for the (vec_id, nbr_id) dedup agg and sorted it twice for the rank
+    // window; that tail measured ~4× at sf100, BENCH_NOTES r10).
     "q_knn_graph_ann" -> Q(
       fn = (s, d) => {
         VectorFunctions.register(s)
@@ -488,12 +495,11 @@ object Similarity {
           .filter(col("vec_id") =!= col("nbr_id"))
           .select(col("vec_id"), col("nbr_id"),
             VectorFunctions.cosineSimQ(col("vq"), col("nvq")).as("cos_q"))
-          .groupBy("vec_id", "nbr_id").agg(max(col("cos_q")).as("cos_q"))
-          .withColumn("rnk", rank().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos_q").desc, col("nbr_id").asc)).cast(LongType))
-          .filter(col("rnk") <= 3)
-          .select("vec_id", "rnk", "nbr_id", "cos_q")
+          .groupBy("vec_id")
+          .agg(TopKAgg.topkPairs(col("cos_q"), col("nbr_id"), 3).as("top"))
+          .select(col("vec_id"), posexplode(col("top")))
+          .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+            col("col.id").as("nbr_id"), col("col.score").as("cos_q"))
           .orderBy("vec_id", "rnk", "nbr_id")
       },
       oracle = Some(s"""
@@ -798,14 +804,21 @@ object Similarity {
         transform(col("embedding"), _.cast(DoubleType)).as("v"))
     val nbrs = e.select(col("label"), col("vec_id").as("nbr_id"),
       col("v").as("nv"))
+    // topk_pairs tail (TopKAgg.scala): grouping by (label, vec_id) is
+    // already satisfied by the join's label-hash partitioning, so the
+    // whole top-k costs ZERO extra exchanges AND zero sorts (the r9 rank
+    // window needed a per-partition sort of the full pair relation before
+    // WindowGroupLimit could prune).
     e.join(nbrs, Seq("label"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("v"), col("nv")))
-      .withColumn("rnk", rank().over(
-        Window.partitionBy(col("label"), col("vec_id"))
-          .orderBy(col("cos").desc, col("nbr_id").asc)).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("label", "vec_id", "rnk", "nbr_id", "cos")
+      .select(col("label"), col("vec_id"),
+        VectorFunctions.cosineSim(col("v"), col("nv")).as("cos"), col("nbr_id"))
+      .groupBy("label", "vec_id")
+      .agg(TopKAgg.topkPairs(col("cos"), col("nbr_id"), k).as("top"))
+      .select(col("label"), col("vec_id"), posexplode(col("top")))
+      .select(col("label"), col("vec_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.id").as("nbr_id"), col("col.score").as("cos"))
   }
 
   /** Within-label exact k-NN graph with mutual flags (see q_knn_graph).
@@ -835,13 +848,18 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // topk_pairs tail: the map-side nested loop reduces to ≤k pairs per
+    // (query, partition) BEFORE the only exchange — the r9 rank window
+    // shuffled the full N·|queries| scored relation to |queries|
+    // partitions and sorted it there.
     e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
-      .withColumn("rnk", rank().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "cos", "rnk")
+      .select(col("q_id"),
+        VectorFunctions.cosineSim(col("qv"), col("v")).as("cos"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(TopKAgg.topkPairs(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast(LongType).as("rnk"))
   }
 
   /** Shared oracle fragment: exact cosine ranking of the full corpus
@@ -877,14 +895,21 @@ object Similarity {
     val codebook = broadcast(e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
 
+    // Cell assignment via topk_pairs (TopKAgg.scala): the broadcast
+    // nested loop reduces to one ≤n-cell buffer per point map-side (the
+    // r9 rank window exchanged the N·nlist scored relation and sorted
+    // it); the vector rides the aggregate as first() — groupwise
+    // constant — instead of a second join back to the corpus.
     def nearestCells(points: DataFrame, idCol: String, vecCol: String, n: Int) =
       points.crossJoin(codebook)
-        .withColumn("__ccos", VectorFunctions.cosineSim(col(vecCol), col("cv")))
-        .withColumn("__crnk", rank().over(
-          Window.partitionBy(col(idCol))
-            .orderBy(col("__ccos").desc, col("cent_id").asc)))
-        .filter(col("__crnk") <= n)
-        .drop("cv", "__ccos", "__crnk")
+        .select(col(idCol), col(vecCol),
+          VectorFunctions.cosineSim(col(vecCol), col("cv")).as("__ccos"),
+          col("cent_id"))
+        .groupBy(idCol)
+        .agg(TopKAgg.topkPairs(col("__ccos"), col("cent_id"), n).as("__top"),
+          first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col(vecCol),
+          explode(col("__top").getField("id")).as("cent_id"))
 
     val assigned = nearestCells(e, "vec_id", "v", 1)
     val queries = nearestCells(
@@ -895,12 +920,13 @@ object Similarity {
 
     assigned.join(queries, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
-      .withColumn("rnk", rank().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "cos", "rnk")
+      .select(col("q_id"),
+        VectorFunctions.cosineSim(col("qv"), col("v")).as("cos"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(TopKAgg.topkPairs(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast(LongType).as("rnk"))
   }
 
   /** Multi-TABLE random-hyperplane LSH (the standard cosine-ANN
@@ -934,14 +960,17 @@ object Similarity {
     val corpus = banded(e).select(col("table"), col("bucket"), col("vec_id"), col("v"))
     val queries = banded(e.filter(col("vec_id") < 10))
       .select(col("table"), col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
+    // topk_pairs tail: per-id dedup inside the aggregate replaces the
+    // cross-table `.distinct()` exchange, and the rank window's
+    // shuffle+sort collapses into the same single aggregation.
     corpus.join(queries, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("v")))
-      .select("q_id", "vec_id", "cos").distinct()
-      .withColumn("rnk", rank().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id").asc)).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "cos", "rnk")
+      .select(col("q_id"),
+        VectorFunctions.cosineSim(col("qv"), col("v")).as("cos"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(TopKAgg.topkPairs(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast(LongType).as("rnk"))
   }
 }

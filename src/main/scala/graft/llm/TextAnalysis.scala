@@ -27,6 +27,44 @@ object TextAnalysis {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Unrolled `iters`-round BPE training oracle (q_bpe_train): same
+    * word-count base, same count-weighted pair argmax (ties by lhs, rhs),
+    * same greedy-fold merge application — DuckDB's `list_reduce` seeds the
+    * accumulator with the first element, exactly matching the Spark fold's
+    * empty-init + first-element CASE. Each round is one (p_i, b_i, w_i)
+    * CTE triple chained on the previous round's word relation.
+    */
+  private def bpeTrainOracle(iters: Int): String = {
+    val base = """w0 AS (
+          SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+                 COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1)"""
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+          SELECT t[j] AS lhs, t[j + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS j
+                FROM (SELECT string_split(syms, ' ') AS t, cnt FROM w${i - 1})
+                WHERE len(t) >= 2)
+          GROUP BY 1, 2),
+        b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+        w$i AS (
+          SELECT list_reduce(string_split(syms, ' '), (acc, x) ->
+                   CASE WHEN (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                             AND x = b.rhs
+                        THEN acc || b.rhs ELSE acc || ' ' || x END) AS syms,
+                 cnt
+          FROM w${i - 1}, b$i b)"""
+    }.mkString(",\n        ")
+    val union = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, lhs, rhs, n FROM b$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $base,
+        $steps
+        $union
+        ORDER BY iter"""
+  }
+
   private def markerScore(words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
@@ -693,6 +731,70 @@ object TextAnalysis {
                         FROM words WHERE length(w) >= 2))
         SELECT pair, COUNT(*) AS n FROM pairs
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
+    // FULL BPE merge-table training (Sennrich et al. 2016, arXiv:1508.07909
+    // — the iterative completion of q_bpe_merges' single counting step),
+    // run the way a tokenizer trainer actually scales on Spark: the corpus
+    // is touched ONCE (a word-frequency aggregation — vocab ≪ corpus; at
+    // 100 TB this is the only corpus-sized pass), and each of the 8 merge
+    // rounds then works on the checkpointed word-count relation alone —
+    // pair counts are a per-word adjacency explode WEIGHTED BY word count,
+    // the winning pair is a 1-row TakeOrderedAndProject collected to the
+    // driver (the merge RULE is a scalar; the same driver-side control
+    // loop as the q_kmeans trainer), and the merge is applied as an exact
+    // left-to-right greedy fold over each word's symbol string.
+    //
+    // Fold-encoding exactness (identical lambda in the DuckDB oracle):
+    // symbols are space-joined (symbols themselves can't contain spaces —
+    // words are whitespace-split), so "last symbol == lhs" is exactly
+    // `acc = lhs OR endswith(acc, ' '||lhs)`, and a merge appends rhs with
+    // NO space. A merged symbol can never chain-merge in the same pass
+    // (lhs||rhs ≠ lhs, and merged output contains no ' '||lhs suffix), so
+    // the fold reproduces Sennrich's non-overlapping left-to-right re.sub
+    // exactly — e.g. merging (a,a) over "a a a" yields "aa a", never "aaa".
+    "q_bpe_train" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val iters = 8
+        var words = Tables.runScopedCheckpoint("q_bpe_train.w0",
+          Tables(s, d, "documents")
+            .select(explode(split(col("text"), " ")).as("w"))
+            .filter(col("w") =!= "")
+            .groupBy("w").agg(count(lit(1)).as("cnt"))
+            .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+              col("cnt")))
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (it <- 1 to iters) {
+          val bestRow = words
+            .select(col("cnt"), split(col("syms"), " ").as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(0, size(t) - 2), i -> " +
+                "struct(t[i] AS lhs, t[i+1] AS rhs))")).as("p"))
+            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+            .agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, col("lhs"), col("rhs"))
+            .limit(1).collect()
+          require(bestRow.nonEmpty,
+            s"q_bpe_train: vocabulary exhausted before iteration $it")
+          val (l, r, n) =
+            (bestRow(0).getString(0), bestRow(0).getString(1),
+              bestRow(0).getLong(2))
+          merges += ((it.toLong, l, r, n))
+          val (lhs, rhs) = (lit(l), lit(r))
+          words = Tables.runScopedCheckpoint(s"q_bpe_train.w$it",
+            words.select(
+              aggregate(split(col("syms"), " "), lit(""),
+                (acc, x) => when(acc === "", x)
+                  .when((acc === lhs ||
+                      acc.endsWith(concat(lit(" "), lhs))) && x === rhs,
+                    concat(acc, rhs))
+                  .otherwise(concat(acc, lit(" "), x))).as("syms"),
+              col("cnt")))
+        }
+        merges.result().toDF("iter", "lhs", "rhs", "n").orderBy("iter")
+      },
+      oracle = Some(bpeTrainOracle(8))),
 
     // Triangle enumeration on the >=20% co-occurrence token graph — the
     // clustering-coefficient / community-density primitive beyond

@@ -884,16 +884,21 @@ class PlanSpec extends AnyFunSuite {
       "token arrays may cross at most the single re-slice exchange")
   }
 
-  test("q_knn_graph: the rank window rides the label join's partitioning") {
-    // The SURVEY claim: Window.partitionBy(label, vec_id) is satisfied by
-    // the blocking join's hash(label) output partitioning (vec→label is
+  test("q_knn_graph: the topk_pairs aggregate rides the label join's partitioning") {
+    // The SURVEY claim (r10 spelling): groupBy(label, vec_id) is satisfied
+    // by the blocking join's hash(label) output partitioning (vec→label is
     // functional), so the corpus crosses exactly ONE exchange per join side
-    // — keyed by label — and the window adds only a sort. Built with AQE
-    // off (the adaptive inputPlan predates EnsureRequirements) and
-    // broadcast off (pinning the 100-TB SMJ shape; at test scale the
-    // build side would broadcast and the assertion would see nothing)
-    // over a multi-partition input (a single split satisfies every
-    // distribution and elides all exchanges).
+    // — keyed by label — and the per-vector top-k (a topk_pairs typed
+    // aggregate, TopKAgg.scala) adds NO exchange and NO sort. The r9 rank
+    // window needed a per-partition sort of the full pair relation before
+    // WindowGroupLimit could prune; the aggregate keeps ≤k pairs per
+    // vector in a bounded buffer instead. Built with AQE off (the adaptive
+    // inputPlan predates EnsureRequirements) and broadcast off (pinning
+    // the 100-TB SMJ shape; at test scale the build side would broadcast
+    // and the assertion would see nothing) over a multi-partition input (a
+    // single split satisfies every distribution and elides all exchanges).
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -909,30 +914,39 @@ class PlanSpec extends AnyFunSuite {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       }
-    val windows = plan.collect {
-      case w: WindowExec
-        if w.partitionSpec.exists(_.toString.contains("vec_id")) => w
+    val aggs = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("vec_id")) => a
     }
-    assert(windows.nonEmpty, "expected the per-vector rank window")
-    windows.foreach { w =>
-      val below = w.child.collect {
+    assert(aggs.nonEmpty, "expected the per-vector topk_pairs aggregate")
+    aggs.foreach { a =>
+      val below = a.child.collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }
       assert(below.nonEmpty,
-        "expected the label blocking exchanges under the window")
+        "expected the label blocking exchanges under the aggregate")
       below.foreach { e =>
         val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
           .expressions.map(_.toString)
         assert(keys.forall(k => k.contains("label") && !k.contains("vec_id")),
-          s"corpus exchange below the rank window keyed by ${keys.mkString(",")}" +
-            " — the window must ride the label partitioning, not re-shuffle")
+          s"corpus exchange below the topk aggregate keyed by ${keys.mkString(",")}" +
+            " — the aggregate must ride the label partitioning, not re-shuffle")
       }
     }
-    // rank <= k must plan the group-limit pushdown (partial top-k before
-    // the full window sort finishes the exact ranking)
-    assert(plan.toString.contains("WindowGroupLimit"),
-      "rank<=k filter did not plan a WindowGroupLimit")
+    // ZERO sorts outside the SMJ's own label-keyed input sorts: the top-k
+    // tail must not sort the pair relation (the r9 window sorted by
+    // (label, vec_id, cos, nbr_id); a SortAggregate fallback would sort by
+    // (label, vec_id)). Codegen wraps the SMJ's children in InputAdapters,
+    // so identify the allowed sorts by their keys: label and nothing else.
+    plan.collect { case s: SortExec => s }.foreach { s =>
+      val keys = s.sortOrder.map(_.child.toString)
+      assert(keys.forall(_.contains("label")),
+        s"unexpected non-label sort in the k-NN edge plan (keys=$keys) — " +
+          "the topk_pairs tail must not sort the pair relation")
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "no window may remain in the k-NN edge plan")
   }
 
   // ---------------------------------------------------------------------

@@ -13,6 +13,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Typed-aggregate hash maps (topk_pairs et al.) hold BOUNDED buffers
+      // (k pairs each); the 128-key sort-based fallback default is tuned
+      // for unbounded collect_list-class buffers and would re-introduce a
+      // per-partition sort on the k-NN aggregation tails. 1M keys of
+      // bounded buffers is ~100s of MB worst-case per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
