@@ -94,12 +94,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Typed-aggregate hash maps (topk_pairs et al.) hold BOUNDED buffers
-      // (k pairs each); the 128-key sort-based fallback default is tuned
-      // for unbounded collect_list-class buffers and would re-introduce a
-      // per-partition sort on the k-NN aggregation tails. 1M keys of
-      // bounded buffers is ~100s of MB worst-case per task.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // ObjectHashAggregate fallback stays at the 128-key default — the
+      // r10 1M raise regressed unbounded-buffer aggregations ~2× and
+      // bought the bounded topk_pairs family nothing (A/B in Engine.scala).
+      // Env-overridable for A/B profiling of the threshold itself.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,12 +64,15 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Typed-aggregate hash maps (topk_pairs et al.) hold BOUNDED buffers
-      // (k pairs each); the 128-key sort-based fallback default is tuned
-      // for unbounded collect_list-class buffers and would re-introduce a
-      // per-partition sort on the k-NN aggregation tails. 1M keys of
-      // bounded buffers is ~100s of MB worst-case per task.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // ObjectHashAggregate fallback threshold stays at Spark's 128-key
+      // default. The r10 first cut raised it to 1M so the bounded
+      // topk_pairs buffers never hit the sort fallback — measured A/B at
+      // sf0.1 showed that REGRESSED every unbounded-buffer aggregation
+      // (percentile/collect/array-agg family) ~2× via hash-map memory
+      // pressure while buying the topk family nothing (128 was equal or
+      // faster on all 8 k-NN keys: 10.2 s vs 12.4 s). The sort fallback
+      // only sorts what overflows the 128-entry map, and topk partials
+      // are tiny rows — the defensive raise was a pure loss.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -77,6 +77,53 @@ private[graft] object Scratch {
     }
   }
 
+  /** One canonical LATE-DROP batch layout per (JVM, sf dir): the events
+    * corpus split into 4 single-file batches by event_id % 4, mtimes
+    * strictly increasing so FileStreamSource's mod-time ordering makes
+    * micro-batch assignment deterministic (see q_stream_late_drop).
+    * Built once and shared across runs — the batch writes are harness
+    * setup, not streaming-engine work, so they leave the timed region
+    * after the first run (the [[sharedInput]] rationale). */
+  def lateDropInput(s: SparkSession, d: String): String = {
+    ensureHook()
+    val key = s"late_in:$d"
+    dirs.synchronized {
+      val prev = dirs.get(key)
+      if (prev != null) s"$prev/in"
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft_late_in_")
+        val inDir = root.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts").cast(TimestampType).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        for (b <- 0 to 3) {
+          val stage = root.resolve(s"stage$b")
+          ev.filter(col("event_id") % 4 === org.apache.spark.sql.functions.lit(b))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try {
+              import scala.jdk.CollectionConverters._
+              listing.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet"))
+                .getOrElse(sys.error(s"lateDropInput: empty batch $b"))
+            } finally listing.close()
+          val dest = inDir.resolve(s"b$b.parquet")
+          java.nio.file.Files.move(part, dest)
+          // 2024-01-01 00:00:00 UTC + b minutes — only the ORDER matters.
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1704067200000L + b * 60000L))
+        }
+        dirs.put(key, root)
+        s"$root/in"
+      }
+    }
+  }
+
   /** Schema of [[sharedInput]]'s files (constructed, not re-read). */
   val inputSchema: StructType =
     StructType(Seq(

@@ -427,6 +427,60 @@ object Similarity {
         FROM lab l JOIN sz USING (cluster_id)
         ORDER BY l.vec_id""")),
 
+    // PageRank centrality over the k-NN graph — the HUB-DETECTION member
+    // of the graph family (q_knn_graph's Scaladoc names hub detection as
+    // a consumer; this is it): high-PR vectors sit in dense neighborhood
+    // cores (over-represented modes a diversity-sampling pass
+    // down-weights), low-PR vectors are periphery. The same centrality
+    // the CommonCrawl-style curation stacks run on the domain link graph,
+    // here on the similarity graph.
+    //
+    // INTEGER-EXACT power iteration (the cross-engine trick that makes an
+    // iterative float algorithm hash-checkable): with damping d = 1/2 and
+    // out-degrees ∈ {1,2,3} (top-3 edges), scaling round t by 12^t turns
+    //   pr_t(v) = 1/2 + 1/2 · Σ_{u→v} pr_{t-1}(u)/out(u),  pr_0 = 1
+    // into the all-integer recurrence
+    //   P_t(v) = 6·12^(t-1) + Σ_{u→v} P_{t-1}(u) · (6 DIV out(u)),
+    // P_0 = 1 — every contribution is a long, sums are order-free, and
+    // the final pr = P_4/12^4 is ONE division of identical operands
+    // (correctly rounded identically by both engines). Total mass is
+    // conserved (Σpr_t = N), so P_4 ≤ N·12^4 — long-safe beyond sf100.
+    //
+    // Scale shape: the edge relation (N·k rows, checkpointed once) is all
+    // any round touches — per round ONE dst-keyed exchange (the inflow
+    // agg) plus a node-keyed left join; the corpus embeddings are read
+    // exactly once to build the edges. 4 rounds = fixed small constant
+    // (power iteration converges geometrically; rank ordering stabilizes
+    // in a handful of rounds).
+    "q_graph_pagerank" -> Q(
+      fn = (s, d) => {
+        val edges = graft.Tables.runScopedCheckpoint("q_graph_pagerank.edges",
+          knnEdges(Tables(s, d, "embeddings"), k = 3)
+            .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val ew = graft.Tables.runScopedCheckpoint("q_graph_pagerank.ew",
+          edges.join(deg, "src")
+            .select(col("src"), col("dst"),
+              expr("CAST(6 AS BIGINT) DIV outdeg").as("w")))
+        var p = deg.select(col("src").as("vec_id"), lit(1L).as("p"))
+        for (t <- 1 to 4) {
+          val teleport = 6L * Seq(1L, 12L, 144L, 1728L)(t - 1)
+          val inflow = ew.join(p, ew("src") === p("vec_id"))
+            .groupBy(ew("dst")).agg(sum(col("p") * col("w")).as("inflow"))
+          p = graft.Tables.runScopedCheckpoint(s"q_graph_pagerank.p$t",
+            deg.select(col("src").as("vec_id"))
+              .join(inflow, col("vec_id") === col("dst"), "left")
+              .select(col("vec_id"),
+                (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("p")))
+        }
+        p.join(deg.select(col("src").as("vec_id"), col("outdeg")),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("outdeg"), col("p").as("pr_scaled"),
+            (col("p").cast(DoubleType) / lit(20736.0)).as("pr"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(pagerankOracle(4))),
+
     // Corpus-wide ANN k-NN graph — the 100-TB construction q_knn_graph's
     // label blocking stands in for: EVERY vector's top-3 cosine neighbors
     // among its hyperplane-LSH bucket colliders. The same cross-engine
@@ -860,6 +914,50 @@ object Similarity {
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("vec_id"),
         col("col.score").as("cos"), (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+
+  /** Unrolled integer-exact PageRank oracle (q_graph_pagerank): the
+    * q_knn_graph edge CTEs, then `iters` rounds of the scaled recurrence
+    * P_t = 6·12^(t-1) + Σ_in P_{t-1}·(6 // outdeg). DuckDB's SUM(BIGINT)
+    * widens to HUGEINT, so every round re-casts to BIGINT (values are
+    * long-safe by the mass-conservation bound). */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val teleport = 6L * Seq(1L, 12L, 144L, 1728L)(t - 1)
+      s"""p$t AS (SELECT d.src AS vec_id,
+                  CAST($teleport + COALESCE(SUM(p${t - 1}.p * ew.w), 0)
+                    AS BIGINT) AS p
+           FROM deg d
+           LEFT JOIN ew ON ew.dst = d.src
+           LEFT JOIN p${t - 1} ON p${t - 1}.vec_id = ew.src
+           GROUP BY d.src)"""
+    }.mkString(",\n        ")
+    val scale = math.pow(12.0, iters).toLong
+    s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id, b.vec_id AS nbr_id,
+                 list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT vec_id, nbr_id,
+                 rank() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id ASC) AS rnk
+          FROM scored),
+        edges AS (SELECT vec_id AS src, nbr_id AS dst FROM ranked
+                  WHERE rnk <= 3),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, 6 // d.outdeg AS w
+               FROM edges e JOIN deg d ON d.src = e.src),
+        p0 AS (SELECT src AS vec_id, CAST(1 AS BIGINT) AS p FROM deg),
+        $rounds
+        SELECT p$iters.vec_id, d.outdeg, p$iters.p AS pr_scaled,
+               CAST(p$iters.p AS DOUBLE) / $scale.0 AS pr
+        FROM p$iters JOIN deg d ON d.src = p$iters.vec_id
+        ORDER BY vec_id"""
   }
 
   /** Shared oracle fragment: exact cosine ranking of the full corpus

@@ -34,12 +34,18 @@ object TextAnalysis {
     * empty-init + first-element CASE. Each round is one (p_i, b_i, w_i)
     * CTE triple chained on the previous round's word relation.
     */
-  private def bpeTrainOracle(iters: Int): String = {
+  /** The shared CTE chain for the BPE oracles: w0 is the word-count base
+    * (word identity CARRIED — w_i maps each distinct word to its symbol
+    * string after i merges), and each round is a (p_i, b_i, w_i) triple
+    * chained on the previous round's word relation. `list_reduce` seeds
+    * the accumulator with the first element, exactly matching the Spark
+    * fold's empty-init + first-element CASE. */
+  private def bpeCtes(iters: Int): String = {
     val base = """w0 AS (
-          SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+          SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
                  COUNT(*) AS cnt
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          WHERE w <> '' GROUP BY 1)"""
+          WHERE w <> '' GROUP BY 1, 2)"""
     val steps = (1 to iters).map { i =>
       s"""p$i AS (
           SELECT t[j] AS lhs, t[j + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
@@ -49,20 +55,96 @@ object TextAnalysis {
           GROUP BY 1, 2),
         b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
         w$i AS (
-          SELECT list_reduce(string_split(syms, ' '), (acc, x) ->
+          SELECT w, list_reduce(string_split(syms, ' '), (acc, x) ->
                    CASE WHEN (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
                              AND x = b.rhs
                         THEN acc || b.rhs ELSE acc || ' ' || x END) AS syms,
                  cnt
           FROM w${i - 1}, b$i b)"""
     }.mkString(",\n        ")
+    s"$base,\n        $steps"
+  }
+
+  /** Unrolled `iters`-round BPE training oracle (q_bpe_train). */
+  private def bpeTrainOracle(iters: Int): String = {
     val union = (1 to iters).map(i =>
       s"SELECT CAST($i AS BIGINT) AS iter, lhs, rhs, n FROM b$i")
       .mkString("\n        UNION ALL ")
-    s"""WITH $base,
-        $steps
+    s"""WITH ${bpeCtes(iters)}
         $union
         ORDER BY iter"""
+  }
+
+  /** BPE ENCODE oracle (q_bpe_encode): the trained vocabulary w_iters maps
+    * every distinct word to its final symbol string; documents re-assemble
+    * by word position. */
+  private def bpeEncodeOracle(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)},
+        dw AS (SELECT doc_id,
+                      unnest(list_transform(string_split(text, ' '),
+                        (x, i) -> struct_pack(w := x, pos := i))) AS u
+               FROM documents),
+        dx AS (SELECT doc_id, u.w AS w, u.pos AS pos FROM dw
+               WHERE u.w <> ''),
+        enc AS (SELECT d.doc_id, d.pos, v.syms
+                FROM dx d JOIN w$iters v ON v.w = d.w)
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(string_split(syms, ' '))) AS BIGINT) AS n_tokens,
+               md5(string_agg(syms, ' ' ORDER BY pos)) AS tok_fp
+        FROM enc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Iterative BPE merge-table training (Sennrich et al. 2016,
+    * arXiv:1508.07909): `iters` rounds over the corpus word-frequency
+    * relation. Returns the final (w, syms, cnt) vocabulary — each distinct
+    * word mapped to its symbol string after all merges (the ENCODER) —
+    * plus the learned (iter, lhs, rhs, n) merge table. The corpus is
+    * touched once (the word-count agg); every round then works on the
+    * checkpointed vocabulary relation alone: pair counts are a per-word
+    * adjacency explode weighted by word count, the winning pair is a
+    * 1-row TakeOrderedAndProject collected to the driver (the q_kmeans
+    * control-loop pattern), and the merge is applied as an exact
+    * left-to-right greedy fold over each word's symbol string (see
+    * q_bpe_train's fold-encoding note). */
+  private def bpeTrain(s: SparkSession, d: String, iters: Int,
+      ckPrefix: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
+    var words = Tables.runScopedCheckpoint(s"$ckPrefix.w0",
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+          col("cnt")))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to iters) {
+      val bestRow = words
+        .select(col("cnt"), split(col("syms"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "struct(t[i] AS lhs, t[i+1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(bestRow.nonEmpty,
+        s"$ckPrefix: vocabulary exhausted before iteration $it")
+      val (l, r, n) =
+        (bestRow(0).getString(0), bestRow(0).getString(1),
+          bestRow(0).getLong(2))
+      merges += ((it.toLong, l, r, n))
+      val (lhs, rhs) = (lit(l), lit(r))
+      words = Tables.runScopedCheckpoint(s"$ckPrefix.w$it",
+        words.select(col("w"),
+          aggregate(split(col("syms"), " "), lit(""),
+            (acc, x) => when(acc === "", x)
+              .when((acc === lhs ||
+                  acc.endsWith(concat(lit(" "), lhs))) && x === rhs,
+                concat(acc, rhs))
+              .otherwise(concat(acc, lit(" "), x))).as("syms"),
+          col("cnt")))
+    }
+    (words, merges.result())
   }
 
   private def markerScore(words: Seq[String]): Column =
@@ -755,46 +837,48 @@ object TextAnalysis {
     "q_bpe_train" -> Q(
       fn = (s, d) => {
         import s.implicits._
-        val iters = 8
-        var words = Tables.runScopedCheckpoint("q_bpe_train.w0",
-          Tables(s, d, "documents")
-            .select(explode(split(col("text"), " ")).as("w"))
-            .filter(col("w") =!= "")
-            .groupBy("w").agg(count(lit(1)).as("cnt"))
-            .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
-              col("cnt")))
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        for (it <- 1 to iters) {
-          val bestRow = words
-            .select(col("cnt"), split(col("syms"), " ").as("t"))
-            .filter(size(col("t")) >= 2)
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(0, size(t) - 2), i -> " +
-                "struct(t[i] AS lhs, t[i+1] AS rhs))")).as("p"))
-            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-            .agg(sum(col("cnt")).as("n"))
-            .orderBy(col("n").desc, col("lhs"), col("rhs"))
-            .limit(1).collect()
-          require(bestRow.nonEmpty,
-            s"q_bpe_train: vocabulary exhausted before iteration $it")
-          val (l, r, n) =
-            (bestRow(0).getString(0), bestRow(0).getString(1),
-              bestRow(0).getLong(2))
-          merges += ((it.toLong, l, r, n))
-          val (lhs, rhs) = (lit(l), lit(r))
-          words = Tables.runScopedCheckpoint(s"q_bpe_train.w$it",
-            words.select(
-              aggregate(split(col("syms"), " "), lit(""),
-                (acc, x) => when(acc === "", x)
-                  .when((acc === lhs ||
-                      acc.endsWith(concat(lit(" "), lhs))) && x === rhs,
-                    concat(acc, rhs))
-                  .otherwise(concat(acc, lit(" "), x))).as("syms"),
-              col("cnt")))
-        }
-        merges.result().toDF("iter", "lhs", "rhs", "n").orderBy("iter")
+        val (_, merges) = bpeTrain(s, d, iters = 8, ckPrefix = "q_bpe_train")
+        merges.toDF("iter", "lhs", "rhs", "n").orderBy("iter")
       },
       oracle = Some(bpeTrainOracle(8))),
+
+    // BPE ENCODE — the application step that completes the tokenizer
+    // family (q_bpe_merges counts pairs, q_bpe_train learns the merge
+    // table, THIS tokenizes the corpus with it; q_tokenizer_fertility /
+    // q_vocab_coverage then audit the result): every document re-emitted
+    // as (word count, BPE token count, md5 fingerprint of the full
+    // space-joined symbol stream). Encoding a word with the trained table
+    // is exactly the training fold applied merge-by-merge, so the final
+    // w8 vocabulary relation (word → symbols after all 8 merges) IS the
+    // encoder — no re-derivation, and train/encode can never disagree.
+    //
+    // Scale shape: the corpus is touched twice (the word-count base the
+    // training rounds aggregate once, and the positional explode here);
+    // the trained vocabulary is ≪ corpus and BROADCASTS onto the word
+    // stream — tokenization itself is embarrassingly parallel, and the
+    // only corpus exchange is the doc_id re-assembly agg (at 100 TB:
+    // pre-partition the corpus by doc_id and the explode+join+agg is
+    // exchange-free map-side work).
+    "q_bpe_encode" -> Q(
+      fn = (s, d) => {
+        val (vocab, _) = bpeTrain(s, d, iters = 8, ckPrefix = "q_bpe_encode")
+        val docWords = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+        docWords
+          .join(broadcast(vocab.select(col("w"), col("syms"))), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(split(col("syms"), " "))).as("n_tokens"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("syms")))),
+                e => e.getField("syms")),
+              " ")).as("tok_fp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(bpeEncodeOracle(8))),
 
     // Triangle enumeration on the >=20% co-occurrence token graph — the
     // clustering-coefficient / community-density primitive beyond

@@ -839,5 +839,89 @@ object EventTime {
                CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
                  AS BIGINT) AS cents,
                MIN(event_id) AS min_id, MAX(event_id) AS max_id
-        FROM events GROUP BY user_id ORDER BY user_id""")))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Cross-batch LATE-ROW DROP through the real engine — the last §2.4
+    // streaming semantic that was MemoryStream-only ("inherently
+    // batching-dependent"). Batching-dependent becomes oracle-expressible
+    // by making the batching DETERMINISTIC: the corpus is split into 4
+    // single-file batches by event_id % 4 (each re-delivering the FULL
+    // time range), every file's mtime is set strictly increasing, and the
+    // source is throttled to maxFilesPerTrigger=1 — FileStreamSource
+    // orders pending files by modification time ascending (fileSortOrder =
+    // Ordering.Long under latestFirst=false, spark-sql 4.1.2), so
+    // micro-batch b ingests exactly the event_id % 4 == b slice, in order.
+    // After batch 0 the watermark sits at (batch-0 max ts) − 10 min, so
+    // most of batches 1–3 arrives late and is dropped.
+    //
+    // Drop rule (decompiled WatermarkSupport.watermarkExpression, verified
+    // against the engine here): for a windowed aggregation the event-time
+    // column is the window struct, and a row is dropped iff its WINDOW END
+    // <= the late-events watermark — lateness is judged by the window, not
+    // the raw ts (an old ts in a still-open window is counted), and the
+    // tie end == wm drops. Spark runs TWO watermarks per batch (the
+    // multi-stateful-operator split): late-row filtering uses
+    // watermarkForLateEvents = the PREVIOUS batch's watermark, i.e.
+    // wm_late(b) = max(ts over batches ≤ b−2) − 10 min, while state
+    // eviction/emission uses watermarkForEviction =
+    // max(ts over batches ≤ b−1) − 10 min. The one-batch late-filter lag
+    // is observable (batch 1 here keeps everything) and is what the
+    // oracle's "2 PRECEDING" ladder encodes; the two watermarks can never
+    // double-emit a window (a row for a window emitted at batch b₀ is
+    // filtered at any b > b₀ because wm_late(b) ≥ wm_evict(b₀)). The
+    // final no-data batch under AvailableNow advances eviction to
+    // max(all ts) − 10 min and emits every window with end <= that (the
+    // q_stream_tumbling rule). FileBatchProbeSpec pins all three
+    // mechanics: one batch per file, mtime order, and the eviction-vs-late
+    // watermark ladder.
+    //
+    // Scale shape: identical to q_stream_tumbling (streaming hash agg
+    // keyed by (window, type), watermark-evicted state); the batch writes
+    // are a test-harness artifact standing in for an ingest directory.
+    "q_stream_late_drop" -> Q(
+      fn = (s, d) => {
+        val scratch = Scratch.fresh("stream_late")
+        val inDir = Scratch.lateDropInput(s, d)
+        val agg = graft.streaming.Streams.tumblingWithWatermark(
+          s.readStream.schema(Scratch.inputSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+            .select(col("ts"), col("event_type"), col("value")),
+          "10 minutes")
+        agg.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .orderBy("w_start", "event_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id % 4 AS b,
+                          date_trunc('milliseconds', ts) AS ts,
+                          event_type, value FROM events),
+        bm AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+        wm AS (SELECT b,
+                      COALESCE(MAX(mx) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING),
+                        TIMESTAMP '1970-01-01 00:00:00')
+                        - INTERVAL '10 minutes' AS w
+               FROM bm),
+        fw AS (SELECT MAX(mx) - INTERVAL '10 minutes' AS w FROM bm),
+        kept AS (SELECT time_bucket(INTERVAL '1 hour', e.ts) AS w_start,
+                        e.event_type, e.value
+                 FROM e JOIN wm ON wm.b = e.b
+                 WHERE time_bucket(INTERVAL '1 hour', e.ts)
+                         + INTERVAL '1 hour' > wm.w),
+        agg AS (SELECT w_start, event_type, COUNT(*) AS n,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                         AS DECIMAL(18,4)) AS DOUBLE) AS total
+                FROM kept GROUP BY 1, 2)
+        SELECT a.w_start, a.event_type, a.n, a.total
+        FROM agg a CROSS JOIN fw
+        WHERE a.w_start + INTERVAL '1 hour' <= fw.w
+        ORDER BY w_start, event_type""")))
 }

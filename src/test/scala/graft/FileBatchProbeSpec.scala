@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the file-source mechanics q_stream_late_drop's oracle relies on:
+  *   1. under AvailableNow + maxFilesPerTrigger=1, FileStreamSource forms
+  *      one micro-batch per file, ordered by file MODIFICATION TIME
+  *      ascending (fileSortOrder under latestFirst=false) — not by path;
+  *   2. the event-time watermark ladder those batches see (how many
+  *      batches of lag between data arriving and the watermark
+  *      reflecting it).
+  * The probe writes three single-row-group files with row counts 2/4/1
+  * and mtimes deliberately REVERSED w.r.t. their names, then reads the
+  * per-batch numInputRows + watermark from the query progress.
+  */
+class FileBatchProbeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AvailableNow + maxFilesPerTrigger=1: one batch per file in mtime order; watermark ladder") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_probe_").toString
+    val inDir = Paths.get(root, "in")
+    Files.createDirectories(inDir)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    import spark.implicits._
+    // (name, mtime rank, rows): mtime order B(2 rows) < C(4 rows) < A(1 row)
+    val files = Seq(
+      ("a", 2L, Seq(graft.streaming.Streams.Event(1, ts(1), 1, "x", 1.0))),
+      ("b", 0L, Seq(graft.streaming.Streams.Event(2, ts(2), 1, "x", 1.0),
+        graft.streaming.Streams.Event(3, ts(30), 1, "x", 1.0))),
+      ("c", 1L, Seq(
+        graft.streaming.Streams.Event(4, ts(3), 1, "x", 1.0),
+        graft.streaming.Streams.Event(5, ts(4), 1, "x", 1.0),
+        graft.streaming.Streams.Event(6, ts(5), 1, "x", 1.0),
+        graft.streaming.Streams.Event(7, ts(40), 1, "x", 1.0))))
+    for ((name, rank, rows) <- files) {
+      val stage = Paths.get(root, s"stage_$name")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listing.close()
+      val dest = inDir.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + rank * 60000L))
+    }
+    val agg = graft.streaming.Streams.tumblingWithWatermark(
+      spark.readStream.schema(Scratch.inputSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString), "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("probe")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val prog = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+    val rowsPerBatch = prog.map(_.numInputRows)
+    // one batch per file, in MTIME order (b=2 rows, c=4, a=1), not path order
+    assert(rowsPerBatch == Seq(2L, 4L, 1L),
+      s"expected batches of 2/4/1 rows in mtime order, got $rowsPerBatch " +
+        s"(all progress: ${q.recentProgress.toSeq.map(_.numInputRows)})")
+    // EVICTION watermark each data batch ran with (the 'watermark' entry):
+    // lag ONE batch — batch b uses max(ts over batches ≤ b−1) − 10 min.
+    val wms = prog.map(_.eventTime.get("watermark"))
+    assert(wms == Seq("1970-01-01T00:00:00.000Z",
+      "2024-01-02T05:50:00.000Z", "2024-01-02T15:50:00.000Z"),
+      s"eviction watermark ladder changed: $wms")
+    // LATE-ROW filtering lags one MORE batch (watermarkForLateEvents = the
+    // previous batch's watermark): batch 1's hour-3/4/5 rows sit far below
+    // its 05:50 eviction watermark, yet are KEPT (filtered against batch
+    // 0's epoch watermark) and emitted by the final no-data batch.
+    val emitted = spark.table("probe").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("w_start"), r.getAs[Long]("n")))
+      .toMap
+    for (h <- Seq(3, 4, 5))
+      assert(emitted.get(ts(h)).contains(1L),
+        s"hour-$h window missing/wrong: late filter no longer lags eviction by one batch ($emitted)")
+    q.stop()
+    // cleanup
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+      .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+  }
+
+  test("q_stream_late_drop: drops are non-vacuous and bounded by the no-drop aggregate") {
+    import java.time.ZoneOffset
+    def ms(t: java.time.LocalDateTime): Long =
+      t.toInstant(ZoneOffset.UTC).toEpochMilli
+    val got = SparkEntry.queries("q_stream_late_drop")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (ms(r.getAs[java.time.LocalDateTime]("w_start")),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    // the no-drop batch twin over the same corpus, restricted to closed
+    // windows (end <= max ts − 10 min)
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (ms(r.getAs[java.time.LocalDateTime](0)), r.getString(1)))
+    val wmFinal = ev.map(_._1).max - 600000L
+    val full = ev.groupBy { case (t, typ) => (t - Math.floorMod(t, 3600000L), typ) }
+      .view.mapValues(_.length.toLong).toMap
+      .filter { case ((w, _), _) => w + 3600000L <= wmFinal }
+    // every emitted window is a closed window, count ≤ the full count,
+    // and at least one window genuinely lost late rows
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) =>
+      assert(full.contains(k), s"emitted non-closed window $k")
+      assert(n <= full(k), s"window $k: streamed $n > batch ${full(k)}")
+    }
+    assert(got.exists { case (k, n) => n < full(k) },
+      "late-row drop vacuous: every window kept every row")
+  }
+}

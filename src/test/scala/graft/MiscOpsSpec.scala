@@ -98,6 +98,60 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.toSeq == top, s"got ${out.take(3).toSeq} want ${top.take(3)}")
   }
 
+  test("q_bpe_encode: token counts and fingerprints match a sequential BPE re-implementation") {
+    // Train 8 merges + encode every doc with a direct sequential BPE
+    // (Sennrich's algorithm verbatim: count-weighted pair argmax, ties by
+    // (lhs, rhs); greedy left-to-right non-overlapping merge application).
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var vocab: Map[String, (Vector[String], Long)] =
+      docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          w -> (w.map(_.toString).toVector, ws.length.toLong) }
+    def mergeWord(t: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
+    for (_ <- 1 to 8) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.values.foreach { case (t, cnt) =>
+        (0 until t.length - 1).foreach(i => pairs((t(i), t(i + 1))) += cnt) }
+      val ((l, r), _) = pairs.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      vocab = vocab.map { case (w, (t, cnt)) => w -> (mergeWord(t, l, r), cnt) }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val toks = ws.toVector.map(w => vocab(w)._1)
+        Some(id -> ((ws.length.toLong, toks.map(_.length.toLong).sum,
+          md5hex(toks.map(_.mkString(" ")).mkString(" ")))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
+    // non-vacuous: 8 merges must compress the corpus below 1 token/char
+    val totalChars = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .map(_.length.toLong).sum
+    assert(got.values.map(_._2).sum < totalChars,
+      "BPE produced no compression anywhere")
+  }
+
   test("approx_top_k at k >= cardinality returns the exact frequency table") {
     Tables.registerViews(spark, TestSpark.sf)
     val est = spark.sql(

@@ -231,6 +231,52 @@ class SimilaritySpec extends AnyFunSuite {
       "ANN graph equals the exact graph everywhere — approximation untested")
   }
 
+  test("q_graph_pagerank: integer power iteration matches a sequential recompute; mass conserved") {
+    VectorFunctions.register(spark)
+    // brute-force edges: exact top-3 cosine within label (the q_knn_graph
+    // contract), then the scaled integer recurrence run sequentially.
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = vecs.groupBy(_._1)
+    val edges: Seq[(Long, Long)] = vecs.toSeq.flatMap { case (lbl, vid, v) =>
+      byLabel(lbl).filter(_._2 != vid)
+        .map { case (_, nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3)
+        .map { case (nid, _) => (vid, nid) }
+    }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var p: Map[Long, Long] = outdeg.map { case (v, _) => v -> 1L }
+    for (t <- 1 to 4) {
+      val teleport = 6L * Seq(1L, 12L, 144L, 1728L)(t - 1)
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        inflow(dst) += p(src) * (6L / outdeg(src)) }
+      p = p.map { case (v, _) => v -> (teleport + inflow(v)) }
+    }
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == p.size)
+    got.foreach { case (vid, od, ps, pr) =>
+      assert(od == outdeg(vid), s"vec $vid outdeg")
+      assert(ps == p(vid), s"vec $vid pr_scaled: $ps vs ${p(vid)}")
+      assert(math.abs(pr - ps / 20736.0) < 1e-12, s"vec $vid pr")
+    }
+    // Σpr_t = N exactly (total mass conservation under the integer scaling)
+    assert(got.map(_._3).sum == p.size.toLong * 20736L, "mass not conserved")
+    // centrality must be non-vacuous: hubs and periphery separate
+    assert(got.map(_._3).distinct.length > 10, "degenerate PR distribution")
+  }
+
   test("q_knn_clusters: components, sizes, exemplars match a union-find over mutual edges") {
     val mutual = SparkEntry.queries("q_knn_graph")(spark, TestSpark.sf)
       .collect().filter(_.getBoolean(5))
