@@ -76,8 +76,11 @@ object TextAnalysis {
   }
 
   /** BPE ENCODE oracle (q_bpe_encode): the trained vocabulary w_iters maps
-    * every distinct word to its final symbol string; documents re-assemble
-    * by word position. */
+    * every distinct word to its final symbol string; per-doc rollups are
+    * all ASSOCIATIVE (count/sum/bit_xor) — the fingerprint is the XOR of
+    * position-tagged md5-lower-64 word hashes (shifted into 53 bits so the
+    * unsigned/signed BIGINT boundary can't bite), which encodes order
+    * without re-assembling the document string. */
   private def bpeEncodeOracle(iters: Int): String =
     s"""WITH ${bpeCtes(iters)},
         dw AS (SELECT doc_id,
@@ -90,7 +93,8 @@ object TextAnalysis {
                 FROM dx d JOIN w$iters v ON v.w = d.w)
         SELECT doc_id, COUNT(*) AS n_words,
                CAST(SUM(len(string_split(syms, ' '))) AS BIGINT) AS n_tokens,
-               md5(string_agg(syms, ' ' ORDER BY pos)) AS tok_fp
+               bit_xor(CAST(md5_number_lower(CAST(pos AS VARCHAR) || ':' || syms)
+                 >> 11 AS BIGINT)) AS tok_fp
         FROM enc GROUP BY doc_id ORDER BY doc_id"""
 
   /** Iterative BPE merge-table training (Sennrich et al. 2016,
@@ -846,36 +850,44 @@ object TextAnalysis {
     // family (q_bpe_merges counts pairs, q_bpe_train learns the merge
     // table, THIS tokenizes the corpus with it; q_tokenizer_fertility /
     // q_vocab_coverage then audit the result): every document re-emitted
-    // as (word count, BPE token count, md5 fingerprint of the full
-    // space-joined symbol stream). Encoding a word with the trained table
-    // is exactly the training fold applied merge-by-merge, so the final
-    // w8 vocabulary relation (word → symbols after all 8 merges) IS the
+    // as (word count, BPE token count, order-encoding fingerprint of the
+    // tokenized stream). Encoding a word with the trained table is
+    // exactly the training fold applied merge-by-merge, so the final w8
+    // vocabulary relation (word → symbols after all 8 merges) IS the
     // encoder — no re-derivation, and train/encode can never disagree.
     //
     // Scale shape: the corpus is touched twice (the word-count base the
     // training rounds aggregate once, and the positional explode here);
     // the trained vocabulary is ≪ corpus and BROADCASTS onto the word
     // stream — tokenization itself is embarrassingly parallel, and the
-    // only corpus exchange is the doc_id re-assembly agg (at 100 TB:
-    // pre-partition the corpus by doc_id and the explode+join+agg is
-    // exchange-free map-side work).
+    // only corpus exchange is the doc_id rollup. Every rollup is
+    // ASSOCIATIVE (count / sum / bit_xor of longs — one codegen'd hash
+    // agg with map-side partials): the fingerprint is the XOR of
+    // position-tagged md5-lower-64 word hashes, which encodes order
+    // without re-assembling the document string. The first spelling
+    // (md5 of the space-joined stream via sort_array(collect_list))
+    // measured d3 = 15-18 on the decade sweep — 5M docs of full-text
+    // object-agg buffers put the tail in the sort/spill regime; the
+    // associative rollup removed the object buffers entirely.
     "q_bpe_encode" -> Q(
       fn = (s, d) => {
+        graft.functions.VectorFunctions.register(s)
         val (vocab, _) = bpeTrain(s, d, iters = 8, ckPrefix = "q_bpe_encode")
         val docWords = Tables(s, d, "documents")
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .filter(col("w") =!= "")
+        val wordFp = shiftrightunsigned(
+          graft.functions.VectorFunctions.md5Lower(
+            concat((col("pos") + 1).cast(StringType), lit(":"), col("syms"))),
+          11)
         docWords
           .join(broadcast(vocab.select(col("w"), col("syms"))), "w")
+          .withColumn("_fp", wordFp)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum(size(split(col("syms"), " "))).as("n_tokens"),
-            md5(array_join(
-              transform(
-                array_sort(collect_list(struct(col("pos"), col("syms")))),
-                e => e.getField("syms")),
-              " ")).as("tok_fp"))
+            expr("bit_xor(_fp)").as("tok_fp"))
           .orderBy("doc_id")
       },
       oracle = Some(bpeEncodeOracle(8))),

@@ -923,5 +923,76 @@ object EventTime {
         SELECT a.w_start, a.event_type, a.n, a.total
         FROM agg a CROSS JOIN fw
         WHERE a.w_start + INTERVAL '1 hour' <= fw.w
-        ORDER BY w_start, event_type""")))
+        ORDER BY w_start, event_type""")),
+
+    // UPDATE-mode emission through the real engine — the other half of the
+    // output-mode contract (append emits once-on-close; update re-emits a
+    // group's RUNNING aggregate every micro-batch it changes in). The
+    // deterministic 4-batch layout (Scratch.lateDropInput — one file per
+    // micro-batch, mtime-ordered, shared with q_stream_late_drop) makes
+    // the whole update STREAM oracle-expressible: batch b emits exactly
+    // the (window, type) groups that received a non-late row in b, with
+    // counts cumulative over kept rows through b; the late filter is the
+    // same lag-2 watermarkForLateEvents ladder q_stream_late_drop pins.
+    // The parquet sink is append-only, so the update stream lands via
+    // foreachBatch with the batch id stamped on — which also makes the
+    // per-batch emission timing part of the hash-checked contract.
+    // Watermark eviction in update mode removes closed windows silently
+    // (their updates were already emitted), so no final-batch rows.
+    //
+    // Scale shape: identical state to q_stream_tumbling; emission volume
+    // per batch is O(groups touched in the batch), not O(state).
+    "q_stream_update" -> Q(
+      fn = (s, d) => {
+        val scratch = Scratch.fresh("stream_upd")
+        val in = Scratch.lateDropInput(s, d)
+        val agg = graft.streaming.Streams.tumblingWithWatermark(
+          s.readStream.schema(Scratch.inputSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in)
+            .select(col("ts"), col("event_type"), col("value")),
+          "10 minutes")
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(s"$scratch/out")
+          }
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .select(col("batch_id"), col("w_start"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("batch_id", "w_start", "event_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id % 4 AS b,
+                          date_trunc('milliseconds', ts) AS ts,
+                          event_type, value FROM events),
+        bm AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+        wm AS (SELECT b,
+                      COALESCE(MAX(mx) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING),
+                        TIMESTAMP '1970-01-01 00:00:00')
+                        - INTERVAL '10 minutes' AS w
+               FROM bm),
+        kept AS (SELECT e.b, time_bucket(INTERVAL '1 hour', e.ts) AS w_start,
+                        e.event_type, e.value
+                 FROM e JOIN wm ON wm.b = e.b
+                 WHERE time_bucket(INTERVAL '1 hour', e.ts)
+                         + INTERVAL '1 hour' > wm.w),
+        kb AS (SELECT b, w_start, event_type, COUNT(*) AS nb,
+                      SUM(CAST(value AS DECIMAL(12,2))) AS tb
+               FROM kept GROUP BY 1, 2, 3)
+        SELECT b AS batch_id, w_start, event_type,
+               SUM(nb) OVER cum AS n,
+               CAST(CAST(SUM(tb) OVER cum AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM kb
+        WINDOW cum AS (PARTITION BY w_start, event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY batch_id, w_start, event_type""")))
 }

@@ -115,4 +115,35 @@ class FileBatchProbeSpec extends AnyFunSuite {
     assert(got.exists { case (k, n) => n < full(k) },
       "late-row drop vacuous: every window kept every row")
   }
+
+  test("q_stream_update: last emission per closed window equals the append-mode output") {
+    import java.time.ZoneOffset
+    def ms(t: java.time.LocalDateTime): Long =
+      t.toInstant(ZoneOffset.UTC).toEpochMilli
+    val updates = SparkEntry.queries("q_stream_update")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"),
+        ms(r.getAs[java.time.LocalDateTime]("w_start")),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("total")))
+    assert(updates.nonEmpty)
+    // multi-batch emission must be non-vacuous: some group updates twice
+    val perGroup = updates.groupBy(u => (u._2, u._3))
+    assert(perGroup.values.exists(_.length > 1),
+      "no group was ever re-emitted — update mode degenerated to append")
+    // the LAST update per group carries the final running aggregate; for
+    // every window the append-mode key emitted (closed windows), the two
+    // output modes must agree exactly
+    val last = perGroup.view.mapValues(_.maxBy(_._1)).toMap
+    val appended = SparkEntry.queries("q_stream_late_drop")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (ms(r.getAs[java.time.LocalDateTime]("w_start")),
+        r.getAs[String]("event_type")) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("total")))).toMap
+    assert(appended.nonEmpty)
+    appended.foreach { case (k, (n, total)) =>
+      val u = last.getOrElse(k, fail(s"closed window $k never updated"))
+      assert(u._4 == n && u._5 == total, s"window $k: update $u vs append ($n, $total)")
+    }
+  }
 }

@@ -128,20 +128,29 @@ class MiscOpsSpec extends AnyFunSuite {
         .sortBy { case ((a, b), n) => (-n, a, b) }.head
       vocab = vocab.map { case (w, (t, cnt)) => w -> (mergeWord(t, l, r), cnt) }
     }
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // position-tagged md5-lower-64 word hash (the VectorKernels spelling:
+    // digest bytes 15..8, little-endian), shifted into 53 bits, XOR-folded
+    def md5Lower64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+      h
+    }
     val expected = docs.flatMap { case (id, text) =>
       val ws = text.split(" ").filter(_.nonEmpty)
       if (ws.isEmpty) None
       else {
         val toks = ws.toVector.map(w => vocab(w)._1)
-        Some(id -> ((ws.length.toLong, toks.map(_.length.toLong).sum,
-          md5hex(toks.map(_.mkString(" ")).mkString(" ")))))
+        val fp = toks.zipWithIndex
+          .map { case (t, i) => md5Lower64(s"${i + 1}:${t.mkString(" ")}") >>> 11 }
+          .reduce(_ ^ _)
+        Some(id -> ((ws.length.toLong, toks.map(_.length.toLong).sum, fp)))
       }
     }.toMap
     val got = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got.keySet == expected.keySet)
     got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
