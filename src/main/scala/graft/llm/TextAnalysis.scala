@@ -858,9 +858,9 @@ object TextAnalysis {
     //
     // Scale shape: the corpus is touched twice (the word-count base the
     // training rounds aggregate once, and the positional explode here);
-    // the trained vocabulary is ≪ corpus and BROADCASTS onto the word
-    // stream — tokenization itself is embarrassingly parallel, and the
-    // only corpus exchange is the doc_id rollup. Every rollup is
+    // the trained vocabulary is ≪ corpus and AQE broadcasts it onto the
+    // word stream — tokenization itself is embarrassingly parallel, and
+    // the only corpus exchange is the doc_id rollup. Every rollup is
     // ASSOCIATIVE (count / sum / bit_xor of longs — one codegen'd hash
     // agg with map-side partials): the fingerprint is the XOR of
     // position-tagged md5-lower-64 word hashes, which encodes order
@@ -881,8 +881,13 @@ object TextAnalysis {
           graft.functions.VectorFunctions.md5Lower(
             concat((col("pos") + 1).cast(StringType), lit(":"), col("syms"))),
           11)
+        // no broadcast HINT: the vocabulary is corpus-derived (sublinear
+        // but unbounded — a real 100 TB corpus has a many-million-word
+        // vocabulary), so the PlanSpec domain-bounded-broadcast invariant
+        // applies; the checkpointed relation carries exact stats and AQE
+        // broadcasts it at runtime whenever it actually fits.
         docWords
-          .join(broadcast(vocab.select(col("w"), col("syms"))), "w")
+          .join(vocab.select(col("w"), col("syms")), "w")
           .withColumn("_fp", wordFp)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),

@@ -925,6 +925,62 @@ object EventTime {
         WHERE a.w_start + INTERVAL '1 hour' <= fw.w
         ORDER BY w_start, event_type""")),
 
+    // EVENT-TIME TIMERS through the real engine (state API v2's timer
+    // surface — registerTimer / listTimers / deleteTimer /
+    // handleExpiredTimer — which no other key exercises): per-user
+    // inactivity close-out. Every user's running count re-arms a single
+    // timer at (latest activity + 30 min); single-batch ingestion keeps
+    // the watermark at epoch while data flows (no timer can fire
+    // mid-stream), then the final no-data batch advances the EVICTION
+    // watermark to max(ts) − 10 min and fires exactly the timers with
+    // expiry ≤ that (TimerStateImpl's expiry iterator stops at the first
+    // timer > threshold — tie FIRES, decompiled spark-sql 4.1.2). The
+    // emitted set is therefore {users : max(ts)+30min ≤ max(all ts)−10min}
+    // with their total counts — a plain SQL HAVING. Users still inside
+    // the gap never close (state outlives the run — the streaming
+    // semantic; the oracle excludes them identically).
+    //
+    // Scale shape: timers live in the same RocksDB store as the value
+    // state, keyed by (user, expiry) — O(users) state, O(fired) emission;
+    // the timer registry is range-scanned once per batch, not per key.
+    "q_stream_timer_close" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val scratch = Scratch.fresh("stream_timer")
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val closed = graft.streaming.Streams.timerClose(
+            s.readStream.schema(Scratch.inputSchema).parquet(in)
+              .as[graft.streaming.Streams.Event])
+          closed.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("closed_at", col("closed_at").cast("timestamp_ntz"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts
+                   FROM events),
+        mx AS (SELECT MAX(ts) AS m FROM e)
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(ts) + INTERVAL '30 minutes' AS closed_at
+        FROM e CROSS JOIN mx
+        GROUP BY user_id, m
+        HAVING MAX(ts) + INTERVAL '30 minutes' <= m - INTERVAL '10 minutes'
+        ORDER BY user_id""")),
+
     // UPDATE-mode emission through the real engine — the other half of the
     // output-mode contract (append emits once-on-close; update re-emits a
     // group's RUNNING aggregate every micro-batch it changes in). The

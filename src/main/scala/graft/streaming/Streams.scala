@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming operators (SURVEY.md §2.4 ◻ rows). Each transform
@@ -120,6 +121,62 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new CumulativeProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Running per-user state for the timer close-out processor. */
+  final case class SessAcc(n: Long, max_ts: Long)
+
+  /** A per-user close-out record emitted by an EVENT-TIME TIMER firing. */
+  final case class SessionClose(user_id: Long, n_events: Long,
+      closed_at: Timestamp)
+
+  /** EVENT-TIME TIMERS through the state API v2 (the capability beyond
+    * CumulativeProcessor's plain ValueState): each input batch refreshes
+    * the user's running count and RE-ARMS a single timer at
+    * (latest activity + gapMs); when the eviction watermark passes the
+    * timer (fires iff timer ≤ watermark — TimerStateImpl's expiry
+    * iterator stops at the first timer > threshold), handleExpiredTimer
+    * emits the close-out record and clears state, so a later row would
+    * start a fresh session. This is the inactivity-timeout pattern
+    * flatMapGroupsWithState spelled with GroupStateTimeout.EventTimeTimeout
+    * — here with composable named state + explicit timer registration. */
+  class TimerCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionClose] {
+    @transient private var acc: ValueState[SessAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessAcc](
+        "acc", Encoders.product[SessAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      var a = if (acc.exists()) acc.get() else SessAcc(0L, Long.MinValue)
+      rows.foreach(e => a = SessAcc(a.n + 1, math.max(a.max_ts, e.ts.getTime)))
+      // one live timer per user: re-arm at the latest activity + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(a.max_ts + gapMs)
+      acc.update(a)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
+      val a = acc.get()
+      acc.clear()
+      Iterator(SessionClose(key, a.n,
+        new Timestamp(expiredTimerInfo.getExpiryTimeInMs)))
+    }
+  }
+
+  /** Per-user inactivity close-out driven by event-time timers. */
+  def timerClose(events: Dataset[Event], gapMs: Long = 30 * 60000L,
+      watermark: String = "10 minutes"): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream join with event-time bounds: each signup joins

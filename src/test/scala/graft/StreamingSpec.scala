@@ -441,6 +441,54 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} windows != closed batch ${closed.size}")
   }
 
+  test("event-time timers: close-out fires when the eviction watermark passes; state re-opens") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.Event]
+      val out = Streams.timerClose(mem.toDS(), gapMs = 30 * 60000L)
+      val q = out.writeStream.format("memory").queryName("timers")
+        .outputMode("append").start()
+      try {
+        // batch 1: user 1 twice, user 2 once — timers armed, wm still 0
+        mem.addData(
+          Streams.Event(1, ts(0), 1, "x", 1.0),
+          Streams.Event(2, ts(10), 1, "x", 1.0),
+          Streams.Event(3, ts(5), 2, "x", 1.0))
+        q.processAllAvailable()
+        assert(spark.table("timers").isEmpty, "no timer may fire at wm=0")
+        // batch 2: user 2 again at min 120 → wm advances to 110; user 1's
+        // timer (min 40) fires on the watermark pass
+        mem.addData(Streams.Event(4, ts(120), 2, "x", 1.0))
+        q.processAllAvailable()
+        val afterClose = spark.table("timers").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        assert(afterClose.toSet == Set((1L, 2L, ts(40))),
+          s"user-1 close-out expected, got ${afterClose.toSeq}")
+        // user 1 re-opens: a fresh event within the watermark starts a NEW
+        // session (old state was cleared on close)
+        mem.addData(Streams.Event(5, ts(200), 1, "x", 1.0))
+        q.processAllAvailable()
+        // a far-future event pushes the watermark past every armed timer
+        mem.addData(Streams.Event(6, ts(600), 3, "x", 1.0))
+        q.processAllAvailable()
+        val all = spark.table("timers").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+        assert(all.contains((1L, 1L, ts(230))),
+          s"re-opened user-1 session must close with n=1, got $all")
+        assert(all.contains((2L, 2L, ts(150))),
+          s"user-2 session (events at 5 and 120) must close at 150, got $all")
+        assert(!all.exists(_._1 == 3L), "user 3 is still inside the gap")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cumulativePerUser accumulates product-typed state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
