@@ -1045,7 +1045,7 @@ object EventTime {
                       SUM(CAST(value AS DECIMAL(12,2))) AS tb
                FROM kept GROUP BY 1, 2, 3)
         SELECT b AS batch_id, w_start, event_type,
-               SUM(nb) OVER cum AS n,
+               CAST(SUM(nb) OVER cum AS BIGINT) AS n,
                CAST(CAST(SUM(tb) OVER cum AS DECIMAL(18,4)) AS DOUBLE) AS total
         FROM kb
         WINDOW cum AS (PARTITION BY w_start, event_type ORDER BY b
