@@ -925,6 +925,54 @@ object EventTime {
         WHERE a.w_start + INTERVAL '1 hour' <= fw.w
         ORDER BY w_start, event_type""")),
 
+    // The LEGACY arbitrary-state API (flatMapGroupsWithState) through the
+    // real engine — the LAST streaming-only capability without a keyed
+    // oracle. Same order-free-reduction contract as q_stream_stateful
+    // (count, exact cents, min/max event id; n_events strictly monotone
+    // per user ⇒ max_by read-back = final state), same plain-GROUP-BY
+    // oracle — but executed by FlatMapGroupsWithStateExec with the
+    // default HDFS-backed state store instead of transformWithState on
+    // RocksDB, so BOTH arbitrary-state code paths are now
+    // correctness-gated. 2 files per micro-batch keeps state genuinely
+    // crossing batches.
+    //
+    // Scale shape: one user-keyed exchange into the state store; state is
+    // O(distinct users); emissions are touched-users-sized per batch.
+    "q_stream_legacy_state" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val scratch = Scratch.fresh("stream_legacy")
+        val cum = graft.streaming.Streams.runningPerUserLegacy(
+          s.readStream.schema(Scratch.inputSchema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(in)
+            .select(col("event_id"), col("user_id"),
+              (dec2(col("value")) * 100)
+                .cast(org.apache.spark.sql.types.LongType).as("cents"))
+            .as[graft.streaming.Streams.ECents])
+        cum.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$scratch/out")
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            max_by(col("cents"), col("n_events")).as("cents"),
+            max_by(col("min_id"), col("n_events")).as("min_id"),
+            max_by(col("max_id"), col("n_events")).as("max_id"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS cents,
+               MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // EVENT-TIME TIMERS through the real engine (state API v2's timer
     // surface — registerTimer / listTimers / deleteTimer /
     // handleExpiredTimer — which no other key exercises): per-user

@@ -263,6 +263,31 @@ object Streams {
       .withColumn("split", graft.llm.Curation.splitAssign(col("doc_id")))
       .select(col("doc_id"), col("source"), col("split"))
 
+  /** The LEGACY arbitrary-state API (`flatMapGroupsWithState`) carrying
+    * the same order-free per-user reductions as CumulativeProcessor:
+    * (count, cents, min/max id) re-emitted on every batch that touches
+    * the user. Same oracle trick as q_stream_stateful — every field is
+    * order-independent and n_events is strictly monotone per user, so the
+    * max_by(·, n_events) read-back is the final state no matter how the
+    * source batched rows or how the group iterator ordered them. */
+  def runningPerUserLegacy(events: Dataset[ECents]): Dataset[UserCum] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCum, UserCum](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[ECents], state: GroupState[UserCum]) =>
+          var c = state.getOption.getOrElse(
+            UserCum(key, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { e =>
+            c = UserCum(key, c.n_events + 1, c.cents + e.cents,
+              math.min(c.min_id, e.event_id), math.max(c.max_id, e.event_id))
+          }
+          state.update(c)
+          Iterator.single(c)
+      }
+  }
+
   /** Arbitrary stateful processing: per-user running (count, sum) emitted on
     * every update — the `flatMapGroupsWithState` shape used for custom
     * session enrichment. */
