@@ -489,6 +489,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timer tie: expiry EQUAL to the eviction watermark fires") {
+    // q_stream_timer_close's oracle uses `<=`; TimerStateImpl's expiry
+    // iterator stops at the first timer > threshold (decompiled 4.1.2) —
+    // this pins the tie empirically: user 1's timer lands at minute 30,
+    // and user 2's event at minute 40 advances the watermark to EXACTLY
+    // 30.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.Event]
+      val out = Streams.timerClose(mem.toDS(), gapMs = 30 * 60000L)
+      val q = out.writeStream.format("memory").queryName("timertie")
+        .outputMode("append").start()
+      try {
+        mem.addData(Streams.Event(1, ts(0), 1, "x", 1.0))
+        q.processAllAvailable()
+        mem.addData(Streams.Event(2, ts(40), 2, "x", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("timertie").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+        assert(rows == Set((1L, 1L, ts(30))),
+          s"timer at wm-tie must fire exactly once, got $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cumulativePerUser accumulates product-typed state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
