@@ -35,6 +35,33 @@ object Bench {
       (m.getOrElse("rchar", 0L), m.getOrElse("read_bytes", 0L))
     }
   }
+  /** 1/5/15-minute load averages of the HOST (not this JVM) from
+    * /proc/loadavg — the co-tenant-activity evidence every battery must
+    * carry (r10 verdict ask #1: identical-code batteries measured 156.9 s
+    * at load 0.03 vs 209.2 s at load 2.95, and nothing in the artifacts
+    * recorded which regime a run happened in). Zeros off-Linux. */
+  private def loadAvg(): Seq[Double] = {
+    val p = java.nio.file.Paths.get("/proc/loadavg")
+    if (!java.nio.file.Files.exists(p)) Seq(0.0, 0.0, 0.0)
+    else java.nio.file.Files.readString(p).trim.split("\\s+").take(3)
+      .map(_.toDouble).toSeq
+  }
+
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line. Steal
+    * is time the HYPERVISOR ran someone else while this VM was runnable —
+    * the co-tenant signal load-avg can't see (load measures our own run
+    * queue; steal measures the host taking the CPU away). (0,0)
+    * off-Linux. */
+  private def cpuJiffies(): (Long, Long) = {
+    val p = java.nio.file.Paths.get("/proc/stat")
+    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    else {
+      val cpu = java.nio.file.Files.readAllLines(p).get(0).trim
+        .split("\\s+").drop(1).map(_.toLong)
+      (cpu.sum, if (cpu.length > 7) cpu(7) else 0L)
+    }
+  }
+
   /** Overlay `updates` (key → raw JSON value text) onto a flat one-level
     * JSON object, preserving every existing key not updated. This is what
     * keeps single-query `SPARK_GRAFT_ONLY`/`SPARK_GRAFT_SKIP` runs from
@@ -184,6 +211,14 @@ object Bench {
     val warmup = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Battery-level ambient evidence: load-avg + hypervisor steal before
+    // and after the timed region, plus the 1-minute load at each QUERY's
+    // completion (BENCH_LOAD.json) — so a flag raised under a co-tenant
+    // window is distinguishable from a real regression WITHOUT prose in
+    // BENCH_NOTES (r10 verdict ask #1).
+    val loadStart = loadAvg()
+    val (jifT0, jifS0) = cpuJiffies()
+    val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = SparkEntry.queries
       .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .map { case (name, fn) =>
@@ -197,7 +232,9 @@ object Bench {
       // JIT + codegen compilation (measured up to 3.6x skew on run 1),
       // which is startup cost, not operator cost.
       if (warmup) timeOnce(name, fn)
-      name -> Seq.fill(nRuns)(timeOnce(name, fn))
+      val ts = Seq.fill(nRuns)(timeOnce(name, fn))
+      queryLoad(name) = loadAvg().head
+      name -> ts
     }
     val results = runs
       .map { case (name, ts) =>
@@ -237,13 +274,39 @@ object Bench {
           }
         }.sortBy { case (_, cur, base) => base - cur }
       }
+    // Every regression carries the 1-min load at ITS completion — a flag
+    // raised while a co-tenant was running annotates itself (ask #1: the
+    // gate MARKS load-suspect flags rather than refusing, so a driver
+    // round never loses its bench to ambient noise; triage stays the
+    // isolated SPARK_GRAFT_ONLY re-run protocol in BENCH_NOTES).
     regressions.foreach { case (k, cur, base) =>
-      System.err.println(f"[bench] REGRESSION $k: $cur%.3f s vs baseline $base%.3f s") }
+      System.err.println(
+        f"[bench] REGRESSION $k: $cur%.3f s vs baseline $base%.3f s " +
+          f"(load1m at query ${queryLoad.getOrElse(k, 0.0)}%.2f)") }
     val regJson = regressions.take(12)
-      .map { case (k, cur, base) => s"""\"$k\":[${r3(cur)},${r3(base)}]""" }
+      .map { case (k, cur, base) =>
+        s"""\"$k\":[${r3(cur)},${r3(base)},${r3(queryLoad.getOrElse(k, 0.0))}]""" }
       .mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    val (jifT1, jifS1) = cpuJiffies()
+    val stealPct =
+      if (jifT1 > jifT0) 100.0 * (jifS1 - jifS0) / (jifT1 - jifT0) else 0.0
+    // load_ok is the machine-readable quiet-window verdict the r10 verdict
+    // asked for: start load essentially idle and no hypervisor steal.
+    val loadOk = loadStart.head <= 0.15 && stealPct <= 1.0
+    def arr(v: Seq[Double]) = v.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val loadJson =
+      s"""{"start":${arr(loadStart)},"end":${arr(loadEnd)},""" +
+        f""""steal_pct":$stealPct%.2f,"load_ok":$loadOk}"""
+    // The resolved engine conf that shaped the timings (ADVICE r10: a
+    // battery run with SPARK_GRAFT_OHA_FALLBACK set was silently
+    // incomparable to the baseline) — every battery is self-describing.
+    val confJson =
+      s"""{"cpus":$cpus,"shuffle_partitions":$shufflePartitions,""" +
+        s""""oha_fallback":${sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128")},""" +
+        s""""runs":$nRuns,"warmup":$warmup,"partial":${only.nonEmpty || skip.nonEmpty}}"""
     val line =
-      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"load":$loadJson,"conf":$confJson,"sf":"$sfDir"}"""
     println(line)
     // Full per-query detail goes to a file, not stdout (tail budget). A
     // filtered run (ONLY/SKIP) merges into the existing battery file
@@ -273,6 +336,11 @@ object Bench {
         k -> (f"""{"logical_mb":${rc / 1048576.0}%.1f,""" +
           f""""disk_mb":${db / 1048576.0}%.1f,"scan_rows":$n}""")
       }, partial)
+    // Per-query 1-min load at completion, plus the battery-level load
+    // block under the reserved "_battery" key (merge-safe like the rest).
+    writeBenchFile(s"$outDir/BENCH_LOAD.json",
+      queryLoad.toSeq.map { case (k, v) => k -> f"$v%.2f" } :+
+        ("_battery" -> loadJson), partial)
     spark.stop()
   }
 }

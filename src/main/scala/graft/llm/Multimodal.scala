@@ -140,6 +140,53 @@ object Multimodal {
       .select(col("id"), posexplode(col("chunk_idx")).as(Seq("pos", "idx")))
       .select(col("id"), col("idx").cast(LongType).as("idx"))
 
+  /** Synthesize the deterministic 8×8 test image for `id` (the
+    * q_multimodal_phash convention: pattern from base = id/5 by pure id
+    * arithmetic + a ±1 per-id pixel noise the hash must absorb;
+    * `retouch` adds the single inverted pixel of q_multimodal_phash_pairs
+    * for id%11==0), PNG-encode it, decode it back through the REAL
+    * javax.imageio path, and aHash the decoded raster (bit = 64·pixel >
+    * pixel sum — integer cross-multiply, no division). Shared by all
+    * three phash keys so the codec contract is tested once. */
+  private def synthAHash(id: Long, retouch: Boolean): Long = {
+    val base = id / 5
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val hi0 = (base * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
+        val hi = if (retouch && id % 11 == 0 && (y * 8 + x) == (id % 64).toInt)
+          !hi0 else hi0
+        val v = (if (hi) 192 else 64) +
+          ((id + x * 3 + y * 5) % 3).toInt - 1
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val px = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      px(i) = (dimg.getRGB(i % 8, i / 8) >> 16) & 0xff
+      sum += px(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * px(i) > sum) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   val qs: Map[String, Q] = Map(
     // Binary-column round trip over a payload synthesized from documents
     // (UTF-8 bytes) — octet length + md5 digest are oracle-checkable.
@@ -301,43 +348,7 @@ object Multimodal {
         Tables(s, d, "documents").select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
-            it.map { id =>
-              val base = id / 5
-              val img = new java.awt.image.BufferedImage(
-                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  val hi = (base * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
-                  val v = (if (hi) 192 else 64) +
-                    ((id + x * 3 + y * 5) % 3).toInt - 1
-                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
-                  x += 1
-                }
-                y += 1
-              }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              val dimg = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bos.toByteArray))
-              // aHash over the DECODED raster
-              val px = new Array[Int](64)
-              var sum = 0L
-              var i = 0
-              while (i < 64) {
-                px(i) = (dimg.getRGB(i % 8, i / 8) >> 16) & 0xff
-                sum += px(i)
-                i += 1
-              }
-              var hash = 0L
-              i = 0
-              while (i < 64) {
-                if (64L * px(i) > sum) hash |= (1L << i)
-                i += 1
-              }
-              (id, hash)
-            }
+            it.map(id => (id, synthAHash(id, retouch = false)))
           }
           .toDF("doc_id", "phash")
           .groupBy("phash")
@@ -397,45 +408,8 @@ object Multimodal {
         val hashes = Tables(s, d, "documents").select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
-            it.map { id =>
-              val base = id / 5
-              val img = new java.awt.image.BufferedImage(
-                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  val hi0 = (base * 2654435761L + x * 7919L + y * 104729L) % 97 < 48
-                  // retouch: one inverted pixel for id%11==0 at cell id%64
-                  val hi = if (id % 11 == 0 && (y * 8 + x) == (id % 64).toInt)
-                    !hi0 else hi0
-                  val v = (if (hi) 192 else 64) +
-                    ((id + x * 3 + y * 5) % 3).toInt - 1
-                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
-                  x += 1
-                }
-                y += 1
-              }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              val dimg = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bos.toByteArray))
-              val px = new Array[Int](64)
-              var sum = 0L
-              var i = 0
-              while (i < 64) {
-                px(i) = (dimg.getRGB(i % 8, i / 8) >> 16) & 0xff
-                sum += px(i)
-                i += 1
-              }
-              var hash = 0L
-              i = 0
-              while (i < 64) {
-                if (64L * px(i) > sum) hash |= (1L << i)
-                i += 1
-              }
-              hash
-            }
+            // retouch: one inverted pixel for id%11==0 at cell id%64
+            it.map(id => synthAHash(id, retouch = true))
           }
           .toDF("phash")
           .distinct()
@@ -486,5 +460,91 @@ object Multimodal {
           FROM hs a JOIN hs b ON a.phash < b.phash
           WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3)
         SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(*) AS n_pairs
-        FROM pairs GROUP BY hamming ORDER BY hamming""")))
+        FROM pairs GROUP BY hamming ORDER BY hamming""")),
+
+    // IMAGE↔TEXT pair-alignment audit (r10 verdict ask #8): join the
+    // perceptual-hash image clusters against the caption-prefix text
+    // clusters and census the contingency of cluster sizes per document —
+    // the contamination check a real multimodal corpus pipeline runs
+    // before training: a caption duplicated under DIFFERENT images
+    // ('text_dup_image_unique') usually means boilerplate/alt-text reuse;
+    // a duplicated image under unique captions ('image_dup_text_unique')
+    // usually means re-captioned crawl dupes. Composition of two
+    // already-established cluster notions (the q_multimodal_phash image
+    // hash × the dedup family's text keying), emitted as the bounded
+    // (img_n, txt_n) census — never a member-list blowup. The text key is
+    // the 3-token caption PREFIX (the classic boilerplate signal), not
+    // the full text: the synthetic corpus has zero exact-text dups at the
+    // gate scale, so exact-text would leave the text dimension vacuously
+    // 1 everywhere — prefix groups make every census category reachable.
+    //
+    // Scale shape: text clusters key on md5(prefix), NOT raw text — the
+    // exchange moves 16-byte keys, not documents; each cluster size is a
+    // keyed window count (ONE exchange per key side, reused by the census
+    // agg via the same row), so the whole audit is two shuffles over
+    // (doc_id, hash) pairs plus a bounded final agg.
+    "q_multimodal_align" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val w1 = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("tkey")
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("tkey"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { case (id, tkey) => (id, tkey, synthAHash(id, retouch = false)) }
+          }
+          .toDF("doc_id", "tkey", "phash")
+          .withColumn("img_n", count(lit(1)).over(w1))
+          .withColumn("txt_n", count(lit(1)).over(w2))
+          .withColumn("category",
+            when(col("img_n") > 1 && col("txt_n") > 1, "both_dup")
+              .when(col("img_n") > 1, "image_dup_text_unique")
+              .when(col("txt_n") > 1, "text_dup_image_unique")
+              .otherwise("both_unique"))
+          .groupBy("img_n", "txt_n", "category")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("img_n", "txt_n")
+      },
+      oracle = Some("""
+        WITH grid AS (SELECT x.i AS xi, y.j AS yj
+                      FROM range(8) x(i), range(8) y(j)),
+        px AS (
+          SELECT d.doc_id, g.xi, g.yj,
+                 (CASE WHEN ((doc_id // 5) * 2654435761 + g.xi * 7919
+                             + g.yj * 104729) % 97 < 48
+                       THEN 192 ELSE 64 END)
+                   + (doc_id + g.xi * 3 + g.yj * 5) % 3 - 1 AS v
+          FROM documents d, grid g),
+        m AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+        h AS (
+          SELECT px.doc_id,
+                 CAST(SUM(CASE WHEN 64 * v > m.s
+                   THEN CASE WHEN yj * 8 + xi = 63
+                             THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << (yj * 8 + xi)) END
+                   ELSE 0 END) AS BIGINT) AS phash
+          FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        j AS (
+          SELECT h.doc_id, h.phash,
+                 md5(array_to_string((string_split(d.text, ' '))[1:3], ' '))
+                   AS tkey
+          FROM h JOIN documents d USING (doc_id)),
+        c AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY phash) AS img_n,
+                 COUNT(*) OVER (PARTITION BY tkey) AS txt_n
+          FROM j)
+        SELECT img_n, txt_n,
+               CASE WHEN img_n > 1 AND txt_n > 1 THEN 'both_dup'
+                    WHEN img_n > 1 THEN 'image_dup_text_unique'
+                    WHEN txt_n > 1 THEN 'text_dup_image_unique'
+                    ELSE 'both_unique' END AS category,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM c GROUP BY img_n, txt_n
+        ORDER BY img_n, txt_n""")))
 }

@@ -25,6 +25,19 @@ object Similarity {
   // md5-lower-64 of "pq-m-k-j" — derived in VectorKernels.pqCodebook and
   // reproduced bit-for-bit by the DuckDB oracles' md5_number_lower math.
 
+  /** Round count for q_graph_pagerank — ONE constant drives both the Spark
+    * iteration loop and the unrolled oracle, so the two can never silently
+    * diverge (ADVICE r10). Declared ABOVE `qs`: the oracle string is built
+    * eagerly during object init, and object vals initialize in declaration
+    * order. */
+  private[graft] val pagerankIters = 4
+
+  /** 12^e as an exact long (no float pow; e is tiny). Long-safe for any
+    * e ≤ 16 — far beyond a sensible power-iteration count, and the
+    * mass-conservation bound P_t ≤ N·12^t constrains iters first. */
+  private[graft] def pow12(e: Int): Long =
+    (0 until e).foldLeft(1L)((a, _) => a * 12)
+
   val qs: Map[String, Q] = Map(
 
     // Product quantization (PQ) encoding — the compression member of the
@@ -463,8 +476,8 @@ object Similarity {
             .select(col("src"), col("dst"),
               expr("CAST(6 AS BIGINT) DIV outdeg").as("w")))
         var p = deg.select(col("src").as("vec_id"), lit(1L).as("p"))
-        for (t <- 1 to 4) {
-          val teleport = 6L * Seq(1L, 12L, 144L, 1728L)(t - 1)
+        for (t <- 1 to pagerankIters) {
+          val teleport = 6L * pow12(t - 1)
           val inflow = ew.join(p, ew("src") === p("vec_id"))
             .groupBy(ew("dst")).agg(sum(col("p") * col("w")).as("inflow"))
           p = graft.Tables.runScopedCheckpoint(s"q_graph_pagerank.p$t",
@@ -476,10 +489,11 @@ object Similarity {
         p.join(deg.select(col("src").as("vec_id"), col("outdeg")),
             Seq("vec_id"))
           .select(col("vec_id"), col("outdeg"), col("p").as("pr_scaled"),
-            (col("p").cast(DoubleType) / lit(20736.0)).as("pr"))
+            (col("p").cast(DoubleType) / lit(pow12(pagerankIters).toDouble))
+              .as("pr"))
           .orderBy("vec_id")
       },
-      oracle = Some(pagerankOracle(4))),
+      oracle = Some(pagerankOracle(pagerankIters))),
 
     // Corpus-wide ANN k-NN graph — the 100-TB construction q_knn_graph's
     // label blocking stands in for: EVERY vector's top-3 cosine neighbors
@@ -923,7 +937,7 @@ object Similarity {
     * long-safe by the mass-conservation bound). */
   private def pagerankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
-      val teleport = 6L * Seq(1L, 12L, 144L, 1728L)(t - 1)
+      val teleport = 6L * pow12(t - 1)
       s"""p$t AS (SELECT d.src AS vec_id,
                   CAST($teleport + COALESCE(SUM(p${t - 1}.p * ew.w), 0)
                     AS BIGINT) AS p
@@ -932,7 +946,7 @@ object Similarity {
            LEFT JOIN p${t - 1} ON p${t - 1}.vec_id = ew.src
            GROUP BY d.src)"""
     }.mkString(",\n        ")
-    val scale = math.pow(12.0, iters).toLong
+    val scale = pow12(iters)
     s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         scored AS (

@@ -24,6 +24,32 @@ object EventTime {
   // lives in graft.Scratch — see its Scaladoc for the r9 leak rationale.
   private val Scratch = graft.Scratch
 
+  /** Shuffle-partition count for the REAL-ENGINE streaming keys (r10
+    * verdict ask #2). Each stateful operator spins one state-store
+    * instance per shuffle partition per micro-batch — at the session
+    * default (= CPUs = 32) that is 32 store open/commit cycles per op per
+    * batch on ~10k rows of state, pure fixed overhead that dominated
+    * q_stream_update's 15-26 s battery wall. 4 partitions still exercises
+    * a genuine multi-partition key exchange (cross-partition state
+    * correctness is not weakened — partition count is semantics-neutral,
+    * all eight keys were green at 32) while cutting the per-batch constant
+    * 8×. On a real cluster this is the same knob sized to executors; the
+    * count is pinned per-checkpoint at query start, and every run here
+    * starts a fresh checkpoint dir, so the override always takes. */
+  private val streamShufflePartitions = 4
+
+  /** Run `body` (a streaming start+awaitTermination block) with
+    * spark.sql.shuffle.partitions scoped to [[streamShufflePartitions]],
+    * restoring the session value after — the q_stream_stateful
+    * providerClass pattern. Only the STREAMING query reads the conf (at
+    * start); the surrounding batch plans (scratch setup before, sink
+    * read-back after) are built lazily and execute outside the scope. */
+  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val qs: Map[String, Q] = Map(
 
     "q_window_tumbling" -> Q(
@@ -633,13 +659,15 @@ object EventTime {
         val scratch = Scratch.fresh("stream_dedup")
         val deduped = graft.streaming.Streams.dedupWithinWatermark(
           events.union(dupes), "10 minutes")
-        deduped.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/out")
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        withStreamShuffle(s) {
+          deduped.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         s.read.parquet(s"$scratch/out")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
@@ -682,13 +710,15 @@ object EventTime {
           s.readStream.schema(Scratch.inputSchema).parquet(in)
             .select(col("ts"), col("event_type"), col("value")),
           "10 minutes")
-        agg.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/out")
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        withStreamShuffle(s) {
+          agg.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         // Back to NTZ for the oracle compare (UTC session TZ ⇒ value-stable;
         // the cast to TIMESTAMP above was only for the watermark's benefit).
         s.read.parquet(s"$scratch/out")
@@ -737,13 +767,15 @@ object EventTime {
           branch().filter(col("event_type") === "signup"),
           branch().filter(col("event_type") === "purchase"),
           within = "1 hour", joinType = "left_outer")
-        joined.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/out")
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        withStreamShuffle(s) {
+          joined.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         // Back to NTZ for the oracle compare (UTC session TZ ⇒ value-stable).
         s.read.parquet(s"$scratch/out")
           .withColumn("signup_ts", col("signup_ts").cast("timestamp_ntz"))
@@ -815,13 +847,15 @@ object EventTime {
                 (dec2(col("value")) * 100)
                   .cast(org.apache.spark.sql.types.LongType).as("cents"))
               .as[graft.streaming.Streams.ECents])
-          cum.writeStream
-            .format("parquet")
-            .option("path", s"$scratch/out")
-            .option("checkpointLocation", s"$scratch/ck")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-            .awaitTermination()
+          withStreamShuffle(s) {
+            cum.writeStream
+              .format("parquet")
+              .option("path", s"$scratch/out")
+              .option("checkpointLocation", s"$scratch/ck")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+              .awaitTermination()
+          }
         } finally prev match {
           case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
           case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -888,13 +922,15 @@ object EventTime {
             .parquet(inDir)
             .select(col("ts"), col("event_type"), col("value")),
           "10 minutes")
-        agg.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/out")
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        withStreamShuffle(s) {
+          agg.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         s.read.parquet(s"$scratch/out")
           .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
           .orderBy("w_start", "event_type")
@@ -951,13 +987,15 @@ object EventTime {
               (dec2(col("value")) * 100)
                 .cast(org.apache.spark.sql.types.LongType).as("cents"))
             .as[graft.streaming.Streams.ECents])
-        cum.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/out")
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        withStreamShuffle(s) {
+          cum.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         s.read.parquet(s"$scratch/out")
           .groupBy("user_id")
           .agg(max(col("n_events")).as("n_events"),
@@ -1003,13 +1041,15 @@ object EventTime {
           val closed = graft.streaming.Streams.timerClose(
             s.readStream.schema(Scratch.inputSchema).parquet(in)
               .as[graft.streaming.Streams.Event])
-          closed.writeStream
-            .format("parquet")
-            .option("path", s"$scratch/out")
-            .option("checkpointLocation", s"$scratch/ck")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-            .awaitTermination()
+          withStreamShuffle(s) {
+            closed.writeStream
+              .format("parquet")
+              .option("path", s"$scratch/out")
+              .option("checkpointLocation", s"$scratch/ck")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+              .awaitTermination()
+          }
         } finally prev match {
           case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
           case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1056,17 +1096,26 @@ object EventTime {
             .parquet(in)
             .select(col("ts"), col("event_type"), col("value")),
           "10 minutes")
-        val q = agg.writeStream
-          .outputMode("update")
-          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            df.withColumn("batch_id", lit(id))
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(s"$scratch/out")
-          }
-          .option("checkpointLocation", s"$scratch/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStreamShuffle(s) {
+          val q = agg.writeStream
+            .outputMode("update")
+            // Idempotent per-batch sink (ADVICE r10): foreachBatch can
+            // re-run a failed micro-batch, and a flat Append target would
+            // land its rows twice. Each batch OVERWRITES its own
+            // batch-id-keyed subdirectory instead, so a retry replaces
+            // rather than duplicates — the documented foreachBatch
+            // exactly-once recipe. The b=<id> partition-style name keeps
+            // the root readable as one parquet relation.
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              df.withColumn("batch_id", lit(id))
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$scratch/out/b=$id")
+            }
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$scratch/out")
           .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
           .select(col("batch_id"), col("w_start"), col("event_type"),
@@ -1098,5 +1147,269 @@ object EventTime {
         FROM kb
         WINDOW cum AS (PARTITION BY w_start, event_type ORDER BY b
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY batch_id, w_start, event_type""")))
+        ORDER BY batch_id, w_start, event_type""")),
+
+    // RIGHT-outer stream-stream interval join THROUGH THE STREAMING ENGINE
+    // (r10 verdict ask #3): the mirror image of q_stream_interval_left —
+    // purchases with no same-user signup in the PRECEDING hour emit
+    // null-extended once the engine knows no signup can still arrive.
+    // The two sides' eviction bounds are ASYMMETRIC because the interval
+    // is one-directional: a stored signup can match purchases up to
+    // signup_ts + 1h (evictable when wm passes that), while a stored
+    // purchase can only match signups with signup_ts <= purchase_ts —
+    // evictable as soon as wm passes purchase_ts itself. Single-batch
+    // ingestion (the q_stream_interval_left argument) makes the outer
+    // emission set oracle-expressible: all inner matches emit in batch 0,
+    // the final no-data batch advances eviction to
+    // min(max signup_ts, max purchase_ts) − 10min and null-extends the
+    // evicted never-matched right rows — strictly purchase_ts < wm (the
+    // tie HOLDS in state; pinned in StreamingSpec's outer-eviction-tie
+    // test alongside the left side's signup_ts + 1h < wm).
+    //
+    // Scale shape: identical to q_stream_interval_left — equi-key state
+    // both sides, evicted by the event-time bound, O(in-flight interval).
+    "q_stream_interval_right" -> Q(
+      fn = (s, d) => {
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        def branch() = s.readStream.schema(Scratch.inputSchema).parquet(in)
+        val scratch = Scratch.fresh("stream_iright")
+        val joined = graft.streaming.Streams.signupToPurchase(
+          branch().filter(col("event_type") === "signup"),
+          branch().filter(col("event_type") === "purchase"),
+          within = "1 hour", joinType = "right_outer")
+        withStreamShuffle(s) {
+          joined.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("signup_ts", col("signup_ts").cast("timestamp_ntz"))
+          .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
+          .orderBy(col("purchase_id").asc, col("signup_id").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+              FROM e WHERE event_type = 'signup'),
+        p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                     ts AS purchase_ts
+              FROM e WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT MAX(signup_ts) FROM s),
+                            (SELECT MAX(purchase_ts) FROM p))
+                      - INTERVAL '10 minutes' AS w),
+        matched AS (
+          SELECT signup_id, purchase_id, user_id, signup_ts, purchase_ts
+          FROM s JOIN p ON user_id = p_user
+            AND purchase_ts >= signup_ts
+            AND purchase_ts <= signup_ts + INTERVAL '1 hour'),
+        unmatched AS (
+          SELECT CAST(NULL AS BIGINT) AS signup_id, p.purchase_id,
+                 p.p_user AS user_id, CAST(NULL AS TIMESTAMP) AS signup_ts,
+                 p.purchase_ts
+          FROM p CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.purchase_id = p.purchase_id)
+            AND p.purchase_ts < wm.w)
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched
+        ORDER BY purchase_id, signup_id NULLS FIRST""")),
+
+    // FULL-outer stream-stream interval join THROUGH THE STREAMING ENGINE
+    // (r10 verdict ask #3): both unmatched sides null-extend, each under
+    // its OWN eviction bound (signup_ts + 1h < wm on the left,
+    // purchase_ts < wm on the right — see q_stream_interval_right for the
+    // asymmetry argument). The emitted relation is exactly
+    // matched ∪ left-unmatched ∪ right-unmatched, each rule already
+    // hash-checked in isolation by the left/right keys — this key pins
+    // that the engine applies BOTH simultaneously from one shared state.
+    "q_stream_interval_full" -> Q(
+      fn = (s, d) => {
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        def branch() = s.readStream.schema(Scratch.inputSchema).parquet(in)
+        val scratch = Scratch.fresh("stream_ifull")
+        val joined = graft.streaming.Streams.signupToPurchase(
+          branch().filter(col("event_type") === "signup"),
+          branch().filter(col("event_type") === "purchase"),
+          within = "1 hour", joinType = "full_outer")
+        withStreamShuffle(s) {
+          joined.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("signup_ts", col("signup_ts").cast("timestamp_ntz"))
+          .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
+          .orderBy(col("signup_id").asc_nulls_first,
+            col("purchase_id").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+              FROM e WHERE event_type = 'signup'),
+        p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                     ts AS purchase_ts
+              FROM e WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT MAX(signup_ts) FROM s),
+                            (SELECT MAX(purchase_ts) FROM p))
+                      - INTERVAL '10 minutes' AS w),
+        matched AS (
+          SELECT signup_id, purchase_id, user_id, signup_ts, purchase_ts
+          FROM s JOIN p ON user_id = p_user
+            AND purchase_ts >= signup_ts
+            AND purchase_ts <= signup_ts + INTERVAL '1 hour'),
+        un_s AS (
+          SELECT s.signup_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 s.user_id, s.signup_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+          FROM s CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.signup_id = s.signup_id)
+            AND s.signup_ts + INTERVAL '1 hour' < wm.w),
+        un_p AS (
+          SELECT CAST(NULL AS BIGINT) AS signup_id, p.purchase_id,
+                 p.p_user AS user_id, CAST(NULL AS TIMESTAMP) AS signup_ts,
+                 p.purchase_ts
+          FROM p CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.purchase_id = p.purchase_id)
+            AND p.purchase_ts < wm.w)
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM un_s
+        UNION ALL SELECT * FROM un_p
+        ORDER BY signup_id NULLS FIRST, purchase_id NULLS FIRST""")),
+
+    // CHAINED MULTI-STATEFUL-OPERATOR streaming pipeline (r10 verdict ask
+    // #4): a stream-stream interval join FEEDING a windowed aggregation in
+    // ONE query — the pipeline shape the watermarkForLateEvents /
+    // watermarkForEviction split exists for (see q_stream_late_drop's
+    // ladder decompile at the wm comments above). Over the deterministic
+    // 4-batch layout (Scratch.lateDropInput, maxFilesPerTrigger=1 on BOTH
+    // branches — the sources advance in lockstep, file b = micro-batch b)
+    // the whole chain is oracle-expressible:
+    //   wm(b)       = min(max signup_ts ≤ b, max purchase_ts ≤ b) − 10min
+    //   wm_late(b)  = wm(b−2)   (late filter at the JOIN; −2d at the agg)
+    //   wm_evict(b) = wm(b−1)   (state eviction at the JOIN; −2d at the agg)
+    //   • a join input at batch b is dropped iff ts ≤ wm_late(b)
+    //     (raw-column late filter — FileBatchProbeSpec pins)
+    //   • a cross-batch pair (b_s ≠ b_p, emitted at m = max) additionally
+    //     needs the EARLIER row to survive state eviction through batch
+    //     m−1, i.e. bound ≥ wm(m−2) = wm_late(m) — the signup's bound is
+    //     signup_ts + 2d, the purchase's purchase_ts (the asymmetric
+    //     q_stream_interval_right rule)
+    //   • the DOWNSTREAM agg does NOT see the raw watermark: Spark's
+    //     watermark PROPAGATION simulator (SPARK-42599's
+    //     PropagateWatermarkSimulator, the 3.5+ multi-stateful machinery)
+    //     assigns each operator the watermark AS DELAYED BY ITS UPSTREAM
+    //     — a time-interval join's output can lag its input watermark by
+    //     the full interval (a signup is held in state until signup_ts +
+    //     2d passes), so the join's OUTPUT watermark, and therefore the
+    //     agg's late/eviction watermarks, are wm_late(b) − 2d and
+    //     wm_evict(b) − 2d. Probe-verified here (ProgressListener run,
+    //     sf0.001): the agg emitted exactly the windows with
+    //     end ≤ wm(b−1) − 2d each batch and 0 rows were ever counted in
+    //     its numRowsDroppedByWatermark.
+    //   • so: a pair reaching the agg at batch m is dropped iff its
+    //     window END ≤ wm_late(m) − 2d (window-judged, tie drops — the
+    //     q_stream_late_drop pin; the chain still can never double-count
+    //     into an emitted window: end ≤ wm_evict(b₀) − 2d ≤
+    //     wm_late(m) − 2d for all m > b₀)
+    //   • the final no-data batch emits every window with
+    //     end ≤ wm(3) − 2d (tie emits — the q_stream_tumbling pin);
+    //     windows ending inside the trailing 2-day horizon stay open in
+    //     state — the price of correctness under a join that may still
+    //     produce rows that old
+    // All three aggregates are order-free (count / sum / min), so the
+    // result is deterministic given the pinned batch assignment. The
+    // 2-DAY join interval is a density choice, not a semantics one: at
+    // 1 hour the month-spanning synthetic corpus yields 3 qualifying
+    // pairs at sf0.001 and the ladder filters all of them — a vacuous
+    // 0-row oracle; at 2 days the kept set is dense enough that every
+    // clause above (input late drop, both survival bounds, agg drop,
+    // final eviction) is exercised with nonzero effect.
+    //
+    // Scale shape: join state O(in-flight interval) + agg state O(open
+    // windows), both watermark-evicted; the join's key exchange is reused
+    // by nothing downstream (the agg re-keys by window) — exactly the two
+    // exchanges the semantics require.
+    "q_stream_chained" -> Q(
+      fn = (s, d) => {
+        val scratch = Scratch.fresh("stream_chain")
+        val in = Scratch.lateDropInput(s, d)
+        def branch() = s.readStream.schema(Scratch.inputSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        val joined = graft.streaming.Streams.signupToPurchase(
+          branch().filter(col("event_type") === "signup"),
+          branch().filter(col("event_type") === "purchase"),
+          within = "2 days", joinType = "inner")
+        val agg = joined
+          .groupBy(window(col("signup_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_conv"),
+            sum(col("purchase_id")).as("sum_pid"),
+            min(col("signup_id")).as("min_sid"))
+          .select(col("window.start").as("w_start"), col("n_conv"),
+            col("sum_pid"), col("min_sid"))
+        withStreamShuffle(s) {
+          agg.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .orderBy("w_start")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id % 4 AS b, event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        sg AS (SELECT b AS bs, event_id AS signup_id, user_id,
+                      ts AS signup_ts FROM e WHERE event_type = 'signup'),
+        pu AS (SELECT b AS bp, event_id AS purchase_id, user_id AS p_user,
+                      ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+        bs4 AS (SELECT unnest([0, 1, 2, 3]) AS b),
+        wmt AS (SELECT b.b,
+                       least((SELECT MAX(signup_ts) FROM sg WHERE bs <= b.b),
+                             (SELECT MAX(purchase_ts) FROM pu WHERE bp <= b.b))
+                         - INTERVAL '10 minutes' AS w
+                FROM bs4 b),
+        wml AS (SELECT b.b,
+                       COALESCE((SELECT w FROM wmt WHERE wmt.b = b.b - 2),
+                         TIMESTAMP '1970-01-01 00:00:00') AS w
+                FROM bs4 b),
+        matched AS (
+          SELECT s.signup_id, p.purchase_id, s.signup_ts,
+                 GREATEST(s.bs, p.bp) AS m
+          FROM sg s JOIN pu p ON s.user_id = p.p_user
+            AND p.purchase_ts >= s.signup_ts
+            AND p.purchase_ts <= s.signup_ts + INTERVAL '2 days'
+          WHERE s.signup_ts > (SELECT w FROM wml WHERE wml.b = s.bs)
+            AND p.purchase_ts > (SELECT w FROM wml WHERE wml.b = p.bp)
+            AND (p.bp <= s.bs OR s.signup_ts + INTERVAL '2 days' >=
+                 (SELECT w FROM wml WHERE wml.b = p.bp))
+            AND (s.bs <= p.bp OR p.purchase_ts >=
+                 (SELECT w FROM wml WHERE wml.b = s.bs))),
+        kept AS (
+          SELECT time_bucket(INTERVAL '1 hour', signup_ts) AS w_start,
+                 signup_id, purchase_id
+          FROM matched mt
+          WHERE time_bucket(INTERVAL '1 hour', signup_ts) + INTERVAL '1 hour'
+                  > (SELECT w FROM wml WHERE wml.b = mt.m) - INTERVAL '2 days'
+            AND time_bucket(INTERVAL '1 hour', signup_ts) + INTERVAL '1 hour'
+                  <= (SELECT w FROM wmt WHERE b = 3) - INTERVAL '2 days')
+        SELECT w_start, COUNT(*) AS n_conv,
+               CAST(SUM(purchase_id) AS BIGINT) AS sum_pid,
+               MIN(signup_id) AS min_sid
+        FROM kept GROUP BY w_start
+        ORDER BY w_start""")))
 }

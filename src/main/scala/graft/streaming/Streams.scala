@@ -191,7 +191,16 @@ object Streams {
     * may emit the non-match; until then the row sits in state). The
     * event-time bound on the stream side of the condition is what makes
     * outer emission possible at all — an unbounded outer stream-stream
-    * join would have to hold every row forever. */
+    * join would have to hold every row forever.
+    *
+    * `"right_outer"` / `"full_outer"` (r10 verdict ask #3) add the
+    * mirror-image rows: a purchase with no in-window signup null-extends
+    * once the watermark passes ITS bound — a future signup must satisfy
+    * signup_ts <= purchase_ts, so the purchase is provably unmatched as
+    * soon as the watermark passes purchase_ts (vs signup_ts + within on
+    * the left side: the two sides' eviction bounds are asymmetric because
+    * the interval is one-directional). user_id is coalesced across the
+    * two key columns so every outer row still carries its user. */
   def signupToPurchase(signups: DataFrame, purchases: DataFrame,
       within: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val sg = signups.withWatermark("ts", "10 minutes")
@@ -204,7 +213,9 @@ object Streams {
       col("purchase_ts") >= col("signup_ts") &&
       col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $within"),
       joinType)
-      .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
+      .select(col("signup_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("signup_ts"), col("purchase_ts"))
   }
 
   /** Session-window aggregation under a watermark: per-user sessions

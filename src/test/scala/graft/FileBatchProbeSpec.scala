@@ -116,6 +116,69 @@ class FileBatchProbeSpec extends AnyFunSuite {
       "late-row drop vacuous: every window kept every row")
   }
 
+  test("chained join→agg: downstream watermark is DELAYED by the join interval (SPARK-42599 propagation)") {
+    // The q_stream_chained oracle's load-bearing discovery: a windowed agg
+    // DOWNSTREAM of a time-interval stream-stream join does not see the
+    // raw eviction watermark — the propagation simulator delays it by the
+    // join interval (a signup can be held in join state until signup_ts +
+    // interval passes, so join output lags the input watermark by up to
+    // the interval). Pin: a window whose end is ≤ wm_evict but >
+    // wm_evict − interval must NOT emit (the naive ladder would emit it),
+    // and must emit once the DELAYED watermark passes it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.Event
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tm(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val sg = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val pu = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val joined = graft.streaming.Streams.signupToPurchase(
+      sg.toDF(), pu.toDF(), within = "60 minutes", joinType = "inner")
+    val agg = joined
+      .groupBy(window(col("signup_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("chainprobe")
+      .outputMode("append").start()
+    def emitted(): Map[java.sql.Timestamp, Long] =
+      spark.table("chainprobe").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("w_start") -> r.getAs[Long]("n")).toMap
+    try {
+      // processAllAvailable DRAINS no-data batches, so each read below
+      // observes the FULLY-ADVANCED watermark of everything fed so far —
+      // the discriminator is therefore placed relative to the final
+      // drained watermark of each step, not an intermediate batch.
+      // b0: pair in window [0,60) (end 60) and pair in window
+      // [1920,1980) (end 1980)
+      sg.addData(Event(1, tm(0), 1, "signup", 0.0), Event(2, tm(1935), 2, "signup", 0.0))
+      pu.addData(Event(3, tm(30), 1, "purchase", 0.0), Event(4, tm(1936), 2, "purchase", 0.0))
+      q.processAllAvailable()   // drained wm: min(1935,1936)-10 = 1925
+      // b1: advance to wm 1990; delayed agg watermark = 1990−60 = 1930.
+      // Window end 60 ≤ 1930 → emits. Window end 1980: the NAIVE rule
+      // (end ≤ 1990) would emit it; the interval-delayed rule (end ≤
+      // 1930) must hold it open.
+      sg.addData(Event(5, tm(2000), 3, "signup", 0.0))
+      pu.addData(Event(6, tm(2000), 3, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(emitted().get(tm(0)).contains(1L),
+        s"window [0,60) should close under the delayed watermark 1930: ${emitted()}")
+      assert(!emitted().contains(tm(1920)),
+        s"window [1920,1980) emitted at eviction wm 1990 — the agg is NOT seeing the interval-delayed watermark: ${emitted()}")
+      // b2: advance to wm 2090; delayed = 2030 ≥ 1980 → now it closes
+      sg.addData(Event(7, tm(2100), 4, "signup", 0.0))
+      pu.addData(Event(8, tm(2100), 4, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(emitted().get(tm(1920)).contains(1L),
+        s"window [1920,1980) must emit once the delayed watermark passes 1980: ${emitted()}")
+      // the agg never counts chained inputs as late-dropped (they are
+      // filtered against the DELAYED late watermark; observed 0 across
+      // the sf0.001 engine probe too)
+      val aggDrops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .filter(_.operatorName == "stateStoreSave").map(_.numRowsDroppedByWatermark)
+      assert(aggDrops.forall(_ == 0L), s"agg late drops: $aggDrops")
+    } finally q.stop()
+  }
+
   test("q_stream_update: last emission per closed window equals the append-mode output") {
     import java.time.ZoneOffset
     def ms(t: java.time.LocalDateTime): Long =

@@ -139,14 +139,19 @@ class MiscOpsSpec extends AnyFunSuite {
       h
     }
     val expected = docs.flatMap { case (id, text) =>
-      val ws = text.split(" ").filter(_.nonEmpty)
+      // Engine (posexplode BEFORE the nonEmpty filter) and oracle (1-based
+      // index over the unfiltered split) both tag PRE-filter positions, so
+      // the reference keeps the original index through the filter — else a
+      // doc with leading/consecutive spaces would diverge spuriously
+      // (ADVICE r10).
+      val ws = text.split(" ").zipWithIndex.filter(_._1.nonEmpty)
       if (ws.isEmpty) None
       else {
-        val toks = ws.toVector.map(w => vocab(w)._1)
-        val fp = toks.zipWithIndex
+        val toks = ws.toVector.map { case (w, i) => (vocab(w)._1, i) }
+        val fp = toks
           .map { case (t, i) => md5Lower64(s"${i + 1}:${t.mkString(" ")}") >>> 11 }
           .reduce(_ ^ _)
-        Some(id -> ((ws.length.toLong, toks.map(_.length.toLong).sum, fp)))
+        Some(id -> ((ws.length.toLong, toks.map(_._1.length.toLong).sum, fp)))
       }
     }.toMap
     val got = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()

@@ -257,6 +257,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream eviction ties: BOTH sides hold at equality (strict <), asymmetric bounds") {
+    // Pins the strictness the q_stream_interval_left/right/full oracles
+    // encode: a LEFT row null-extends iff signup_ts + bound < wm (the tie
+    // HOLDS in state), a RIGHT row iff purchase_ts < wm. Probed at the
+    // exact-equality watermark (990) and again one step past it. Corpus
+    // timestamps are ms-random so a tie is measure-zero there; this is
+    // the crafted-equality case.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tm(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val sg = MemoryStream[Event]
+    val pu = MemoryStream[Event]
+    val out = Streams.signupToPurchase(sg.toDF(), pu.toDF(), "60 minutes", "full_outer")
+    val q = out.writeStream.format("memory").queryName("ssjtie")
+      .outputMode("append").start()
+    def users(): Set[Long] =
+      spark.table("ssjtie").collect().map(_.getAs[Long]("user_id")).toSet
+    try {
+      // S1: bound = 930+60 = 990; P1: 989 (< wm soon); P2: 990 (== wm, tie)
+      sg.addData(Event(1, tm(930), 7, "signup", 0.0))
+      pu.addData(Event(2, tm(989), 8, "purchase", 0.0),
+        Event(3, tm(990), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      // Advance both watermark nodes to 1000−10 = 990. processAllAvailable
+      // DRAINS: after the data batch, the watermark update triggers an
+      // immediate no-data batch whose eviction runs WITH wm = 990 — so the
+      // read below observes the tie batch exactly.
+      sg.addData(Event(4, tm(1000), 10, "signup", 0.0))
+      pu.addData(Event(5, tm(1000), 10, "purchase", 0.0))
+      q.processAllAvailable()
+      val afterTie = users()
+      assert(afterTie.contains(8L), s"P1 (989 < 990) must null-extend: $afterTie")
+      assert(!afterTie.contains(9L),
+        s"P2 tie (990 == wm) must HOLD in state (eviction is strict <): $afterTie")
+      assert(!afterTie.contains(7L),
+        s"S1 tie (bound 990 == wm) must HOLD in state (eviction is strict <): $afterTie")
+      // one step past the tie: wm drains to 1090 — both ties now evict
+      sg.addData(Event(6, tm(1100), 12, "signup", 0.0))
+      pu.addData(Event(7, tm(1100), 12, "purchase", 0.0))
+      q.processAllAvailable()
+      val afterPass = users()
+      assert(afterPass.contains(9L), s"P2 must null-extend once wm passes 990: $afterPass")
+      assert(afterPass.contains(7L), s"S1 must null-extend once wm passes its bound: $afterPass")
+      // full-outer sanity: the null-extension shape on both sides
+      val rows = spark.table("ssjtie").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((Option(r.get(0)), Option(r.get(1))))).toMap
+      assert(rows(7L)._1.isDefined && rows(7L)._2.isEmpty, "S1 must be left-null-extended")
+      assert(rows(9L)._1.isEmpty && rows(9L)._2.isDefined, "P2 must be right-null-extended")
+      assert(rows(10L)._1.isDefined && rows(10L)._2.isDefined, "u10 pair must match")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
