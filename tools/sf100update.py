@@ -66,7 +66,10 @@ def main():
         "total_sf100_sec": round(tot100, 3),
         "total_ratio_1000x": round(tot100 / tot01, 2) if tot01 > 0 else None,
         "all_linear_1000x": all(v.get("linear_1000x") for v in rows.values()),
-        "rerun_with_io": sorted(rerun),
+        # Provenance, not a TODO list: the rows the MOST RECENT update
+        # refreshed (wall + io together). The old name "rerun_with_io" read
+        # as "needs a rerun for io" and was misread exactly that way.
+        "last_update_rows": sorted(rerun),
     }
     json.dump(doc, open(scale_path, "w"), indent=1)
     print(f"updated {len(rerun)} rows: {sorted(rerun)}")
