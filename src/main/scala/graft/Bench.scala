@@ -105,6 +105,11 @@ object Bench {
     "q_layout_zorder", "q_pipeline_e2e", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
+    // Ambient evidence FIRST — before the SparkSession and the table
+    // warmup spin our own threads up, so "start" measures the co-tenant,
+    // not this JVM's ramp (the load_ok gate keys off it).
+    val loadStart = loadAvg()
+    val (jifT0, jifS0) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle-partition count, sized to the CORPUS for scale sweeps (the
@@ -229,13 +234,10 @@ object Bench {
     val warmup = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    // Battery-level ambient evidence: load-avg + hypervisor steal before
-    // and after the timed region, plus the 1-minute load at each QUERY's
-    // completion (BENCH_LOAD.json) — so a flag raised under a co-tenant
-    // window is distinguishable from a real regression WITHOUT prose in
-    // BENCH_NOTES (r10 verdict ask #1).
-    val loadStart = loadAvg()
-    val (jifT0, jifS0) = cpuJiffies()
+    // Per-query 1-minute load at each query's completion (BENCH_LOAD.json)
+    // — conflates our own threads with the co-tenant's, so it's triage
+    // evidence, not a verdict; the battery-level start/steal capture at
+    // the top of main is the clean ambient signal (r10 verdict ask #1).
     val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = SparkEntry.queries
       .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
