@@ -1411,5 +1411,155 @@ object EventTime {
                CAST(SUM(purchase_id) AS BIGINT) AS sum_pid,
                MIN(signup_id) AS min_sid
         FROM kept GROUP BY w_start
-        ORDER BY w_start""")))
+        ORDER BY w_start""")),
+
+    // STREAMING CDC APPLY (r11) — the change-data-capture consumer a real
+    // ingest pipeline runs: a stream of per-user change events merged into
+    // a persistent target with UPSERT-IF-NEWER semantics and DELETE
+    // tombstones (event_type='error' marks the user deleted), via the
+    // production foreachBatch pattern. Each micro-batch merges into a
+    // batch-id-VERSIONED state dir (v=<id> recomputed from v=<id-1> —
+    // Overwrite, so a retried batch is idempotent by construction, the
+    // q_stream_update recipe applied to a merge target). Because the
+    // merge rule is "newest (ts, event_id) wins, tombstones retained in
+    // state" the FINAL state is batching-independent — a plain
+    // latest-row-per-user oracle — while the 4-batch mtime ladder still
+    // makes the per-batch merge sequence deterministic and genuinely
+    // incremental (state crosses batches; a late-arriving OLDER change
+    // cannot resurrect a deleted user because the tombstone stays in
+    // state and shadows it).
+    //
+    // Scale shape: per batch, ONE user-keyed hash agg over
+    // (previous state ∪ batch) — state is O(distinct users), the merge
+    // is max(struct(...)) (codegen'd, map-side partials), and the
+    // versioned rewrite is state-sized, not stream-sized. At 100 TB the
+    // target write becomes a real MERGE INTO; the stream-side plan is
+    // identical.
+    "q_stream_cdc_apply" -> Q(
+      fn = (s, d) => {
+        val scratch = Scratch.fresh("stream_cdc")
+        val in = Scratch.lateDropInput(s, d)
+        val stateRoot = s"$scratch/state"
+        val q = s.readStream.schema(Scratch.inputSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val s2 = df.sparkSession
+            val prev =
+              if (id == 0L)
+                s2.createDataFrame(s2.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  df.schema)
+              else s2.read.parquet(s"$stateRoot/v=${id - 1}")
+            prev.unionByName(df)
+              .groupBy("user_id")
+              .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("m"))
+              .select(col("user_id"), col("m.ts").as("ts"),
+                col("m.event_id").as("event_id"),
+                col("m.event_type").as("event_type"),
+                col("m.value").as("value"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$stateRoot/v=$id")
+            ()
+          }
+          .option("checkpointLocation", s"$scratch/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state = highest version written (no watermark node, so no
+        // no-data batches; still derive the max defensively)
+        val vs = new java.io.File(stateRoot).listFiles()
+          .map(_.getName.stripPrefix("v=").toLong)
+        s.read.parquet(s"$stateRoot/v=${vs.max}")
+          .filter(col("event_type") =!= "error")
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT user_id, date_trunc('milliseconds', ts) AS ts, event_id,
+                 event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, ts, event_id, event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id""")),
+
+    // Second CHAINED multi-stateful shape (r11): stateful DEDUP feeding a
+    // windowed aggregation in ONE query — the ingest-then-aggregate
+    // pipeline (dedup retries, then hourly rollup) as one streaming plan.
+    // Unlike the join→agg chain, dropDuplicatesWithinWatermark emits rows
+    // ON ARRIVAL and manipulates no event-time column, so the propagation
+    // simulator passes the watermark through UNDELAYED — the agg's final
+    // emission is the plain q_stream_tumbling rule (end ≤ max(ts) − 10min)
+    // over the deduped relation, which under single-batch ingestion of
+    // corpus + injected re-deliveries is just the original corpus.
+    //
+    // Scale shape: two stateful ops, two key exchanges (event_id for the
+    // dedup store, window×type for the agg); dedup state is
+    // watermark-bounded, agg state is open-windows-sized.
+    "q_stream_dedup_agg" -> Q(
+      fn = (s, d) => {
+        val in = s"${Scratch.sharedInput(s, d)}/in"
+        val events = s.readStream.schema(Scratch.inputSchema).parquet(in)
+        // Re-deliveries 45 s later, injected ONLY for events >45 s below
+        // their hour's end: the dedup keeps whichever copy arrives first
+        // (within-batch order is partition-dependent), so the copies must
+        // be window-equivalent for the census to be copy-independent —
+        // see the oracle comment.
+        val dupes = s.readStream.schema(Scratch.inputSchema).parquet(in)
+          .filter(col("event_id") % 5 === 0 &&
+            expr("unix_millis(ts) % 3600000 < 3555000"))
+          .withColumn("ts", col("ts") + expr("INTERVAL 45 SECONDS"))
+        val scratch = Scratch.fresh("stream_dedup_agg")
+        val deduped = graft.streaming.Streams.dedupWithinWatermark(
+          events.union(dupes), "10 minutes")
+        val agg = deduped
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dec4(sum(dec2(col("value")))).as("total"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("total"))
+        withStreamShuffle(s) {
+          agg.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .orderBy("w_start", "event_type")
+      },
+      // The dedup keeps whichever copy arrives first; copies differ only
+      // in ts by +45 s, and the dup's window can differ from the
+      // original's — but single-batch ingestion makes the state-store
+      // insertion order deterministic per key, and the ORIGINAL sorts
+      // first in the source's within-batch order only if file layout says
+      // so. The aggregation therefore uses the kept copy's ts — to keep
+      // the oracle closed-form, inject dupes 45 s later but ONLY for
+      // events more than 45 s below their hour's end, so original and
+      // duplicate always land in the SAME window and the window census is
+      // copy-independent. (Injected filter below mirrors this.)
+      oracle = Some("""
+        WITH e AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+                          event_type, value FROM events),
+        dup AS (SELECT ts + INTERVAL '45 seconds' AS ts FROM e
+                WHERE event_id % 5 = 0
+                  AND epoch_ms(ts) % 3600000 < 3555000),
+        mx AS (SELECT GREATEST((SELECT MAX(ts) FROM e),
+                               (SELECT MAX(ts) FROM dup)) AS m),
+        w AS (SELECT time_bucket(INTERVAL 1 hour, ts) AS w_start, event_type,
+                     COUNT(*) AS n,
+                     CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                       AS DECIMAL(18,4)) AS DOUBLE) AS total
+              FROM e GROUP BY 1, 2)
+        SELECT w_start, event_type, n, total FROM w CROSS JOIN mx
+        WHERE w_start + INTERVAL 1 hour <= m - INTERVAL 10 minutes
+        ORDER BY w_start, event_type""")))
 }
