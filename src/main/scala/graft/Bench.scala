@@ -85,6 +85,9 @@ object Bench {
   private def writeBenchFile(
       path: String, updates: Seq[(String, String)], partial: Boolean): Unit = {
     val p = java.nio.file.Paths.get(path)
+    // A fresh SPARK_GRAFT_OUT dir must not silently lose the artifacts
+    // (the exception fires after the stdout line, so the run LOOKS fine).
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     val existing =
       if (partial && java.nio.file.Files.exists(p))
         java.nio.file.Files.readString(p)

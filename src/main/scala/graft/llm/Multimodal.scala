@@ -140,6 +140,19 @@ object Multimodal {
       .select(col("id"), posexplode(col("chunk_idx")).as(Seq("pos", "idx")))
       .select(col("id"), col("idx").cast(LongType).as("idx"))
 
+  /** Spread a narrow per-doc relation across ALL cores before a CPU-heavy
+    * per-row kernel (the image encode/decode paths): a mapPartitions
+    * stage otherwise inherits the SCAN's split count, and a mid-size
+    * corpus parquet yields only a handful of 128 MB splits — the r11
+    * decade sweep measured q_multimodal_align's per-doc cost 3-6× higher
+    * at sf10 than sf100 purely because ~150 MB of input gave 2-4 tasks
+    * on 28 cores. The exchange moves only the narrow projection
+    * (ids + 16-byte keys), which is orders cheaper than the kernel it
+    * unblocks; 3× overdecomposition smooths task skew. The kernel is
+    * per-row pure, so round-robin repartitioning cannot affect results. */
+  private def spreadForKernel[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism * 3)
+
   /** Synthesize the deterministic 8×8 test image for `id` (the
     * q_multimodal_phash convention: pattern from base = id/5 by pure id
     * arithmetic + a ±1 per-id pixel noise the hash must absorb;
@@ -252,7 +265,7 @@ object Multimodal {
     "q_multimodal_decode" -> Q(
       fn = (s, d) => {
         import s.implicits._
-        Tables(s, d, "documents").select(col("doc_id")).as[Long]
+        spreadForKernel(Tables(s, d, "documents").select(col("doc_id")).as[Long])
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
             it.map { id =>
@@ -345,7 +358,7 @@ object Multimodal {
     "q_multimodal_phash" -> Q(
       fn = (s, d) => {
         import s.implicits._
-        Tables(s, d, "documents").select(col("doc_id")).as[Long]
+        spreadForKernel(Tables(s, d, "documents").select(col("doc_id")).as[Long])
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
             it.map(id => (id, synthAHash(id, retouch = false)))
@@ -405,7 +418,8 @@ object Multimodal {
     "q_multimodal_phash_pairs" -> Q(
       fn = (s, d) => {
         import s.implicits._
-        val hashes = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+        val hashes = spreadForKernel(
+          Tables(s, d, "documents").select(col("doc_id")).as[Long])
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
             // retouch: one inverted pixel for id%11==0 at cell id%64
@@ -488,10 +502,10 @@ object Multimodal {
         import s.implicits._
         val w1 = org.apache.spark.sql.expressions.Window.partitionBy("phash")
         val w2 = org.apache.spark.sql.expressions.Window.partitionBy("tkey")
-        Tables(s, d, "documents")
+        spreadForKernel(Tables(s, d, "documents")
           .select(col("doc_id"),
             md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("tkey"))
-          .as[(Long, String)]
+          .as[(Long, String)])
           .mapPartitions { it =>
             javax.imageio.ImageIO.setUseCache(false)
             it.map { case (id, tkey) => (id, tkey, synthAHash(id, retouch = false)) }
