@@ -47,18 +47,39 @@ object Bench {
       .map(_.toDouble).toSeq
   }
 
-  /** (total, steal) jiffies from /proc/stat's aggregate cpu line. Steal
-    * is time the HYPERVISOR ran someone else while this VM was runnable —
-    * the co-tenant signal load-avg can't see (load measures our own run
-    * queue; steal measures the host taking the CPU away). (0,0)
-    * off-Linux. */
-  private def cpuJiffies(): (Long, Long) = {
+  /** (total, steal, busy) jiffies from /proc/stat's aggregate cpu line.
+    * Steal is time the HYPERVISOR ran someone else while this VM was
+    * runnable — the co-tenant signal load-avg can't see (load measures our
+    * own run queue; steal measures the host taking the CPU away). Busy =
+    * total − idle − iowait: all in-VM CPU consumption, ours + any
+    * co-tenant process's. (0,0,0) off-Linux. */
+  private def cpuJiffies(): (Long, Long, Long) = {
     val p = java.nio.file.Paths.get("/proc/stat")
-    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L)
     else {
       val cpu = java.nio.file.Files.readAllLines(p).get(0).trim
         .split("\\s+").drop(1).map(_.toLong)
-      (cpu.sum, if (cpu.length > 7) cpu(7) else 0L)
+      val idle = if (cpu.length > 4) cpu(3) + cpu(4) else 0L
+      (cpu.sum, if (cpu.length > 7) cpu(7) else 0L, cpu.sum - idle)
+    }
+  }
+
+  /** This JVM's own (utime + stime) jiffies from /proc/self/stat — what
+    * busy-jiffies minus THIS gives is the CPU other in-VM processes burned
+    * during the battery, the mid-run-co-tenant-arrival signal the r11
+    * battery-A creep demonstrated start-load can't see (ADVICE r11: a
+    * co-tenant arriving mid-run left load_ok=true while inflating the
+    * tail ~10-14%). 0 off-Linux. */
+  private def selfJiffies(): Long = {
+    val p = java.nio.file.Paths.get("/proc/self/stat")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      // comm (field 2) may contain spaces — parse after the closing paren.
+      val s = java.nio.file.Files.readString(p)
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      // overall fields are 1-indexed; rest(0) is field 3 → utime=14 is
+      // rest(11), stime=15 is rest(12)
+      rest(11).toLong + rest(12).toLong
     }
   }
 
@@ -108,11 +129,29 @@ object Bench {
     "q_layout_zorder", "q_pipeline_e2e", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_WAIT_QUIET=<minutes> (r11 verdict ask #7): poll for a
+    // quiet start (1-min load ≤ 0.15) up to the deadline before running,
+    // so an attended battery can outwait a co-tenant window instead of
+    // burning 20 minutes producing an untrusted artifact. Unset — the
+    // driver's unattended runs — means no wait; a deadline hit runs anyway
+    // and the artifact marks itself "deferred".
+    val waitQuietMin = sys.env.get("SPARK_GRAFT_WAIT_QUIET")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.0)
+    var waitedSec = 0L
+    if (waitQuietMin > 0) {
+      val deadline = System.nanoTime() + (waitQuietMin * 60e9).toLong
+      while (loadAvg().head > 0.15 && System.nanoTime() < deadline) {
+        Thread.sleep(15000); waitedSec += 15
+      }
+    }
+    val deferred = waitQuietMin > 0 && loadAvg().head > 0.15
     // Ambient evidence FIRST — before the SparkSession and the table
     // warmup spin our own threads up, so "start" measures the co-tenant,
     // not this JVM's ramp (the load_ok gate keys off it).
     val loadStart = loadAvg()
-    val (jifT0, jifS0) = cpuJiffies()
+    val (jifT0, jifS0, jifB0) = cpuJiffies()
+    val selfJif0 = selfJiffies()
+    val wallNs0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle-partition count, sized to the CORPUS for scale sweeps (the
@@ -124,6 +163,10 @@ object Bench {
     // cluster sizes this to executors × cores, exactly this knob.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Non-numeric override falls back to the default rather than feeding
+    // garbage to both the session conf and the JSON artifacts (ADVICE r11).
+    val ohaFallback = sys.env.get("SPARK_GRAFT_OHA_FALLBACK")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(128)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -134,7 +177,7 @@ object Bench {
       // bought the bounded topk_pairs family nothing (A/B in Engine.scala).
       // Env-overridable for A/B profiling of the threshold itself.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
+        ohaFallback.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -311,22 +354,40 @@ object Bench {
         s"""\"$k\":[${r3(cur)},${r3(base)},${r3(queryLoad.getOrElse(k, 0.0))}]""" }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
-    val (jifT1, jifS1) = cpuJiffies()
+    val (jifT1, jifS1, jifB1) = cpuJiffies()
     val stealPct =
       if (jifT1 > jifT0) 100.0 * (jifS1 - jifS0) / (jifT1 - jifT0) else 0.0
+    // Average CPU cores burned by OTHER in-VM processes across the whole
+    // battery: (busy − our own utime+stime) / wall. Unlike start-load this
+    // integrates over the run, so a co-tenant arriving mid-battery (the
+    // r11 battery-A creep, ADVICE r11) is caught; unlike end-load it does
+    // not count our own threads. USER_HZ = 100 on Linux. Quiet-machine
+    // background daemons measure ~0.02-0.05 cores; a co-tenant burst is
+    // multiple cores — gate at 0.25.
+    val wallSec = (System.nanoTime() - wallNs0) / 1e9
+    val cotenantCores =
+      if (wallSec > 0)
+        math.max(0.0, ((jifB1 - jifB0) - (selfJiffies() - selfJif0)) / (wallSec * 100.0))
+      else 0.0
     // load_ok is the machine-readable quiet-window verdict the r10 verdict
-    // asked for: start load essentially idle and no hypervisor steal.
-    val loadOk = loadStart.head <= 0.15 && stealPct <= 1.0
+    // asked for: start load essentially idle, no hypervisor steal, and —
+    // since r12 — no in-VM co-tenant CPU at any point DURING the battery.
+    val loadOk = loadStart.head <= 0.15 && stealPct <= 1.0 && cotenantCores <= 0.25
     def arr(v: Seq[Double]) = v.map(x => f"$x%.2f").mkString("[", ",", "]")
     val loadJson =
       s"""{"start":${arr(loadStart)},"end":${arr(loadEnd)},""" +
-        f""""steal_pct":$stealPct%.2f,"load_ok":$loadOk}"""
+        f""""steal_pct":$stealPct%.2f,"cotenant_cores":$cotenantCores%.3f,""" +
+        s""""waited_sec":$waitedSec,"deferred":$deferred,"load_ok":$loadOk}"""
     // The resolved engine conf that shaped the timings (ADVICE r10: a
     // battery run with SPARK_GRAFT_OHA_FALLBACK set was silently
     // incomparable to the baseline) — every battery is self-describing.
+    // The fallback value is parsed to an Int (ADVICE r11: a non-numeric
+    // env value interpolated raw would make the artifact invalid JSON;
+    // the session config above resolves the same way, so what's recorded
+    // is what actually ran).
     val confJson =
       s"""{"cpus":$cpus,"shuffle_partitions":$shufflePartitions,""" +
-        s""""oha_fallback":${sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128")},""" +
+        s""""oha_fallback":$ohaFallback,""" +
         s""""runs":$nRuns,"warmup":$warmup,"partial":${only.nonEmpty || skip.nonEmpty}}"""
     val line =
       s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"load":$loadJson,"conf":$confJson,"sf":"$sfDir"}"""

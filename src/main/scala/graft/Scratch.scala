@@ -130,4 +130,52 @@ private[graft] object Scratch {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
+
+  /** Run `body` (a streaming start+awaitTermination block) with
+    * spark.sql.shuffle.partitions scoped to `n` (default 4), restoring the
+    * session value after. Rationale in EventTime.streamShufflePartitions:
+    * each stateful op spins one state-store instance per shuffle partition
+    * per micro-batch — at the session default (= CPUs) that is pure fixed
+    * overhead on small state; 4 still exercises a genuine multi-partition
+    * key exchange. Only the STREAMING query reads the conf (at start); the
+    * surrounding batch plans execute outside the scope. */
+  def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** The flagship FACT STREAM: lineitem's revenue-relevant columns in 4
+    * parquet files, so a maxFilesPerTrigger=1 consumer gets a genuine
+    * multi-micro-batch run. Unlike [[lateDropInput]] no mtime ladder is
+    * needed: the streaming-top-N consumer's read-back takes each group's
+    * LAST cumulative emission, which is batching-independent (sum is
+    * order-free), so batch ASSIGNMENT may be arbitrary. One canonical copy
+    * per (JVM, sf dir), same leak rationale as [[sharedInput]]. */
+  def flagshipInput(s: SparkSession, d: String): String = {
+    ensureHook()
+    val key = s"flagship_in:$d"
+    dirs.synchronized {
+      val prev = dirs.get(key)
+      if (prev != null) s"$prev/in"
+      else {
+        val p = java.nio.file.Files.createTempDirectory("graft_flagship_in_")
+        Tables(s, d, "lineitem")
+          .select(col("l_suppkey").cast(LongType), col("l_partkey").cast(LongType),
+            col("l_extendedprice").cast(DoubleType), col("l_discount").cast(DoubleType))
+          .repartition(4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$p/in")
+        dirs.put(key, p)
+        s"$p/in"
+      }
+    }
+  }
+
+  /** Schema of [[flagshipInput]]'s files (constructed, not re-read). */
+  val flagshipSchema: StructType =
+    StructType(Seq(
+      StructField("l_suppkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType)))
 }

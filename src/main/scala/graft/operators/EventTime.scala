@@ -43,12 +43,11 @@ object EventTime {
     * restoring the session value after — the q_stream_stateful
     * providerClass pattern. Only the STREAMING query reads the conf (at
     * start); the surrounding batch plans (scratch setup before, sink
-    * read-back after) are built lazily and execute outside the scope. */
-  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+    * read-back after) are built lazily and execute outside the scope.
+    * Shared implementation in [[graft.Scratch.withStreamShuffle]] (the
+    * streaming flagship in Flagship.scala uses the same scope). */
+  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    Scratch.withStreamShuffle(s, streamShufflePartitions)(body)
 
   val qs: Map[String, Q] = Map(
 
@@ -1378,9 +1377,19 @@ object EventTime {
         pu AS (SELECT b AS bp, event_id AS purchase_id, user_id AS p_user,
                       ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
         bs4 AS (SELECT unnest([0, 1, 2, 3]) AS b),
+        -- COALESCE each side to the epoch sentinel BEFORE least: DuckDB's
+        -- least() ignores NULLs, but Spark's global watermark is the MIN
+        -- over watermark nodes and an unset node pins it at epoch — if a
+        -- batch prefix contains no signups (or no purchases) the oracle
+        -- must stay at epoch too, not advance on the populated side
+        -- (ADVICE r11; vacuous at sf>=0.01 where every prefix has both).
         wmt AS (SELECT b.b,
-                       least((SELECT MAX(signup_ts) FROM sg WHERE bs <= b.b),
-                             (SELECT MAX(purchase_ts) FROM pu WHERE bp <= b.b))
+                       least(COALESCE((SELECT MAX(signup_ts) FROM sg
+                                       WHERE bs <= b.b),
+                               TIMESTAMP '1970-01-01 00:00:00'),
+                             COALESCE((SELECT MAX(purchase_ts) FROM pu
+                                       WHERE bp <= b.b),
+                               TIMESTAMP '1970-01-01 00:00:00'))
                          - INTERVAL '10 minutes' AS w
                 FROM bs4 b),
         wml AS (SELECT b.b,
@@ -1413,6 +1422,132 @@ object EventTime {
         FROM kept GROUP BY w_start
         ORDER BY w_start""")),
 
+    // OUTER-join → windowed-agg chain (r11 verdict ask #4): q_stream_chained
+    // with joinType = left_outer — the one streaming composition with no
+    // key until now: NULL-EXTENDED rows reaching a downstream
+    // watermark-gated aggregation. The null-extension rules compose with
+    // the chained ladder like this:
+    //   • a signup with no EMITTED match null-extends when join-state
+    //     eviction passes its bound STRICTLY (signup_ts + 2d < wm_evict —
+    //     the outer-eviction tie-holds pin, StreamingSpec); under
+    //     AvailableNow the final no-data batch advances eviction to wm(3),
+    //     so the full null set is {unmatched s : signup_ts + 2d < wm(3)}.
+    //   • a null row emitted at batch k is NEVER late at the agg: emission
+    //     at k (not earlier) means it survived batch k−1's eviction, i.e.
+    //     signup_ts + 2d ≥ wm(k−2) = wml(k), so its window end
+    //     > signup_ts ≥ wml(k) − 2d — strictly above the agg's delayed
+    //     late watermark. (FileBatchProbeSpec pins this timing: null rows
+    //     always reach agg state, numRowsDroppedByWatermark stays 0.)
+    //   • the null row carries the LEFT side's event time (signup_ts), so
+    //     it lands in the same hourly window a match would have; count
+    //     counts it, sum(purchase_id) ignores its NULL.
+    //   • final emission is the chained rule unchanged: window end ≤
+    //     wm(3) − 2d (tie emits); null rows within the trailing 2d+1h
+    //     horizon stay open — emitted-set parity with the inner chain's
+    //     horizon argument.
+    //
+    // Scale shape: identical to q_stream_chained plus the left side's
+    // outer-state bookkeeping — both states still watermark-evicted.
+    "q_stream_chained_outer" -> Q(
+      fn = (s, d) => {
+        val scratch = Scratch.fresh("stream_chain_outer")
+        val in = Scratch.lateDropInput(s, d)
+        def branch() = s.readStream.schema(Scratch.inputSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        val joined = graft.streaming.Streams.signupToPurchase(
+          branch().filter(col("event_type") === "signup"),
+          branch().filter(col("event_type") === "purchase"),
+          within = "2 days", joinType = "left_outer")
+        val agg = joined
+          .groupBy(window(col("signup_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("purchase_id")).as("n_conv"),
+            sum(col("purchase_id")).as("sum_pid"),
+            min(col("signup_id")).as("min_sid"))
+          .select(col("window.start").as("w_start"), col("n_rows"),
+            col("n_conv"), col("sum_pid"), col("min_sid"))
+        withStreamShuffle(s) {
+          agg.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/out")
+            .option("checkpointLocation", s"$scratch/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$scratch/out")
+          .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+          .orderBy("w_start")
+      },
+      // The inner chain's oracle plus the un_s branch: unmatched signups
+      // that survived their OWN input late filter and whose bound the
+      // FINAL watermark passed strictly. No arrival-drop clause on un_s —
+      // provably never late (comment above); n_rows − n_conv counts the
+      // null-extended rows per window, making the outer contribution
+      // hash-checked, not just row-counted.
+      oracle = Some("""
+        WITH e AS (SELECT event_id % 4 AS b, event_id, user_id, event_type,
+                          date_trunc('milliseconds', ts) AS ts FROM events),
+        sg AS (SELECT b AS bs, event_id AS signup_id, user_id,
+                      ts AS signup_ts FROM e WHERE event_type = 'signup'),
+        pu AS (SELECT b AS bp, event_id AS purchase_id, user_id AS p_user,
+                      ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+        bs4 AS (SELECT unnest([0, 1, 2, 3]) AS b),
+        wmt AS (SELECT b.b,
+                       least(COALESCE((SELECT MAX(signup_ts) FROM sg
+                                       WHERE bs <= b.b),
+                               TIMESTAMP '1970-01-01 00:00:00'),
+                             COALESCE((SELECT MAX(purchase_ts) FROM pu
+                                       WHERE bp <= b.b),
+                               TIMESTAMP '1970-01-01 00:00:00'))
+                         - INTERVAL '10 minutes' AS w
+                FROM bs4 b),
+        wml AS (SELECT b.b,
+                       COALESCE((SELECT w FROM wmt WHERE wmt.b = b.b - 2),
+                         TIMESTAMP '1970-01-01 00:00:00') AS w
+                FROM bs4 b),
+        matched AS (
+          SELECT s.signup_id, p.purchase_id, s.signup_ts,
+                 GREATEST(s.bs, p.bp) AS m
+          FROM sg s JOIN pu p ON s.user_id = p.p_user
+            AND p.purchase_ts >= s.signup_ts
+            AND p.purchase_ts <= s.signup_ts + INTERVAL '2 days'
+          WHERE s.signup_ts > (SELECT w FROM wml WHERE wml.b = s.bs)
+            AND p.purchase_ts > (SELECT w FROM wml WHERE wml.b = p.bp)
+            AND (p.bp <= s.bs OR s.signup_ts + INTERVAL '2 days' >=
+                 (SELECT w FROM wml WHERE wml.b = p.bp))
+            AND (s.bs <= p.bp OR p.purchase_ts >=
+                 (SELECT w FROM wml WHERE wml.b = s.bs))),
+        un_s AS (
+          SELECT s.signup_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 s.signup_ts
+          FROM sg s
+          WHERE s.signup_ts > (SELECT w FROM wml WHERE wml.b = s.bs)
+            AND NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.signup_id = s.signup_id)
+            AND s.signup_ts + INTERVAL '2 days'
+                  < (SELECT w FROM wmt WHERE b = 3)),
+        kept AS (
+          SELECT time_bucket(INTERVAL '1 hour', signup_ts) AS w_start,
+                 signup_id, purchase_id
+          FROM matched mt
+          WHERE time_bucket(INTERVAL '1 hour', signup_ts) + INTERVAL '1 hour'
+                  > (SELECT w FROM wml WHERE wml.b = mt.m) - INTERVAL '2 days'
+            AND time_bucket(INTERVAL '1 hour', signup_ts) + INTERVAL '1 hour'
+                  <= (SELECT w FROM wmt WHERE b = 3) - INTERVAL '2 days'
+          UNION ALL
+          SELECT time_bucket(INTERVAL '1 hour', signup_ts) AS w_start,
+                 signup_id, purchase_id
+          FROM un_s
+          WHERE time_bucket(INTERVAL '1 hour', signup_ts) + INTERVAL '1 hour'
+                  <= (SELECT w FROM wmt WHERE b = 3) - INTERVAL '2 days')
+        SELECT w_start, COUNT(*) AS n_rows,
+               COUNT(purchase_id) AS n_conv,
+               CAST(SUM(purchase_id) AS BIGINT) AS sum_pid,
+               MIN(signup_id) AS min_sid
+        FROM kept GROUP BY w_start
+        ORDER BY w_start""")),
+
     // STREAMING CDC APPLY (r11) — the change-data-capture consumer a real
     // ingest pipeline runs: a stream of per-user change events merged into
     // a persistent target with UPSERT-IF-NEWER semantics and DELETE
@@ -1440,6 +1575,13 @@ object EventTime {
         val scratch = Scratch.fresh("stream_cdc")
         val in = Scratch.lateDropInput(s, d)
         val stateRoot = s"$scratch/state"
+        // Highest state version actually WRITTEN, recorded by the
+        // foreachBatch function itself (it runs on the driver) — the
+        // cluster-clean read-back the r11 verdict asked for: no
+        // java.io.File listing of the state root (local-FS-only on a real
+        // HDFS/S3 deployment), and immune to a trailing no-data batch
+        // bumping lastProgress.batchId past the last version written.
+        val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
         val q = s.readStream.schema(Scratch.inputSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in)
@@ -1463,17 +1605,18 @@ object EventTime {
                 col("m.value").as("value"))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$stateRoot/v=$id")
+            lastVersion.updateAndGet(v => math.max(v, id))
             ()
           }
           .option("checkpointLocation", s"$scratch/ck")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // final state = highest version written (no watermark node, so no
-        // no-data batches; still derive the max defensively)
-        val vs = new java.io.File(stateRoot).listFiles()
-          .map(_.getName.stripPrefix("v=").toLong)
-        s.read.parquet(s"$stateRoot/v=${vs.max}")
+        // Zero micro-batches (empty input dir) would leave no state version
+        // at all — fail loudly rather than NPE on a phantom read (ADVICE r11).
+        val finalV = lastVersion.get()
+        if (finalV < 0) sys.error("cdc_apply: no state versions written (empty input)")
+        s.read.parquet(s"$stateRoot/v=$finalV")
           .filter(col("event_type") =!= "error")
           .withColumn("ts", col("ts").cast("timestamp_ntz"))
           .orderBy("user_id")

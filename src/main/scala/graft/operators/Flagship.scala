@@ -64,7 +64,109 @@ object Flagship {
       .orderBy(col("r_name"), col("rnk"), col("p_name"))
   }
 
+  /** STREAMING spelling of the flagship (r11 verdict ask #2): the same
+    * config-parameterized top-N-per-group, maintained INCREMENTALLY by the
+    * real engine. The fact table arrives as micro-batches; each batch joins
+    * to the broadcast static dimensions (stream-static join — re-broadcast
+    * per batch, never shuffled against the stream), feeds an update-mode
+    * running aggregation keyed on (group, entity), and lands through the
+    * q_stream_update batch-id-versioned foreachBatch recipe (idempotent:
+    * a retried batch OVERWRITES its own b=<id> dir). The rank-≤-n filter
+    * runs on the FINAL state — each group's last emission, recovered as
+    * max_by(metric, batch_id) — because a top-N membership is only
+    * meaningful over the settled aggregate; re-ranking per batch would
+    * re-emit the whole board every trigger for no consumer value.
+    *
+    * Correctness shape: the running sum is an order-free decimal reduction,
+    * so each group's LAST emission equals the batch aggregate no matter how
+    * the file source batched rows — which is what makes the stream
+    * oracle-checkable by the SAME SQL as q_topn_flagship.
+    *
+    * Scale shape (100 TB): state is O(|groups × entities|) — the aggregated
+    * relation, not the fact stream; per batch the engine does one keyed
+    * exchange of the batch's partial aggregates (map-side combine first)
+    * and touches only the state keys present in the batch. The final rank
+    * is a batch window over the aggregated relation (WindowGroupLimit
+    * applies, as in the batch twin). A production deployment would add a
+    * watermark + TTL on dormant entities; the synthetic corpus has no
+    * event-time column on lineitem, so state here is bounded by the domain
+    * instead. */
+  private def streamingTopN(
+      spark: SparkSession,
+      dir: String,
+      groupCol: String,
+      entityCol: String,
+      metric: Column,
+      n: Int): DataFrame = {
+    val Scratch = graft.Scratch
+    val scratch = Scratch.fresh("stream_topn")
+    val in = Scratch.flagshipInput(spark, dir)
+    val fact = spark.readStream.schema(Scratch.flagshipSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val enriched = fact
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+    val running = enriched
+      .groupBy(col(groupCol), col(entityCol))
+      .agg(dec4(sum(metric)).as("metric"))
+    Scratch.withStreamShuffle(spark) {
+      running.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$scratch/out/b=$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    // Final state per (group, entity) = the last update it emitted;
+    // (group, entity, batch_id) is unique, so max_by is deterministic.
+    val finalState = spark.read.parquet(s"$scratch/out")
+      .groupBy(col(groupCol), col(entityCol))
+      .agg(max_by(col("metric"), col("batch_id")).as("metric"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("metric").desc, col(entityCol).asc)
+    finalState
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .filter(col("rnk") <= n)
+  }
+
   val qs: Map[String, Q] = Map(
+    "q_stream_topn" -> Q(
+      fn = (s, d) =>
+        streamingTopN(s, d, "r_name", "p_name", revenue, 3)
+          .select(col("r_name"), col("p_name"),
+            col("metric").as("revenue"), col("rnk"))
+          .orderBy(col("r_name"), col("rnk"), col("p_name")),
+      // The BATCH flagship's oracle verbatim — the whole point: the
+      // incrementally-maintained board must equal the declared query.
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT r_name, p_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY r_name, p_name),
+        ranked AS (
+          SELECT r_name, p_name, revenue,
+                 rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, p_name ASC) AS rnk
+          FROM rev)
+        SELECT r_name, p_name, revenue, rnk FROM ranked
+        WHERE rnk <= 3 ORDER BY r_name, rnk, p_name""")),
+
     "q_topn_flagship" -> Q(
       fn = flagship,
       oracle = Some(s"""

@@ -179,6 +179,71 @@ class FileBatchProbeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained OUTER join→agg: null-row emission timing (evict-then-aggregate, never late)") {
+    // q_stream_chained_outer's load-bearing timing claims:
+    //   1. a never-matched left row null-extends when join eviction passes
+    //      its bound (signup_ts + interval) STRICTLY — and the null row
+    //      flows into the downstream agg's STATE in that same drain, but
+    //      its window does NOT emit until the DELAYED (interval-lagged)
+    //      watermark passes the window end;
+    //   2. the null row is never counted late at the agg (it can't be:
+    //      emission at eviction means it survived the previous eviction,
+    //      which lower-bounds its window end above the delayed late
+    //      watermark — the oracle's no-arrival-drop-clause argument).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.Event
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tm(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val sg = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val pu = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val joined = graft.streaming.Streams.signupToPurchase(
+      sg.toDF(), pu.toDF(), within = "60 minutes", joinType = "left_outer")
+    val agg = joined
+      .groupBy(window(col("signup_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"), count(col("purchase_id")).as("n_conv"))
+      .select(col("window.start").as("w_start"), col("n_rows"), col("n_conv"))
+    val q = agg.writeStream.format("memory").queryName("outerchainprobe")
+      .outputMode("append").start()
+    def emitted(): Map[java.sql.Timestamp, (Long, Long)] =
+      spark.table("outerchainprobe").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("w_start") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_conv")))).toMap
+    try {
+      // b0: signup A at t=0 (user 1) — never matched; its join bound is
+      // 0 + 60 = 60. Both sides get a floor row so the watermark is set.
+      sg.addData(Event(1, tm(0), 1, "signup", 0.0))
+      pu.addData(Event(2, tm(0), 42, "purchase", 0.0))
+      q.processAllAvailable()   // wm = -10: A safely in state
+      assert(emitted().isEmpty, s"premature emission: ${emitted()}")
+      // b1: advance wm to min(80,80)−10 = 70 — STRICTLY past A's bound 60,
+      // so the drain null-extends A into the agg. The agg's delayed
+      // watermark is 70−60 = 10 < 60 → window [0,60) must be IN STATE but
+      // NOT emitted (the naive rule — eviction wm 70 ≥ end 60 — would
+      // have emitted it).
+      sg.addData(Event(3, tm(80), 2, "signup", 0.0))
+      pu.addData(Event(4, tm(80), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(!emitted().contains(tm(0)),
+        s"null row's window emitted before the DELAYED watermark passed: ${emitted()}")
+      // b2: advance wm to 130; delayed = 70 ≥ 60 → [0,60) emits now, with
+      // the null row counted (n_rows 1) and zero matches (n_conv 0) —
+      // proving it reached agg state at eviction time and was never
+      // dropped late. The b1 match pair's window [60,120) (end 120 > 70)
+      // must still be open.
+      sg.addData(Event(5, tm(140), 3, "signup", 0.0))
+      pu.addData(Event(6, tm(140), 3, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(emitted().get(tm(0)).contains((1L, 0L)),
+        s"null-extended row missing from its window: ${emitted()}")
+      assert(!emitted().contains(tm(60)),
+        s"match window emitted before the delayed watermark passed: ${emitted()}")
+      val aggDrops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .filter(_.operatorName == "stateStoreSave").map(_.numRowsDroppedByWatermark)
+      assert(aggDrops.forall(_ == 0L), s"agg late drops: $aggDrops")
+    } finally q.stop()
+  }
+
   test("q_stream_update: last emission per closed window equals the append-mode output") {
     import java.time.ZoneOffset
     def ms(t: java.time.LocalDateTime): Long =

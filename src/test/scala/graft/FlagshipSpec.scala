@@ -33,6 +33,18 @@ class FlagshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_topn: the incrementally-maintained board equals the batch flagship") {
+    // The whole contract of the streaming spelling (r11 verdict ask #2):
+    // after the last micro-batch, rank-on-final-state must reproduce the
+    // declared batch query exactly — same rows, same order, same doubles.
+    val streamed = SparkEntry.queries("q_stream_topn")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val batch = out.map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch divergence: ${streamed.toSeq.diff(batch.toSeq)} vs ${batch.toSeq.diff(streamed.toSeq)}")
+  }
+
   test("topNPerGroup honors the configured n") {
     val li = Tables(spark, TestSpark.sf, "lineitem")
     val top1 = Flagship.topNPerGroup(li, Seq("l_returnflag"), Seq("l_partkey"),
