@@ -27,6 +27,50 @@ object TextAnalysis {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The ≥20%-doc-frequency token co-occurrence edge relation (a < b,
+    * canonical orientation), materialized run-scoped and consumed by the
+    * graph quartet: q_graph_degree, q_graph_triangles, q_text_rank, and
+    * q_recursive_cte (SetSort).
+    *
+    * Scale (the r12 fix): pair generation is APRIORI-PRUNED — a pair can
+    * reach ≥20% doc frequency only if BOTH tokens individually do
+    * (n(a,b) ≤ min(df(a), df(b)), the frequent-itemset bound), so the
+    * per-doc pair expansion runs over each doc's FREQUENT-token subset
+    * only. The frequent set is corpus-size-INDEPENDENT by pigeonhole
+    * (Σ df = N·t̄ ⟹ |{tokens : df ≥ N/5}| ≤ 5·t̄ where t̄ = mean distinct
+    * tokens per doc), so pair volume is O(docs · C(f, 2)) with f bounded —
+    * versus the unpruned O(docs · C(t̄, 2)) whose pair-keyed aggregation
+    * crossed the spill threshold at sf10 (measured 41–90× per decade;
+    * linear after the prune). Result-identical by the apriori bound, so
+    * every consumer's DuckDB oracle keeps the direct unpruned SQL.
+    *
+    * Plan shape: one (token → df) agg (map-side combine makes the shuffle
+    * vocab-sized), one UNHINTED prune join (the freq side is
+    * pigeonhole-bounded but corpus-derived — the fleet-invariant class AQE
+    * sizes at runtime), one doc_id regroup of the pruned rows, the
+    * intra-row token_pairs expansion, and the pair-keyed agg — now over
+    * the pruned volume. The checkpoint gives consumers exact stats and a
+    * corpus-free final plan (PlanSpec pins zero parquet scans above it). */
+  def cooccurEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables(s, d, "documents")
+    // zero-column count: parquet row-group metadata speed, folded in as a
+    // literal so the threshold costs no extra scan in the edge plan
+    val total = docs.count()
+    def dt = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("token"))
+    val freq = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 5 >= lit(total))
+      .select(col("token"))
+    val pairs = dt.join(freq, "token")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("token"))).as("t"))
+      .select(explode(graft.functions.VectorFunctions.tokenPairs(col("t"))).as("p"))
+      .select(col("p.ta").as("a"), col("p.tb").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    Tables.runScopedCheckpoint("cooccur.edges",
+      pairs.filter(col("n") * 5 >= lit(total)).select(col("a"), col("b")))
+  }
+
   /** Unrolled `iters`-round BPE training oracle (q_bpe_train): same
     * word-count base, same count-weighted pair argmax (ties by lhs, rhs),
     * same greedy-fold merge application — DuckDB's `list_reduce` seeds the
@@ -683,20 +727,11 @@ object TextAnalysis {
     // superseded generations unpersisted.
     "q_text_rank" -> Q(
       fn = (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val docs = Tables(s, d, "documents")
-        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val pairs = docs
-          .select(col("doc_id"),
-            explode(graft.functions.VectorFunctions.tokenPairs(
-              array_sort(array_distinct(toks)))).as("p"))
-          .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
-          .groupBy("ta", "tb").agg(count(lit(1)).as("ndocs"))
-        val edges = pairs.crossJoin(broadcast(nDocs))
-          .filter(col("ndocs") * 5 >= col("n_docs"))
-          .select("ta", "tb")
-        val und = edges.select(col("ta").as("src"), col("tb").as("dst"))
-          .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+        // the shared apriori-pruned ≥20% co-occurrence edge relation —
+        // see cooccurEdges for the prune argument and plan shape
+        val edges = cooccurEdges(s, d)
+        val und = edges.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
         // Degree attaches to the edge list ONCE; each iteration joins the
         // (nodes-sized) rank table back in UNHINTED: the node set is
         // vocabulary-derived — it GROWS with the corpus (the broadcast-
@@ -905,23 +940,13 @@ object TextAnalysis {
     // relation, never over the corpus.
     "q_graph_triangles" -> Q(
       fn = (s, d) => {
-        Tables.registerViews(s, d)
         // The thresholded edge relation is referenced three times (e1/e2/e3)
         // by the triangle join; Spark inlines CTEs, so an inline `ed` would
-        // re-run the corpus-wide pairs self-join+agg once per reference.
-        // Materialize it ONCE (localCheckpoint — the q_recursive_cte /
-        // connected-components shape); the triangle joins then run over the
-        // tiny in-memory edge list, and `documents` is scanned exactly once.
-        Tables.runScopedCheckpoint("q_graph_triangles.edges", s.sql(
-          """
-          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
-                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
-          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
-                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
-                    GROUP BY 1, 2)
-          SELECT ta AS a, tb AS b FROM pairs
-          WHERE n * 5 >= (SELECT COUNT(*) FROM documents)"""))
-          .createOrReplaceTempView("graft_triangle_edges")
+        // re-run the pair derivation once per reference. The shared
+        // apriori-pruned builder materializes it ONCE (cooccurEdges — also
+        // the r12 fix that keeps pair generation linear at scale); the
+        // triangle joins then run over the tiny in-memory edge list.
+        cooccurEdges(s, d).createOrReplaceTempView("graft_triangle_edges")
         s.sql("""
           SELECT e1.a AS a, e1.b AS b, e2.b AS c
           FROM graft_triangle_edges e1
@@ -986,29 +1011,15 @@ object TextAnalysis {
     // centrality (q_text_rank) and triangles (q_graph_triangles).
     //
     // Scale design: the oracle phrases co-occurrence as a (doc,token)
-    // self-join, but within one doc the pair set is just the 2-combinations
-    // of its distinct tokens — generated INTRA-ROW from the sorted distinct
-    // token array (map-side, no shuffle, no join; the r6 inline-CTE version
-    // re-executed the corpus self-join 6x). The only exchange left is the
-    // pair-keyed aggregation; everything after it is dimension-sized. The
-    // >=20%-of-corpus threshold needs the doc count once — a build-time
-    // zero-column count (parquet row-group metadata speed), folded in as a
-    // literal so the final plan scans `documents` exactly once (PlanSpec).
+    // self-join, but the engine side consumes the shared apriori-pruned
+    // edge relation (cooccurEdges — intra-row pair expansion over each
+    // doc's FREQUENT-token subset; the r12 fix that keeps pair volume
+    // linear at scale). The degree census itself is dimension-sized and
+    // the final plan reads the materialized edges — zero parquet scans,
+    // zero joins (PlanSpec).
     "q_graph_degree" -> Q(
       fn = (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val total = docs.count()
-        docs
-          .select(array_sort(array_distinct(split(col("text"), " "))).as("t"))
-          // (x at index i) pairs with every later element: slice is
-          // 1-based, so successors of 0-based i start at position i + 2
-          .select(explode(expr(
-            """flatten(transform(t, (x, i) ->
-              |  transform(slice(t, i + 2, size(t)), y -> struct(x AS a, y AS b))))"""
-              .stripMargin)).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n"))
-          .filter(col("n") * 5 >= lit(total))
+        cooccurEdges(s, d)
           .select(explode(array(col("a"), col("b"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("degree"))
           .groupBy("degree")

@@ -326,24 +326,15 @@ object SetSort {
         Tables.registerViews(s, d)
         // The edge list is materialized ONCE before the recursion: Spark
         // inlines CTEs, so leaving `edges` inside the WITH would re-run the
-        // quadratic token-pair join on every UnionLoop iteration (and the
-        // two-branch UNION ALL direction split doubled it again — 2.3 s at
-        // sf0.1, vs ~1 s materialized). localCheckpoint is the same
-        // iterative-Spark shape as the connected-components loop; the edge
-        // relation is the bounded object here (hot pairs ≪ corpus).
-        // Run-scoped: repeated bench runs unpersist the prior generation's
-        // blocks instead of piling them up (Tables.runScopedCheckpoint).
-        Tables.runScopedCheckpoint("q_recursive_cte.edges", s.sql("""
-          WITH dt AS (SELECT DISTINCT doc_id, token FROM (
-                 SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
-          pairs AS (SELECT a.token AS ta, b.token AS tb, COUNT(*) AS n
-                    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
-                    GROUP BY 1, 2)
-          SELECT e.src, e.dst FROM (
-            SELECT explode(array(named_struct('src', ta, 'dst', tb),
-                                 named_struct('src', tb, 'dst', ta))) AS e
-            FROM pairs
-            WHERE n * 5 >= (SELECT COUNT(*) FROM documents))"""))
+        // pair derivation on every UnionLoop iteration (and the two-branch
+        // UNION ALL direction split doubled it again — 2.3 s at sf0.1, vs
+        // ~1 s materialized). Since r12 the relation comes from the SHARED
+        // apriori-pruned builder (graft.llm.TextAnalysis.cooccurEdges —
+        // run-scoped checkpoint, linear pair volume at scale); only the
+        // direction split happens here, above the materialized edges.
+        val ed = graft.llm.TextAnalysis.cooccurEdges(s, d)
+        ed.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
           .createOrReplaceTempView("graft_cooccur_edges")
         s.sql("""
           WITH RECURSIVE

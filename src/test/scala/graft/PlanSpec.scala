@@ -364,15 +364,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "skyline must not plan a dominance join")
   }
 
-  test("q_graph_degree scans documents exactly once, with no self-join") {
+  test("q_graph_degree reads materialized edges: no corpus scan, no self-join") {
     val p = planOf("q_graph_degree")
     // count numbered detail headers only (formatted mode shows each
-    // operator in both the tree and the detail section)
+    // operator in both the tree and the detail section). Since r12 the
+    // edges come from the shared apriori-pruned run-scoped checkpoint
+    // (TextAnalysis.cooccurEdges), so the FINAL plan is a census over the
+    // materialized relation — zero parquet scans (the prune's one freq
+    // join lives inside the builder, below the checkpoint barrier).
     val docScans = p.split("\\n").count(_.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(docScans == 1, s"expected one documents scan, saw $docScans")
-    // pairs are generated intra-row from the token array — a join node
-    // means the plan regressed to the corpus (doc,token) self-join
-    assert(!p.contains("Join"), "co-occurrence pairs must not plan a self-join")
+    assert(docScans == 0, s"expected zero documents scans past the checkpoint, saw $docScans")
+    // a join node means the plan regressed to the corpus (doc,token)
+    // self-join
+    assert(!p.contains("Join"), "co-occurrence degree census must not plan a join")
   }
 
   test("q_graph_triangles and q_text_rank read materialized edges — no corpus re-scan") {
