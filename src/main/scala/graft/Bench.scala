@@ -51,8 +51,13 @@ object Bench {
     * Steal is time the HYPERVISOR ran someone else while this VM was
     * runnable — the co-tenant signal load-avg can't see (load measures our
     * own run queue; steal measures the host taking the CPU away). Busy =
-    * total − idle − iowait: all in-VM CPU consumption, ours + any
-    * co-tenant process's. (0,0,0) off-Linux. */
+    * total − idle − iowait − steal: all IN-VM CPU consumption, ours + any
+    * co-tenant process's. Steal is excluded (ADVICE r12) so the two gates
+    * measure DISJOINT signals — with it included, a run with steal just
+    * under the 1% gate inflated cotenant_cores by up to ncpus/100 cores,
+    * double-counting hypervisor time as in-VM co-tenant CPU. (Guest time
+    * is already folded into user by /proc/stat, so it is NOT subtracted —
+    * that would double-subtract.) (0,0,0) off-Linux. */
   private def cpuJiffies(): (Long, Long, Long) = {
     val p = java.nio.file.Paths.get("/proc/stat")
     if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L)
@@ -60,7 +65,8 @@ object Bench {
       val cpu = java.nio.file.Files.readAllLines(p).get(0).trim
         .split("\\s+").drop(1).map(_.toLong)
       val idle = if (cpu.length > 4) cpu(3) + cpu(4) else 0L
-      (cpu.sum, if (cpu.length > 7) cpu(7) else 0L, cpu.sum - idle)
+      val steal = if (cpu.length > 7) cpu(7) else 0L
+      (cpu.sum, steal, cpu.sum - idle - steal)
     }
   }
 
@@ -128,30 +134,38 @@ object Bench {
     "q_dedup_ngram_capped", "q_dedup_bloom", "q_agg_cms",
     "q_layout_zorder", "q_pipeline_e2e", "q_decontaminate")
 
+  /** One full battery attempt's measurements + its ambient verdict. */
+  private final case class Battery(
+      results: Seq[(String, Double)],
+      runsRaw: Seq[(String, Seq[Double])],
+      failed: Seq[String],
+      ioProfile: Seq[(String, (Long, Long, Long))],
+      queryLoad: Map[String, Double],
+      loadStart: Seq[Double], loadEnd: Seq[Double],
+      stealPct: Double, cotenantCores: Double, loadOk: Boolean,
+      waitedSec: Long, deferred: Boolean)
+
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_WAIT_QUIET=<minutes> (r11 verdict ask #7): poll for a
     // quiet start (1-min load ≤ 0.15) up to the deadline before running,
     // so an attended battery can outwait a co-tenant window instead of
     // burning 20 minutes producing an untrusted artifact. Unset — the
-    // driver's unattended runs — means no wait; a deadline hit runs anyway
-    // and the artifact marks itself "deferred".
+    // driver's unattended runs — means no wait on attempt 1; a deadline
+    // hit runs anyway and the artifact marks itself "deferred".
     val waitQuietMin = sys.env.get("SPARK_GRAFT_WAIT_QUIET")
       .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.0)
-    var waitedSec = 0L
-    if (waitQuietMin > 0) {
-      val deadline = System.nanoTime() + (waitQuietMin * 60e9).toLong
-      while (loadAvg().head > 0.15 && System.nanoTime() < deadline) {
-        Thread.sleep(15000); waitedSec += 15
+    /** Poll for a quiet 1-min load up to `min` minutes; returns seconds
+      * actually waited. The 0.15 threshold matches the load_ok gate. */
+    def waitQuiet(min: Double): Long = {
+      var waited = 0L
+      if (min > 0) {
+        val deadline = System.nanoTime() + (min * 60e9).toLong
+        while (loadAvg().head > 0.15 && System.nanoTime() < deadline) {
+          Thread.sleep(15000); waited += 15
+        }
       }
+      waited
     }
-    val deferred = waitQuietMin > 0 && loadAvg().head > 0.15
-    // Ambient evidence FIRST — before the SparkSession and the table
-    // warmup spin our own threads up, so "start" measures the co-tenant,
-    // not this JVM's ramp (the load_ok gate keys off it).
-    val loadStart = loadAvg()
-    val (jifT0, jifS0, jifB0) = cpuJiffies()
-    val selfJif0 = selfJiffies()
-    val wallNs0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle-partition count, sized to the CORPUS for scale sweeps (the
@@ -221,96 +235,190 @@ object Bench {
     // Warm the session once (JIT, codegen cache, parquet footers) so the
     // first measured query doesn't absorb JVM startup.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
-    // Median-of-3 per query: single-shot local timings vary ±20% with system
-    // noise; the median rejects one-off outliers in either direction where
-    // best-of-N hides genuine regressions behind one lucky run.
-    // Failure-loud (round-5 verdict ask #3): a query that throws must not
-    // silently benchmark as a fast success and deflate the total. Failed
-    // keys are excluded from the total and surfaced in the JSON line.
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val ioListener = new InputRecordsListener
     spark.sparkContext.addSparkListener(ioListener)
-    // Last completed run's IO profile per query: (logical bytes, physical
-    // bytes, scan records). Logical bytes and records are plan-
-    // deterministic; physical bytes depend on the page-cache state — on a
-    // warmed corpus they go to ~0, which is itself the measurement.
-    val ioProfile = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      ioListener.settled(); ioListener.records.set(0L)
-      val (rchar0, disk0) = procIo()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-            failed += name
-            false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Query isolation: a query that leaves cached/checkpointed blocks
-      // behind (iterative loops) must not bleed memory pressure into the
-      // next measurement. Outside the timed region. DataFrame-level caches
-      // drop through the CacheManager (keeps its registry consistent);
-      // local checkpoints are raw RDD blocks it doesn't track, so those
-      // are unpersisted directly — safe because timeOnce never retains a
-      // plan across runs, so a truncated lineage is never re-executed.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (ok) {
-        val recs = ioListener.settled()
-        val (rchar1, disk1) = procIo()
-        ioProfile(name) = (rchar1 - rchar0, disk1 - disk0, recs)
-        sec
-      } else Double.NaN
-    }
     // Optional comma-separated filter for local single-query profiling;
     // the driver never sets it, so round benches always cover everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     // Scale-sweep knobs (never set by the driver, so round benches keep the
-    // warmup + median-of-3 methodology): SPARK_GRAFT_RUNS=1 makes the big-SF
+    // warmup + median methodology): SPARK_GRAFT_RUNS=1 makes the big-SF
     // full-battery pass affordable (a 100x corpus would otherwise execute
     // every query 4x); SPARK_GRAFT_WARMUP=0 drops the untimed warmup;
     // SPARK_GRAFT_SKIP excludes queries whose exact variant is
     // test-scale-by-design (q_dedup_embed's within-label all-pairs — the
     // documented scale path is the LSH/IVF/PQ family).
-    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    val nRunsEnv = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
+    val nRuns = nRunsEnv.getOrElse(3)
     val warmup = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    // Per-query 1-minute load at each query's completion (BENCH_LOAD.json)
-    // — conflates our own threads with the co-tenant's, so it's triage
-    // evidence, not a verdict; the battery-level start/steal capture at
-    // the top of main is the clean ambient signal (r10 verdict ask #1).
-    val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val runs = SparkEntry.queries
-      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
-      .map { case (name, fn) =>
-      // In-battery drift control (round-5 verdict ask #5): a full GC at
-      // each query boundary stops the previous queries' garbage from being
-      // collected INSIDE the next measurement — the r5 signature where
-      // q_join_inner measured 0.445 s in-battery vs 0.267 s isolated.
-      // Outside the timed region; methodology in BENCH_NOTES.md.
-      System.gc()
-      // One untimed warmup per query: the first execution of a plan absorbs
-      // JIT + codegen compilation (measured up to 3.6x skew on run 1),
-      // which is startup cost, not operator cost.
-      if (warmup) timeOnce(name, fn)
-      val ts = Seq.fill(nRuns)(timeOnce(name, fn))
-      queryLoad(name) = loadAvg().head
-      name -> ts
-    }
-    val results = runs
-      .map { case (name, ts) =>
-        // true median: average the two middle elements for even run
-        // counts (upper-middle alone biases even-run sweeps upward)
-        val s = ts.sorted
-        val mid = s.length / 2
-        name -> (if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0)
+
+    /** One complete battery pass over the (filtered) query set, with its
+      * own ambient capture. Median-of-3 per query — single-shot local
+      * timings vary ±20% with system noise; the median rejects one-off
+      * outliers where best-of-N hides genuine regressions behind one lucky
+      * run. Sub-0.5 s keys get median-of-7 (r12 verdict ask #7: the
+      * rotating ambient regression flags concentrate in <0.5 s keys whose
+      * in-battery context differs 2-3× from isolated runs — more samples
+      * shrink the flag list to genuinely suspicious keys; total cost is a
+      * few minutes since the keys are by definition cheap). Failure-loud
+      * (round-5 verdict ask #3): a query that throws must not silently
+      * benchmark as a fast success and deflate the total — failed keys are
+      * excluded from the total and surfaced in the JSON line. */
+    def attemptBattery(waitedSecIn: Long, deferredIn: Boolean): Battery = {
+      // Ambient evidence FIRST — before the per-query work spins our own
+      // threads up, so "start" measures the co-tenant, not this JVM's ramp
+      // (the load_ok gate keys off it).
+      val loadStart = loadAvg()
+      val (jifT0, jifS0, jifB0) = cpuJiffies()
+      val selfJif0 = selfJiffies()
+      val wallNs0 = System.nanoTime()
+      val failed = scala.collection.mutable.LinkedHashSet[String]()
+      // Last completed run's IO profile per query: (logical bytes, physical
+      // bytes, scan records). Logical bytes and records are plan-
+      // deterministic; physical bytes depend on the page-cache state — on a
+      // warmed corpus they go to ~0, which is itself the measurement.
+      val ioProfile = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+      def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        ioListener.settled(); ioListener.records.set(0L)
+        val (rchar0, disk0) = procIo()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+              failed += name
+              false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Query isolation: a query that leaves cached/checkpointed blocks
+        // behind (iterative loops) must not bleed memory pressure into the
+        // next measurement. Outside the timed region. DataFrame-level caches
+        // drop through the CacheManager (keeps its registry consistent);
+        // local checkpoints are raw RDD blocks it doesn't track, so those
+        // are unpersisted directly — safe because timeOnce never retains a
+        // plan across runs, so a truncated lineage is never re-executed.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (ok) {
+          val recs = ioListener.settled()
+          val (rchar1, disk1) = procIo()
+          ioProfile(name) = (rchar1 - rchar0, disk1 - disk0, recs)
+          sec
+        } else Double.NaN
       }
-      .filter { case (name, _) => !failed.contains(name) }
+      // Per-query 1-minute load at each query's completion (BENCH_LOAD.json)
+      // — conflates our own threads with the co-tenant's, so it's triage
+      // evidence, not a verdict; the battery-level start/steal capture
+      // above is the clean ambient signal (r10 verdict ask #1).
+      val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val runs = SparkEntry.queries
+        .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
+        .map { case (name, fn) =>
+        // In-battery drift control (round-5 verdict ask #5): a full GC at
+        // each query boundary stops the previous queries' garbage from being
+        // collected INSIDE the next measurement — the r5 signature where
+        // q_join_inner measured 0.445 s in-battery vs 0.267 s isolated.
+        // Outside the timed region; methodology in BENCH_NOTES.md.
+        System.gc()
+        // One untimed warmup per query: the first execution of a plan absorbs
+        // JIT + codegen compilation (measured up to 3.6x skew on run 1),
+        // which is startup cost, not operator cost. Its wall also sizes the
+        // run count: sub-0.5 s keys → 7 runs (ask #7), unless the sweep
+        // pinned SPARK_GRAFT_RUNS explicitly.
+        val w = if (warmup) timeOnce(name, fn) else Double.NaN
+        val runCount =
+          if (warmup && nRunsEnv.isEmpty && !w.isNaN && w < 0.5) 7 else nRuns
+        val ts = Seq.fill(runCount)(timeOnce(name, fn))
+        queryLoad(name) = loadAvg().head
+        name -> ts
+      }
+      val results = runs
+        .map { case (name, ts) =>
+          // true median: average the two middle elements for even run
+          // counts (upper-middle alone biases even-run sweeps upward)
+          val s = ts.sorted
+          val mid = s.length / 2
+          name -> (if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0)
+        }
+        .filter { case (name, _) => !failed.contains(name) }
+      val loadEnd = loadAvg()
+      val (jifT1, jifS1, jifB1) = cpuJiffies()
+      val stealPct =
+        if (jifT1 > jifT0) 100.0 * (jifS1 - jifS0) / (jifT1 - jifT0) else 0.0
+      // Average CPU cores burned by OTHER in-VM processes across the whole
+      // battery: (busy − our own utime+stime) / wall. Unlike start-load this
+      // integrates over the run, so a co-tenant arriving mid-battery (the
+      // r11 battery-A creep, ADVICE r11) is caught; unlike end-load it does
+      // not count our own threads. USER_HZ = 100 on Linux. Quiet-machine
+      // background daemons measure ~0.02-0.05 cores; a co-tenant burst is
+      // multiple cores — gate at 0.25.
+      val wallSec = (System.nanoTime() - wallNs0) / 1e9
+      val cotenantCores =
+        if (wallSec > 0)
+          math.max(0.0, ((jifB1 - jifB0) - (selfJiffies() - selfJif0)) / (wallSec * 100.0))
+        else 0.0
+      // load_ok is the machine-readable quiet-window verdict the r10 verdict
+      // asked for: start load essentially idle, bounded hypervisor steal,
+      // and no in-VM co-tenant CPU at any point DURING the battery (r12).
+      // Steal threshold recalibrated r13: with the gates now DISJOINT
+      // (busy excludes steal), a fully-idle VM still measured 1.5% steal
+      // on this host — a persistent ambient floor, not a burst — and
+      // steal's wall impact on CPU-bound work is bounded by
+      // steal/(100−steal) ≈ 3% at the 3.0 threshold, far under the ±20%
+      // run noise the median already absorbs. The 10-50% distortions the
+      // gate exists for are IN-VM co-tenants (r10: 156.9 s vs 209.2 s),
+      // which cotenant_cores catches directly. Raw steal_pct stays in the
+      // artifact, so a reader can always apply a stricter bar post hoc.
+      val loadOk = loadStart.head <= 0.15 && stealPct <= 3.0 && cotenantCores <= 0.25
+      Battery(results.toSeq, runs.toSeq, failed.toSeq, ioProfile.toSeq,
+        queryLoad.toMap, loadStart, loadEnd, stealPct, cotenantCores, loadOk,
+        waitedSecIn, deferredIn)
+    }
+
+    // Battery-level auto-retry (r12 verdict ask #1, the oldest open item:
+    // three rounds of load_ok=false artifacts). On a gate failure the
+    // canonical full battery retries — outwaiting the co-tenant between
+    // attempts — and the BEST attempt's artifact ships (load_ok first,
+    // then lowest cotenant_cores, then lowest total). Partial runs and
+    // off-sf0.1 sweeps never retry: the gate only certifies the canonical
+    // battery, and sweeps manage their own budget.
+    val retryable = sfDir.endsWith("sf0.1") && only.isEmpty && skip.isEmpty
+    val maxAttempts =
+      if (!retryable) 1
+      else sys.env.get("SPARK_GRAFT_ATTEMPTS")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3)
+    val attempts = scala.collection.mutable.ArrayBuffer[Battery]()
+    var attempt = 0
+    while (attempt < maxAttempts && !attempts.exists(_.loadOk)) {
+      attempt += 1
+      // Attempt 1 honors SPARK_GRAFT_WAIT_QUIET verbatim (0 = the driver's
+      // no-wait default). Retries always wait — the 1-min load needs ~3
+      // idle minutes to decay from OUR OWN previous attempt, and retrying
+      // straight into the same co-tenant burst is wasted wall — but cap at
+      // max(WAIT_QUIET, 8) minutes so an unattended driver run stays
+      // bounded: worst case 3 × battery + 2 × 8 min.
+      val waitMin = if (attempt == 1) waitQuietMin else math.max(waitQuietMin, 8.0)
+      val waited = waitQuiet(waitMin)
+      val deferred = waitMin > 0 && loadAvg().head > 0.15
+      if (attempt > 1)
+        System.err.println(
+          f"[bench] RETRY attempt $attempt/$maxAttempts after gate failure " +
+            f"(waited ${waited}s, load now ${loadAvg().head}%.2f)")
+      attempts += attemptBattery(waited, deferred)
+    }
+    val best = attempts.minBy(b =>
+      (if (b.loadOk) 0 else 1, b.cotenantCores, b.results.map(_._2).sum))
+    val results = scala.collection.immutable.ListMap(best.results: _*)
+    val runs = best.runsRaw
+    val failed = best.failed
+    val ioProfile = best.ioProfile
+    val queryLoad = best.queryLoad
+    val waitedSec = attempts.map(_.waitedSec).sum
+    val deferred = best.deferred
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
@@ -353,31 +461,12 @@ object Bench {
       .map { case (k, cur, base) =>
         s"""\"$k\":[${r3(cur)},${r3(base)},${r3(queryLoad.getOrElse(k, 0.0))}]""" }
       .mkString("{", ",", "}")
-    val loadEnd = loadAvg()
-    val (jifT1, jifS1, jifB1) = cpuJiffies()
-    val stealPct =
-      if (jifT1 > jifT0) 100.0 * (jifS1 - jifS0) / (jifT1 - jifT0) else 0.0
-    // Average CPU cores burned by OTHER in-VM processes across the whole
-    // battery: (busy − our own utime+stime) / wall. Unlike start-load this
-    // integrates over the run, so a co-tenant arriving mid-battery (the
-    // r11 battery-A creep, ADVICE r11) is caught; unlike end-load it does
-    // not count our own threads. USER_HZ = 100 on Linux. Quiet-machine
-    // background daemons measure ~0.02-0.05 cores; a co-tenant burst is
-    // multiple cores — gate at 0.25.
-    val wallSec = (System.nanoTime() - wallNs0) / 1e9
-    val cotenantCores =
-      if (wallSec > 0)
-        math.max(0.0, ((jifB1 - jifB0) - (selfJiffies() - selfJif0)) / (wallSec * 100.0))
-      else 0.0
-    // load_ok is the machine-readable quiet-window verdict the r10 verdict
-    // asked for: start load essentially idle, no hypervisor steal, and —
-    // since r12 — no in-VM co-tenant CPU at any point DURING the battery.
-    val loadOk = loadStart.head <= 0.15 && stealPct <= 1.0 && cotenantCores <= 0.25
     def arr(v: Seq[Double]) = v.map(x => f"$x%.2f").mkString("[", ",", "]")
     val loadJson =
-      s"""{"start":${arr(loadStart)},"end":${arr(loadEnd)},""" +
-        f""""steal_pct":$stealPct%.2f,"cotenant_cores":$cotenantCores%.3f,""" +
-        s""""waited_sec":$waitedSec,"deferred":$deferred,"load_ok":$loadOk}"""
+      s"""{"start":${arr(best.loadStart)},"end":${arr(best.loadEnd)},""" +
+        f""""steal_pct":${best.stealPct}%.2f,"cotenant_cores":${best.cotenantCores}%.3f,""" +
+        s""""waited_sec":$waitedSec,"deferred":$deferred,""" +
+        s""""attempts":${attempts.length},"load_ok":${best.loadOk}}"""
     // The resolved engine conf that shaped the timings (ADVICE r10: a
     // battery run with SPARK_GRAFT_OHA_FALLBACK set was silently
     // incomparable to the baseline) — every battery is self-describing.

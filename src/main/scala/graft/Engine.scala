@@ -18,14 +18,23 @@ import org.apache.spark.sql.SparkSession
 object Engine {
 
   /** The reference's whole declared processing surface
-    * (`config/config_dev.yaml:10-13`): group column, metric, top-N, IO paths. */
+    * (`config/config_dev.yaml:10-13`): group column, metric, top-N, IO paths.
+    * `mode: streaming` (r12 verdict ask #8) routes the SAME three processing
+    * knobs through the incrementally-maintained streaming board
+    * (JobRunner.runStreaming) instead of the batch plan; the optional
+    * event-time knobs bound streaming state by a watermark TTL
+    * (Flagship.StateTtl) when the input carries an event-time column. */
   final case class JobConfig(
       env: String = "dev",
       inputPath: String = "",
       outputPath: String = "",
       groupByColumn: String = "region",
       targetMetric: String = "sales",
-      topN: Int = 3)
+      topN: Int = 3,
+      mode: String = "batch",
+      eventTimeColumn: Option[String] = None,
+      stateWindow: String = "90 days",
+      stateDelay: String = "30 days")
 
   /** Minimal parser for the reference's 2-level YAML config shape
     * (`config/config_dev.yaml:1-13`) — flat `section:` / `  key: value`
@@ -49,7 +58,11 @@ object Engine {
       outputPath = kv.getOrElse("output.path", ""),
       groupByColumn = kv.getOrElse("processing.group_by_column", "region"),
       targetMetric = kv.getOrElse("processing.target_metric", "sales"),
-      topN = kv.getOrElse("processing.top_n", "3").toInt)
+      topN = kv.getOrElse("processing.top_n", "3").toInt,
+      mode = kv.getOrElse("processing.mode", "batch"),
+      eventTimeColumn = kv.get("processing.event_time_column").filter(_.nonEmpty),
+      stateWindow = kv.getOrElse("processing.state_window", "90 days"),
+      stateDelay = kv.getOrElse("processing.state_delay", "30 days"))
   }
 
   def session(

@@ -5,7 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** Synthesizes a larger scale-factor corpus from an existing one by
   * unioning `copies` key-shifted replicas — the empirical scale-validation
-  * harness. Usage: `runMain graft.ScaleGen <srcDir> <dstDir> <copies>`.
+  * harness. Usage: `runMain graft.ScaleGen <srcDir> <dstDir> <copies> [mode]`.
+  *
+  * `mode` (r12 verdict ask #3):
+  *   - `suffix` (default): documents replicas suffix every token with the
+  *     replica id — growth means NEW content, the right corpus for the
+  *     dedup/similarity families (no cross-replica clone collisions).
+  *     Consequence (the r12 honesty note): token df stays at BASE level
+  *     while N grows, so the ≥20%-df co-occurrence graph is EMPTY at
+  *     sf ≥ 1 and the graph quartet's decade rows measure only the
+  *     derivation stages.
+  *   - `shared`: documents replicas keep the text VERBATIM — one shared
+  *     token pool, so df scales with N, the relative-frequency threshold
+  *     is scale-invariant, and the co-occurrence graph is the base
+  *     corpus's graph (non-empty, constant edge set) at every scale. The
+  *     quartet's graph-sized stages (frequent-token pair expansion,
+  *     triangle join, rank/reachability iterations) are then genuinely
+  *     exercised at depth. NOT for dedup sweeps: replicas are exact
+  *     clones, so near-dup pair counts would measure the corpus design
+  *     (k² clone collisions), not the operator.
+  *
+  * `SPARK_GRAFT_TABLES=documents[,events...]` writes only the named
+  * tables — a shared-vocab sweep regenerates documents and symlinks the
+  * rest from the suffix-mode corpus (every other table is byte-identical
+  * between modes).
   *
   * Shape choices (what "10x more data" means per table):
   *   - Dimensions (region..part) keep their natural size — fact/dim ratio
@@ -35,7 +58,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, copiesStr) = args
+    val Array(src, dst, copiesStr) = args.take(3)
+    val mode = args.lift(3).getOrElse("suffix")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,14 +69,19 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, dst, copiesStr.toInt)
+    try generate(spark, src, dst, copiesStr.toInt, mode)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int,
+      mode: String = "suffix"): Unit = {
+    require(mode == "suffix" || mode == "shared", s"unknown mode $mode")
+    val tableFilter = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").toSet)
     def raw(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
+      if (tableFilter.forall(_.contains(n)))
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
 
     def replicate(df: DataFrame, shifts: Map[String, Long],
         suffixText: Boolean = false): DataFrame =
@@ -75,7 +104,7 @@ object ScaleGen {
     write(replicate(raw("events"),
       Map("event_id" -> 100000000L, "user_id" -> 10000000L)), "events")
     write(replicate(raw("documents"), Map("doc_id" -> 10000000L),
-      suffixText = true), "documents")
+      suffixText = mode == "suffix"), "documents")
     // embeddings (round 10): replica vectors are NOT literal clones — that
     // would grow every LSH bucket / IVF cell / label block as k² clone
     // collisions and any similarity sweep would measure the corpus design,

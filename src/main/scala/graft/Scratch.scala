@@ -145,13 +145,18 @@ private[graft] object Scratch {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** The flagship FACT STREAM: lineitem's revenue-relevant columns in 4
-    * parquet files, so a maxFilesPerTrigger=1 consumer gets a genuine
-    * multi-micro-batch run. Unlike [[lateDropInput]] no mtime ladder is
-    * needed: the streaming-top-N consumer's read-back takes each group's
-    * LAST cumulative emission, which is batching-independent (sum is
-    * order-free), so batch ASSIGNMENT may be arbitrary. One canonical copy
-    * per (JVM, sf dir), same leak rationale as [[sharedInput]]. */
+  /** The flagship FACT STREAM: lineitem's revenue-relevant columns plus an
+    * EVENT-TIME column `ts` = o_orderdate (attached via the orders join —
+    * value-neutral: every l_orderkey has exactly one order, verified at all
+    * test SFs), split into 4 single-file batches by DATE QUARTILE with a
+    * strictly-increasing mtime ladder. FileStreamSource's mod-time ordering
+    * then delivers the fact stream in event-time order across micro-batches,
+    * so a watermark genuinely ADVANCES batch-over-batch — the precondition
+    * for the streaming flagship's windowed-state TTL eviction (r12 verdict
+    * ask #2). No row is ever watermark-late by construction: quartile ranges
+    * are disjoint and ordered, so every row of batch i+1 has ts ≥ max(ts of
+    * batch i) ≥ the watermark that batch set. One canonical copy per
+    * (JVM, sf dir), same leak rationale as [[sharedInput]]. */
   def flagshipInput(s: SparkSession, d: String): String = {
     ensureHook()
     val key = s"flagship_in:$d"
@@ -159,15 +164,48 @@ private[graft] object Scratch {
       val prev = dirs.get(key)
       if (prev != null) s"$prev/in"
       else {
-        val p = java.nio.file.Files.createTempDirectory("graft_flagship_in_")
-        Tables(s, d, "lineitem")
+        val root = java.nio.file.Files.createTempDirectory("graft_flagship_in_")
+        val inDir = root.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val fact = Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").cast(LongType), col("l_partkey").cast(LongType),
-            col("l_extendedprice").cast(DoubleType), col("l_discount").cast(DoubleType))
-          .repartition(4)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$p/in")
-        dirs.put(key, p)
-        s"$p/in"
+            col("l_extendedprice").cast(DoubleType), col("l_discount").cast(DoubleType),
+            col("o_orderdate").cast(TimestampType).as("ts"),
+            org.apache.spark.sql.functions.unix_timestamp(
+              col("o_orderdate").cast(TimestampType)).as("tsl"))
+        // Date-quartile file assignment via approximate quantiles (driver
+        // pulls 3 numbers, never rows — scales to any corpus). Exactness of
+        // the SPLIT doesn't matter, only disjoint ordered ranges.
+        val qs = fact.stat.approxQuantile("tsl", Array(0.25, 0.5, 0.75), 0.01)
+        for (b <- 0 to 3) {
+          val lo = if (b == 0) Long.MinValue else qs(b - 1).toLong
+          val hi = if (b == 3) Long.MaxValue else qs(b).toLong
+          val stage = root.resolve(s"stage$b")
+          fact.filter(col("tsl") >= lo && col("tsl") < hi).drop("tsl")
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          // A degenerate corpus can leave a quartile empty (coincident
+          // quantile boundaries) — skip it; fewer batches is still correct.
+          val part =
+            try {
+              import scala.jdk.CollectionConverters._
+              listing.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet"))
+            } finally listing.close()
+          part.foreach { f =>
+            val dest = inDir.resolve(s"b$b.parquet")
+            java.nio.file.Files.move(f, dest)
+            // 2024-01-01 00:00:00 UTC + b minutes — only the ORDER matters.
+            java.nio.file.Files.setLastModifiedTime(dest,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1704067200000L + b * 60000L))
+          }
+        }
+        dirs.put(key, root)
+        s"$root/in"
       }
     }
   }
@@ -177,5 +215,6 @@ private[graft] object Scratch {
     StructType(Seq(
       StructField("l_suppkey", LongType), StructField("l_partkey", LongType),
       StructField("l_extendedprice", DoubleType),
-      StructField("l_discount", DoubleType)))
+      StructField("l_discount", DoubleType),
+      StructField("ts", TimestampType)))
 }

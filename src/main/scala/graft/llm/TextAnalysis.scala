@@ -946,6 +946,15 @@ object TextAnalysis {
         // apriori-pruned builder materializes it ONCE (cooccurEdges — also
         // the r12 fix that keeps pair generation linear at scale); the
         // triangle joins then run over the tiny in-memory edge list.
+        // EAGER-CONSUMPTION INVARIANT (ADVICE r12): this view sits over the
+        // shared run-scoped 'cooccur.edges' checkpoint, which the NEXT
+        // quartet consumer RELEASES when it rebuilds under the same key.
+        // The returned DataFrame must therefore be fully consumed before
+        // any other cooccur consumer runs — true for every harness path
+        // (Bench counts, Verify writes, specs collect, each eagerly per
+        // query); a deferred re-execution of this view after a later
+        // consumer ran would hit unrecoverable unpersisted checkpoint
+        // blocks.
         cooccurEdges(s, d).createOrReplaceTempView("graft_triangle_edges")
         s.sql("""
           SELECT e1.a AS a, e1.b AS b, e2.b AS c

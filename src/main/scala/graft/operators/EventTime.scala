@@ -1383,14 +1383,19 @@ object EventTime {
         -- batch prefix contains no signups (or no purchases) the oracle
         -- must stay at epoch too, not advance on the populated side
         -- (ADVICE r11; vacuous at sf>=0.01 where every prefix has both).
+        -- GREATEST floor at epoch (ADVICE r12): Spark's global watermark
+        -- initializes at 0 and is monotone non-negative, so an empty
+        -- prefix must pin the oracle at epoch exactly — not epoch minus
+        -- the 10-minute delay (vacuous on this corpus, exact in principle).
         wmt AS (SELECT b.b,
-                       least(COALESCE((SELECT MAX(signup_ts) FROM sg
-                                       WHERE bs <= b.b),
-                               TIMESTAMP '1970-01-01 00:00:00'),
-                             COALESCE((SELECT MAX(purchase_ts) FROM pu
-                                       WHERE bp <= b.b),
-                               TIMESTAMP '1970-01-01 00:00:00'))
-                         - INTERVAL '10 minutes' AS w
+                       GREATEST(TIMESTAMP '1970-01-01 00:00:00',
+                         least(COALESCE((SELECT MAX(signup_ts) FROM sg
+                                         WHERE bs <= b.b),
+                                 TIMESTAMP '1970-01-01 00:00:00'),
+                               COALESCE((SELECT MAX(purchase_ts) FROM pu
+                                         WHERE bp <= b.b),
+                                 TIMESTAMP '1970-01-01 00:00:00'))
+                           - INTERVAL '10 minutes') AS w
                 FROM bs4 b),
         wml AS (SELECT b.b,
                        COALESCE((SELECT w FROM wmt WHERE wmt.b = b.b - 2),
@@ -1493,14 +1498,19 @@ object EventTime {
         pu AS (SELECT b AS bp, event_id AS purchase_id, user_id AS p_user,
                       ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
         bs4 AS (SELECT unnest([0, 1, 2, 3]) AS b),
+        -- GREATEST floor at epoch (ADVICE r12): Spark's global watermark
+        -- initializes at 0 and is monotone non-negative, so an empty
+        -- prefix must pin the oracle at epoch exactly — not epoch minus
+        -- the 10-minute delay (vacuous on this corpus, exact in principle).
         wmt AS (SELECT b.b,
-                       least(COALESCE((SELECT MAX(signup_ts) FROM sg
-                                       WHERE bs <= b.b),
-                               TIMESTAMP '1970-01-01 00:00:00'),
-                             COALESCE((SELECT MAX(purchase_ts) FROM pu
-                                       WHERE bp <= b.b),
-                               TIMESTAMP '1970-01-01 00:00:00'))
-                         - INTERVAL '10 minutes' AS w
+                       GREATEST(TIMESTAMP '1970-01-01 00:00:00',
+                         least(COALESCE((SELECT MAX(signup_ts) FROM sg
+                                         WHERE bs <= b.b),
+                                 TIMESTAMP '1970-01-01 00:00:00'),
+                               COALESCE((SELECT MAX(purchase_ts) FROM pu
+                                         WHERE bp <= b.b),
+                                 TIMESTAMP '1970-01-01 00:00:00'))
+                           - INTERVAL '10 minutes') AS w
                 FROM bs4 b),
         wml AS (SELECT b.b,
                        COALESCE((SELECT w FROM wmt WHERE wmt.b = b.b - 2),

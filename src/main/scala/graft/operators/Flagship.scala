@@ -64,44 +64,121 @@ object Flagship {
       .orderBy(col("r_name"), col("rnk"), col("p_name"))
   }
 
-  /** STREAMING spelling of the flagship (r11 verdict ask #2): the same
-    * config-parameterized top-N-per-group, maintained INCREMENTALLY by the
-    * real engine. The fact table arrives as micro-batches; each batch joins
-    * to the broadcast static dimensions (stream-static join — re-broadcast
-    * per batch, never shuffled against the stream), feeds an update-mode
-    * running aggregation keyed on (group, entity), and lands through the
-    * q_stream_update batch-id-versioned foreachBatch recipe (idempotent:
-    * a retried batch OVERWRITES its own b=<id> dir). The rank-≤-n filter
-    * runs on the FINAL state — each group's last emission, recovered as
-    * max_by(metric, batch_id) — because a top-N membership is only
-    * meaningful over the settled aggregate; re-ranking per batch would
+  /** Dormant-state TTL for [[streamingBoard]]: running aggregates are keyed
+    * on (group, entity, window(tsCol, window)) under withWatermark(tsCol,
+    * delay), so the engine EVICTS every window older than the watermark —
+    * state is O(|groups × entities in the active horizon|), not the whole
+    * entity catalog's history (r12 verdict ask #2: the previous spelling
+    * held every (group, entity) key forever). */
+  private[graft] final case class StateTtl(tsCol: String, window: String, delay: String)
+
+  /** STREAMING top-N-per-group, maintained INCREMENTALLY by the real
+    * engine (r11 verdict ask #2; generalized for config-driven streaming
+    * mode, r12 ask #8). The fact stream feeds an update-mode running
+    * aggregation keyed on (group, entity[, event-time window]) and lands
+    * through the q_stream_update batch-id-versioned foreachBatch recipe
+    * (idempotent: a retried batch OVERWRITES its own b=<id> dir). The
+    * rank-≤-n filter runs on the FINAL state — each key's last emission,
+    * recovered as max_by(metric, batch_id) — because top-N membership is
+    * only meaningful over the settled aggregate; re-ranking per batch would
     * re-emit the whole board every trigger for no consumer value.
     *
     * Correctness shape: the running sum is an order-free decimal reduction,
-    * so each group's LAST emission equals the batch aggregate no matter how
-    * the file source batched rows — which is what makes the stream
-    * oracle-checkable by the SAME SQL as q_topn_flagship.
+    * so each key's LAST emission equals that key's batch aggregate no
+    * matter how the file source batched rows. With [[StateTtl]] the key
+    * includes the event-time window; every window's last emission is its
+    * COMPLETE aggregate (no row is watermark-late by the input's
+    * event-time-ordered construction, Scratch.flagshipInput), and decimal
+    * addition is exact at scale 4, so the per-window finals SUM to exactly
+    * the all-time aggregate — which keeps the stream oracle-checkable by
+    * the SAME SQL as the batch flagship even though state is evicted
+    * mid-run.
     *
-    * Scale shape (100 TB): state is O(|groups × entities|) — the aggregated
-    * relation, not the fact stream; per batch the engine does one keyed
-    * exchange of the batch's partial aggregates (map-side combine first)
-    * and touches only the state keys present in the batch. The final rank
-    * is a batch window over the aggregated relation (WindowGroupLimit
-    * applies, as in the batch twin). A production deployment would add a
-    * watermark + TTL on dormant entities; the synthetic corpus has no
-    * event-time column on lineitem, so state here is bounded by the domain
-    * instead. */
-  private def streamingTopN(
+    * Scale shape (100 TB): per batch the engine does one keyed exchange of
+    * the batch's partial aggregates (map-side combine first) and touches
+    * only the state keys present in the batch; expired windows leave the
+    * store as the watermark passes them (numRowsRemoved in the progress
+    * metrics — pinned by FlagshipSpec). Without a TTL the state would be
+    * the full |groups × entities| domain, a scale-killer on a growing
+    * catalog; with it, state is bounded by the active horizon. The final
+    * rank is a batch window over the aggregated relation (WindowGroupLimit
+    * applies, as in the batch twin).
+    *
+    * Returns the final board plus the run's per-micro-batch progress
+    * (state-store rows/evictions evidence). */
+  private[graft] def streamingBoard(
       spark: SparkSession,
-      dir: String,
-      groupCol: String,
-      entityCol: String,
+      stream: DataFrame,
+      groupCols: Seq[String],
+      entityCols: Seq[String],
       metric: Column,
-      n: Int): DataFrame = {
+      n: Int,
+      scratchKey: String,
+      ttl: Option[StateTtl])
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val Scratch = graft.Scratch
-    val scratch = Scratch.fresh("stream_topn")
-    val in = Scratch.flagshipInput(spark, dir)
-    val fact = spark.readStream.schema(Scratch.flagshipSchema)
+    val scratch = Scratch.fresh(scratchKey)
+    val keyCols = (groupCols ++ entityCols).map(col)
+    // Emissions stay DECIMAL (scale 4 keeps every 2dp×2dp product exact);
+    // only the final board column is cast to double — summing per-window
+    // finals in binary floating point would drift from the batch oracle.
+    val running = ttl match {
+      case Some(t) =>
+        stream.withWatermark(t.tsCol, t.delay)
+          .groupBy(keyCols :+ window(col(t.tsCol), t.window).as("win"): _*)
+          .agg(sum(metric).cast(Q.Dec18).as("metric"))
+      case None =>
+        stream.groupBy(keyCols: _*)
+          .agg(sum(metric).cast(Q.Dec18).as("metric"))
+    }
+    val progresses = Scratch.withStreamShuffle(spark) {
+      val q = running.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$scratch/out/b=$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+    // Final state per key = the last update it emitted; (key, batch_id) is
+    // unique, so max_by is deterministic. Under a TTL the key includes the
+    // window; the per-window finals then sum (exact decimal) to the
+    // all-time aggregate.
+    val emitted = spark.read.parquet(s"$scratch/out")
+    val lastPerKey = emitted
+      .groupBy(keyCols ++ (if (ttl.isDefined) Seq(col("win")) else Nil): _*)
+      .agg(max_by(col("metric"), col("batch_id")).as("metric"))
+    val finalState =
+      if (ttl.isDefined)
+        lastPerKey.groupBy(keyCols: _*)
+          .agg(sum(col("metric")).cast(Q.Dec18).as("metric"))
+      else lastPerKey
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("metric").desc +: entityCols.map(c => col(c).asc): _*)
+    val board = finalState
+      .withColumn("metric", col("metric").cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .filter(col("rnk") <= n)
+    (board, progresses)
+  }
+
+  /** The flagship's streaming spelling: event-time-ordered fact stream
+    * (Scratch.flagshipInput), broadcast stream-static dimension joins
+    * (re-broadcast per batch, never shuffled against the stream), 90-day
+    * state windows TTL'd at a 30-day watermark — ~27 windows over the
+    * corpus's 1995-2001 span, so eviction genuinely fires between the four
+    * date-quartile micro-batches. */
+  private[graft] def streamingFlagship(
+      spark: SparkSession, dir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val in = graft.Scratch.flagshipInput(spark, dir)
+    val fact = spark.readStream.schema(graft.Scratch.flagshipSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
     val enriched = fact
@@ -113,39 +190,14 @@ object Flagship {
         col("n_regionkey") === col("r_regionkey"))
       .join(broadcast(Tables(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
-    val running = enriched
-      .groupBy(col(groupCol), col(entityCol))
-      .agg(dec4(sum(metric)).as("metric"))
-    Scratch.withStreamShuffle(spark) {
-      running.writeStream
-        .outputMode("update")
-        .foreachBatch { (df: DataFrame, id: Long) =>
-          df.withColumn("batch_id", lit(id))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$scratch/out/b=$id")
-          ()
-        }
-        .option("checkpointLocation", s"$scratch/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    }
-    // Final state per (group, entity) = the last update it emitted;
-    // (group, entity, batch_id) is unique, so max_by is deterministic.
-    val finalState = spark.read.parquet(s"$scratch/out")
-      .groupBy(col(groupCol), col(entityCol))
-      .agg(max_by(col("metric"), col("batch_id")).as("metric"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("metric").desc, col(entityCol).asc)
-    finalState
-      .withColumn("rnk", rank().over(w).cast(LongType))
-      .filter(col("rnk") <= n)
+    streamingBoard(spark, enriched, Seq("r_name"), Seq("p_name"), revenue, 3,
+      scratchKey = "stream_topn", ttl = Some(StateTtl("ts", "90 days", "30 days")))
   }
 
   val qs: Map[String, Q] = Map(
     "q_stream_topn" -> Q(
       fn = (s, d) =>
-        streamingTopN(s, d, "r_name", "p_name", revenue, 3)
+        streamingFlagship(s, d)._1
           .select(col("r_name"), col("p_name"),
             col("metric").as("revenue"), col("rnk"))
           .orderBy(col("r_name"), col("rnk"), col("p_name")),

@@ -164,6 +164,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._5) && got.exists(!_._5), "mutual flag vacuous")
   }
 
+  test("annOperatingPoint resolves targets against the measured calibration ladder") {
+    // the measured q_ann_recall table (r13, sf0.1): L=1→0.100, 2→0.233,
+    // 4→0.400, 8→0.633; cap scales as 8·L; above-calibration saturates.
+    assert(graft.llm.Similarity.annOperatingPoint(0.05) == ((1, 8)))
+    assert(graft.llm.Similarity.annOperatingPoint(0.20) == ((2, 16)))
+    assert(graft.llm.Similarity.annOperatingPoint(0.40) == ((4, 32)))
+    assert(graft.llm.Similarity.annOperatingPoint(0.60) == ((8, 64)))
+    assert(graft.llm.Similarity.annOperatingPoint(0.99) == ((8, 64)))
+  }
+
+  test("q_knn_graph_ann_fast: the cheap operating point emits ranked rows over fewer candidates") {
+    val fast = SparkEntry.queries("q_knn_graph_ann_fast")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fast.nonEmpty)
+    // per-vector rank sanity: rnk contiguous from 1, cos_q non-increasing
+    fast.groupBy(_._1).foreach { case (vid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.head._2 == 1L, s"vec $vid first rank ${byRank.head._2}")
+      byRank.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"vec $vid cos order")
+        case _ =>
+      }
+    }
+    // 4 tables probe a strict subset of the 8-table candidate space, so
+    // the fast point must not discover MORE neighbors than the flagship.
+    val full = SparkEntry.queries("q_knn_graph_ann")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast.map(_._1).toSet.subsetOf(full))
+  }
+
   test("q_knn_graph_ann: bucket candidates and re-rank match a first-principles recompute") {
     import org.apache.spark.unsafe.types.UTF8String
     val raw = Tables(spark, TestSpark.sf, "embeddings")

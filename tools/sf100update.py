@@ -38,7 +38,13 @@ def main():
     rerun = set().union(*(set(w) for w in wall.values()))
     for k in sorted(rerun):
         row = per.setdefault(k, {})
-        for sf in sfs:
+        # sf_cap marks a row deliberately retired from deeper decades
+        # (r12 verdict ask #5: q_dedup_ngram is the uncapped oracle-parity
+        # variant, swept to sf10 only; see its scale_note). Numbers beyond
+        # the cap are ignored so a broad sweep can't silently re-add them.
+        cap = row.get("sf_cap")
+        allowed = sfs[: sfs.index(cap) + 1] if cap in sfs else sfs
+        for sf in allowed:
             if wall[sf].get(k) is not None:
                 row[f"{sf}_sec"] = wall[sf][k]
         decades = []
@@ -53,7 +59,7 @@ def main():
             row["ratio_1000x"] = round(d / a, 2)
             row["linear_1000x"] = row["ratio_1000x"] <= 1200.0
         row["per_decade_max"] = max(decades) if decades else None
-        iorow = {sf: io[sf][k] for sf in sfs if k in io[sf]}
+        iorow = {sf: io[sf][k] for sf in allowed if k in io[sf]}
         if iorow:
             row["io"] = iorow
     rows = {k: v for k, v in per.items()
