@@ -1182,20 +1182,31 @@ object Dedup {
     val (sym, releaseSym) = ck(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    // Seed labels at min(id, min neighbor) straight off the edge agg — one
+    // shuffle replacing the r12 distinct+self-label AND the first
+    // propagation round (r13).
     var (labelsChk, releasePrev) = ck(
-      sym.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")))
+      sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mnb"))
+        .select(col("a").as("id"), least(col("a"), col("mnb")).as("lbl")))
     var labels: DataFrame = labelsChk
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
-      val merged = labels.union(prop)
+      val propMin = labels.union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
       // Pointer jump: lbl := min(lbl, lbl(lbl)). Inner join is safe —
       // every label IS a node id and every node has a labels row.
-      val jumped = merged
+      // (r13 A/B note: two restructurings were measured and REJECTED —
+      // folding the jump into the propagation edge set via label-star
+      // edges, and composing two hops per materialized round. Loop wall
+      // is round-count × sequential-exchange latency; both variants kept
+      // the product constant or worse at sf0.1 — 5.5/6.9 s vs 5.5 s here
+      // for q_knn_clusters. The loop's structure stands; only the seed
+      // changed.)
+      val merged = propMin
         .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
       // The convergence flag is computed INSIDE the checkpointed frame
@@ -1203,7 +1214,7 @@ object Dedup {
       // below is a filter over materialized blocks, not a second join
       // re-executed against both label tables.
       val (next, releaseNext) = ck(
-        jumped
+        merged
           .join(labels.select(col("id"), col("lbl").as("prev")), "id")
           .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
