@@ -1342,6 +1342,14 @@ object Dedup {
     // Run-scoped: the checkpoint must outlive this builder (the returned
     // plan reads it), so per-invocation release is impossible here — but
     // keying it frees the PREVIOUS invocation's blocks (bench loops).
+    // (r13 A/B note: re-keying this checkpoint by the blocking key at 2×
+    // parallelism was tried and REJECTED — the checkpoint's AQE-coalesced
+    // 4 partitions looked like a parallelism bound (pair expansion: 4
+    // tasks, 1.7 s task time on 32 cores), but the quiet-window A/B
+    // measured 3.6/4.7 s vs 2.7/3.5 s medians for capped/containment:
+    // the blocking join's small side already broadcasts, so the explicit
+    // exchange bought nothing and its own shuffle + 64-way block
+    // bookkeeping cost ~1 s. Latency-, not parallelism-bound at sf0.1.)
     val sh = if (dfCap.isDefined)
       graft.Tables.runScopedCheckpoint(checkpointKey, shInput)
     else shInput
