@@ -312,6 +312,13 @@ object Bench {
         // plan across runs, so a truncated lineage is never re-executed.
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // Reap the previous run's renamed scratch tree NOW, in the untimed
+        // window (ADVICE r13: the r13 async reaper thread deleted the
+        // previous run's checkpoint+sink tree CONCURRENTLY with the next
+        // timed run of the same query, smearing janitorial I/O into exactly
+        // the heavy streaming keys being certified). Synchronous here —
+        // outside the timed region, deletes never overlap a measurement.
+        Scratch.reapTombstones()
         if (ok) {
           val recs = ioListener.settled()
           val (rchar1, disk1) = procIo()
@@ -500,7 +507,6 @@ object Bench {
         s""""runs":$nRuns,"warmup":$warmup,"partial":${only.nonEmpty || skip.nonEmpty}}"""
     val line =
       s"""{"metric":"total_all_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"load":$loadJson,"conf":$confJson,"sf":"$sfDir"}"""
-    println(line)
     // Full per-query detail goes to a file, not stdout (tail budget). A
     // filtered run (ONLY/SKIP) merges into the existing battery file
     // instead of truncating it.
@@ -534,6 +540,17 @@ object Bench {
     writeBenchFile(s"$outDir/BENCH_LOAD.json",
       queryLoad.toSeq.map { case (k, v) => k -> f"$v%.2f" } :+
         ("_battery" -> loadJson), partial)
-    spark.stop()
+    // Quiesce-then-print (r13 verdict ask #2): the r13 8-core sweep's JSON
+    // line was buried under a post-shutdown RpcEnvStoppedException stack
+    // trace from the state-store MAINTENANCE pool (streaming keys leave
+    // providers registered; their async maintenance raced spark.stop()),
+    // pushing the line out of the driver's finite tail-capture window.
+    // Stop the maintenance pool FIRST, then the session, and only then
+    // print the metric line — the contract is that the one JSON line is
+    // the LAST parseable stdout line of the run.
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    scala.util.Try(spark.stop())
+    println(line)
   }
 }

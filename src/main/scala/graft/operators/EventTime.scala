@@ -834,6 +834,20 @@ object EventTime {
         val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Changelog checkpointing (r14, guide §6): the default RocksDB
+        // commit uploads a FULL store snapshot (zip of sst files) per
+        // partition per batch — at 4 partitions × 4 batches that is 16
+        // snapshot uploads of fixed cost regardless of state size, and the
+        // r13 battery priced this key 2.5× its HDFS-store twin
+        // (q_stream_legacy_state, same shape). With changelog
+        // checkpointing each commit writes only the batch's key changes;
+        // snapshots move to background maintenance. State semantics and
+        // results are unchanged (the changelog replays to the same store).
+        val prevClog = s.conf.getOption(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
         try {
           // cents are derived map-side AFTER the source (the shared scratch
           // carries the raw corpus columns); the double→DECIMAL(12,2)→×100
@@ -855,9 +869,17 @@ object EventTime {
               .start()
               .awaitTermination()
           }
-        } finally prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          prevClog match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+          }
         }
         s.read.parquet(s"$scratch/out")
           .groupBy("user_id")
@@ -1036,6 +1058,14 @@ object EventTime {
         val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Changelog checkpointing — same rationale and result-neutrality
+        // as q_stream_stateful (commit writes the batch's changes, not a
+        // full snapshot zip per partition per batch).
+        val prevClog = s.conf.getOption(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
         try {
           val closed = graft.streaming.Streams.timerClose(
             s.readStream.schema(Scratch.inputSchema).parquet(in)
@@ -1049,9 +1079,17 @@ object EventTime {
               .start()
               .awaitTermination()
           }
-        } finally prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          prevClog match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+          }
         }
         s.read.parquet(s"$scratch/out")
           .withColumn("closed_at", col("closed_at").cast("timestamp_ntz"))
@@ -1357,13 +1395,16 @@ object EventTime {
           .select(col("window.start").as("w_start"), col("n_conv"),
             col("sum_pid"), col("min_sid"))
         withStreamShuffle(s) {
-          agg.writeStream
+          val q = agg.writeStream
             .format("parquet")
             .option("path", s"$scratch/out")
             .option("checkpointLocation", s"$scratch/ck")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-            .awaitTermination()
+          q.awaitTermination()
+          // Last micro-batch's executed plan for the plans/ evidence (a
+          // formatted Explain of this key only shows the read-back tail).
+          if (sys.env.get("SPARK_GRAFT_EXPLAIN_STREAM").contains("1")) q.explain()
         }
         s.read.parquet(s"$scratch/out")
           .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
@@ -1592,6 +1633,10 @@ object EventTime {
         // HDFS/S3 deployment), and immune to a trailing no-data batch
         // bumping lastProgress.batchId past the last version written.
         val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+        // No withStreamShuffle here (the foreachBatch merge runs BATCH
+        // plans that keep the session partitioning), but the checkpoint
+        // I/O manager still applies — local scratch, same rationale.
+        Scratch.withLocalCheckpointIo(s) {
         val q = s.readStream.schema(Scratch.inputSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in)
@@ -1622,6 +1667,7 @@ object EventTime {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        }
         // Zero micro-batches (empty input dir) would leave no state version
         // at all — fail loudly rather than NPE on a phantom read (ADVICE r11).
         val finalV = lastVersion.get()

@@ -180,7 +180,8 @@ object Flagship {
     * corpus's 1995-2001 span, so eviction genuinely fires between the four
     * date-quartile micro-batches. */
   private[graft] def streamingFlagship(
-      spark: SparkSession, dir: String)
+      spark: SparkSession, dir: String,
+      scratchKey: String = "stream_topn")
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val in = graft.Scratch.flagshipInput(spark, dir)
     val fact = spark.readStream.schema(graft.Scratch.flagshipSchema)
@@ -198,20 +199,24 @@ object Flagship {
     // blocks instead of re-running scans+joins. Inner FK joins: the
     // collapsed form is row-identical to the four-way chain, and the oracle
     // (the batch flagship's SQL) is unchanged.
-    val supGeo = Tables.runScopedCheckpoint("stream_topn.supgeo",
+    // Checkpoint keys derive from scratchKey (ADVICE r13): key ownership
+    // follows the query identity, so a second streamingFlagship-style
+    // caller (e.g. a config streaming mode) cannot release a concurrent
+    // invocation's blocks by colliding on a literal key.
+    val supGeo = Tables.runScopedCheckpoint(s"$scratchKey.supgeo",
       Tables(spark, dir, "supplier")
         .join(Tables(spark, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
         .join(Tables(spark, dir, "region"),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("r_name")))
-    val partDim = Tables.runScopedCheckpoint("stream_topn.part",
+    val partDim = Tables.runScopedCheckpoint(s"$scratchKey.part",
       Tables(spark, dir, "part").select(col("p_partkey"), col("p_name")))
     val enriched = fact
       .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
     streamingBoard(spark, enriched, Seq("r_name"), Seq("p_name"), revenue, 3,
-      scratchKey = "stream_topn", ttl = Some(StateTtl("ts", "90 days", "30 days")))
+      scratchKey = scratchKey, ttl = Some(StateTtl("ts", "90 days", "30 days")))
   }
 
   val qs: Map[String, Q] = Map(
