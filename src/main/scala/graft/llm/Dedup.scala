@@ -1184,7 +1184,9 @@ object Dedup {
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
     // Seed labels at min(id, min neighbor) straight off the edge agg — one
     // shuffle replacing the r12 distinct+self-label AND the first
-    // propagation round (r13).
+    // propagation round (r13). (r14 A/B note: self-loop edges replacing
+    // the per-round union(labels, prop) were measured and REJECTED —
+    // 6.24 s vs 5.44 s median for q_knn_clusters in adjacent windows.)
     var (labelsChk, releasePrev) = ck(
       sym.groupBy(col("a"))
         .agg(min(col("b")).as("mnb"))
@@ -1192,6 +1194,9 @@ object Dedup {
     var labels: DataFrame = labelsChk
     var iter = 0
     var converged = false
+    // Seed for the monotone-sum convergence check (see loop body): any
+    // value that can never equal a real Σlbl works; null is that value.
+    var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
@@ -1199,25 +1204,34 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl"))
       // Pointer jump: lbl := min(lbl, lbl(lbl)). Inner join is safe —
       // every label IS a node id and every node has a labels row.
-      // (r13 A/B note: two restructurings were measured and REJECTED —
-      // folding the jump into the propagation edge set via label-star
-      // edges, and composing two hops per materialized round. Loop wall
-      // is round-count × sequential-exchange latency; both variants kept
-      // the product constant or worse at sf0.1 — 5.5/6.9 s vs 5.5 s here
-      // for q_knn_clusters. The loop's structure stands; only the seed
-      // changed.)
+      // (A/B notes: r13 rejected label-star edge folding and two-EDGE-
+      // hops-per-round — per-round exchange depth grew faster than rounds
+      // fell. r14 re-measured a FRESH jump (propMin ⋈ propMin instead of
+      // ⋈ labels): rounds 18 → 16 on the sf0.1 mutual-kNN graph but wall
+      // 6.6 → 7.4 s — the tail is edge-propagation-limited, pointer
+      // compression can't shorten it, and the self-join's extra stage
+      // cost more than two rounds. Stale jump stands.)
       val merged = propMin
         .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-      // The convergence flag is computed INSIDE the checkpointed frame
-      // (one join with the previous generation) so the convergence check
-      // below is a filter over materialized blocks, not a second join
-      // re-executed against both label tables.
-      val (next, releaseNext) = ck(
-        merged
-          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-          .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed")))
-      converged = next.filter(col("changed")).isEmpty
+      // Convergence via the MONOTONE LABEL SUM (r14): every node's label is
+      // non-increasing (new lbl = least of old lbl, neighbor mins, jump),
+      // so Σlbl strictly decreases iff any label changed — equality with
+      // the previous round's sum IS convergence. This replaces the r13
+      // changed-flag join (merged ⋈ labels on id, one more join + label
+      // re-read inside every round's materialized plan) with a single-stage
+      // aggregate over the just-materialized blocks. DECIMAL(38,0): exact —
+      // a long sum could overflow at 1e9 nodes × 1e12 ids; 38 digits
+      // cannot. CCSpec pins deep-chain convergence both ways.
+      val (next, releaseNext) = ck(merged)
+      val sum = next.agg(org.apache.spark.sql.functions.sum(
+        col("lbl").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0))).as("s"))
+        .first().getDecimal(0)
+      converged = sum == prevSum
+      if (sys.env.get("SPARK_GRAFT_CC_TRACE").contains("1"))
+        System.err.println(s"[cc] iter=$iter sum=$sum converged=$converged")
+      prevSum = sum
       // Release the superseded generation's checkpoint blocks: without this
       // every iteration's label table stays persistent for the rest of the
       // session (the blocks outlive the query and bleed memory pressure

@@ -1498,6 +1498,13 @@ object EventTime {
       fn = (s, d) => {
         val scratch = Scratch.fresh("stream_chain_outer")
         val in = Scratch.lateDropInput(s, d)
+        // (r14 A/B note: a single-source self-join spelling — one
+        // FileStreamSource, both branches filtered from it — was measured
+        // and REJECTED: 2.66 s vs 2.58 s here in adjacent quiet windows.
+        // The two-source overhead it targeted (per-trigger source-log
+        // appends + listings) had already collapsed to ~1 ms/batch under
+        // the direct checkpoint-I/O manager, and per-batch queryPlanning
+        // did not drop. Oracle was green both ways.)
         def branch() = s.readStream.schema(Scratch.inputSchema)
           .option("maxFilesPerTrigger", "1").parquet(in)
         val joined = graft.streaming.Streams.signupToPurchase(
