@@ -192,6 +192,13 @@ object Bench {
       // Env-overridable for A/B profiling of the threshold itself.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ohaFallback.toString)
+      // (r14 A/B note: canChangeCachedPlanOutputPartitioning=true — AQE
+      // sizing CACHED plans' partitions, which collapses the capped-dedup
+      // kernel's 11 consecutive 32-task stages over 32-row masks/sizes
+      // caches to 1-task stages — was measured and REJECTED as neutral:
+      // strict stash A/B 5.57 s vs 5.58 s on the two capped keys; 32 tiny
+      // tasks launch in parallel and cost nothing at local[32]. Kept at
+      // the Spark default to avoid an unearned harness-conf change.)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1520,13 +1520,16 @@ object EventTime {
           .select(col("window.start").as("w_start"), col("n_rows"),
             col("n_conv"), col("sum_pid"), col("min_sid"))
         withStreamShuffle(s) {
-          agg.writeStream
+          val q = agg.writeStream
             .format("parquet")
             .option("path", s"$scratch/out")
             .option("checkpointLocation", s"$scratch/ck")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-            .awaitTermination()
+          q.awaitTermination()
+          // Last micro-batch's executed plan for the plans/ evidence (a
+          // formatted Explain of this key only shows the read-back tail).
+          if (sys.env.get("SPARK_GRAFT_EXPLAIN_STREAM").contains("1")) q.explain()
         }
         s.read.parquet(s"$scratch/out")
           .withColumn("w_start", col("w_start").cast("timestamp_ntz"))

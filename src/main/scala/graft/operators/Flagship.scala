@@ -135,6 +135,11 @@ object Flagship {
       val q = running.writeStream
         .outputMode("update")
         .foreachBatch { (df: DataFrame, id: Long) =>
+          // (r14 A/B note: df.coalesce(1) before this write was measured
+          // and REJECTED — 4.18 s vs 3.69 s median: the coalesce folds
+          // into the stateful-agg read and serializes the state-store
+          // partitions into one task; the 4-file commit it saved was
+          // cheaper. Same-layout write stands.)
           df.withColumn("batch_id", lit(id))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$scratch/out/b=$id")
